@@ -1,0 +1,193 @@
+"""Protobuf wire-format primitives, hand-rolled (no protobuf dependency).
+
+Implements exactly the subset of the proto2 wire encoding used by the public
+OSM PBF format (fileformat.proto / osmformat.proto): varints, zigzag
+(sint32/sint64), length-delimited fields, and packed repeated scalars.
+
+The decode side is numpy-vectorized: a packed-varint buffer is decoded with
+O(bytes) numpy operations and no per-value Python loop. This is the
+Spark-side analogue of the reference's lazy per-element iterators
+(/root/reference/src/dense.rs:148-163, /root/reference/src/elements.rs:332-348):
+where the Rust engine amortizes decode cost by iterating lazily, we amortize
+it by decoding whole packed columns as vectors inside an Arrow batch UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64_MASK = (1 << 64) - 1
+
+# Wire types (proto2)
+WT_VARINT = 0
+WT_I64 = 1
+WT_LEN = 2
+WT_I32 = 5
+
+
+# ---------------------------------------------------------------------------
+# Encoding (used by the deterministic fixture/scale generator)
+# ---------------------------------------------------------------------------
+
+def encode_varint(value: int) -> bytes:
+    """Encode a non-negative (or 64-bit-wrapped negative) int as a varint."""
+    value &= _U64_MASK
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_encode(value: int) -> int:
+    return ((value << 1) ^ (value >> 63)) & _U64_MASK
+
+
+def zigzag_decode(value: int) -> int:
+    return (value >> 1) ^ -(value & 1)
+
+
+def tag(field_no: int, wire_type: int) -> bytes:
+    return encode_varint((field_no << 3) | wire_type)
+
+
+def varint_field(field_no: int, value: int, *, zigzag: bool = False) -> bytes:
+    if zigzag:
+        value = zigzag_encode(value)
+    return tag(field_no, WT_VARINT) + encode_varint(value)
+
+
+def len_field(field_no: int, payload: bytes) -> bytes:
+    return tag(field_no, WT_LEN) + encode_varint(len(payload)) + payload
+
+
+def packed_field(field_no: int, values, *, zigzag: bool = False,
+                 delta: bool = False) -> bytes:
+    """Encode a packed repeated scalar field; optionally delta then zigzag.
+
+    Delta+zigzag is the OSM PBF encoding for DenseNodes id/lat/lon, way refs,
+    relation memids (osmformat.proto comments "DELTA coded").
+    Empty input yields b"" (field omitted) — proto2 packed semantics.
+    """
+    vals = list(values)
+    if not vals:
+        return b""
+    if delta:
+        deltas = [vals[0]]
+        for prev, cur in zip(vals, vals[1:]):
+            deltas.append(cur - prev)
+        vals = deltas
+    body = bytearray()
+    for v in vals:
+        body += encode_varint(zigzag_encode(v) if zigzag else v)
+    return len_field(field_no, bytes(body))
+
+
+# ---------------------------------------------------------------------------
+# Decoding — scalar scanner for message structure
+# ---------------------------------------------------------------------------
+
+def read_varint(buf, pos: int) -> tuple[int, int]:
+    """Read one varint at ``pos``; returns (value, next_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if b < 0x80:
+            return result & _U64_MASK, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def scan_fields(buf):
+    """Yield (field_no, wire_type, value) for each top-level field of a
+    message.  ``value`` is an int for VARINT fields and a memoryview slice
+    for LEN fields; I32/I64 yield the raw slice.  Unknown wire types raise.
+    """
+    view = memoryview(buf)
+    pos = 0
+    end = len(view)
+    while pos < end:
+        key, pos = read_varint(view, pos)
+        field_no = key >> 3
+        wt = key & 7
+        if wt == WT_VARINT:
+            value, pos = read_varint(view, pos)
+        elif wt == WT_LEN:
+            length, pos = read_varint(view, pos)
+            value = view[pos:pos + length]
+            if len(value) != length:
+                raise ValueError("truncated LEN field")
+            pos += length
+        elif wt == WT_I64:
+            value = view[pos:pos + 8]
+            pos += 8
+        elif wt == WT_I32:
+            value = view[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field_no, wt, value
+
+
+# ---------------------------------------------------------------------------
+# Decoding — vectorized packed varints
+# ---------------------------------------------------------------------------
+
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
+
+
+def decode_packed_u64(buf) -> np.ndarray:
+    """Decode a packed-varint buffer to uint64, fully vectorized.
+
+    Algorithm: each byte contributes its low 7 bits shifted by 7*position
+    within its varint; ``np.add.reduceat`` sums each varint's contributions.
+    uint64 wrap-around matches protobuf 64-bit truncation semantics.
+    """
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return _EMPTY_U64
+    low = (b & 0x7F).astype(np.uint64)
+    is_end = b < 0x80
+    if not is_end[-1]:
+        raise ValueError("truncated varint at end of packed buffer")
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    if lengths.max() > 10:
+        raise ValueError("varint longer than 10 bytes")
+    # position of each byte within its varint
+    pos_in_group = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    shifted = low << (7 * pos_in_group.astype(np.uint64))
+    return np.add.reduceat(shifted, starts)
+
+
+def unzigzag(values: np.ndarray) -> np.ndarray:
+    """Vectorized zigzag decode uint64 -> int64."""
+    return ((values >> np.uint64(1)).astype(np.int64)
+            ^ -(values & np.uint64(1)).astype(np.int64))
+
+
+def decode_packed_sint64(buf) -> np.ndarray:
+    return unzigzag(decode_packed_u64(buf))
+
+
+def decode_packed_sint64_delta(buf) -> np.ndarray:
+    """DELTA-coded packed sint64 (DenseNodes id/lat/lon, way refs, memids):
+    zigzag decode then cumulative sum (/root/reference/src/dense.rs:148-151).
+    """
+    return np.cumsum(unzigzag(decode_packed_u64(buf)), dtype=np.int64)
+
+
+def decode_packed_int64(buf) -> np.ndarray:
+    """Plain (two's-complement) packed int64/int32/enums/bools as int64."""
+    return decode_packed_u64(buf).astype(np.int64)

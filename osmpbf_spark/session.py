@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Designed for a multi-executor cluster; tests run the same config on
+``local[N]``. AQE is on for runtime re-planning (skew-join splitting for
+megacity cells — BASELINE.json north_rule), Arrow is on for the vectorized
+UDF path, and shuffle partitions default to a multiple of the parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Repo root (parent of the osmpbf_spark package) — must be importable by
+# executor Python workers. In cluster mode ship the package via
+# ``spark-submit --py-files osmpbf_spark.zip``; for local/driver-spawned
+# workers, exporting PYTHONPATH before the JVM starts is sufficient.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_pythonpath():
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PKG_ROOT + (os.pathsep + pp if pp else ""))
+
+
+def get_spark(app_name: str = "osmpbf_spark", *, master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    _ensure_pythonpath()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # documents rows are fat (media payloads) — keep scan splits modest
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,184 @@
+"""Interleaved-documents source: the graft-mandated input shape.
+
+``documents(doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)``
+(BASELINE.json ``input_hint``) — one document per OSM PBF fileblock; the
+``text`` span carries fileblock metadata as JSON, the ``media`` span carries
+a reference into the ``media(media_ref, payload)`` side table (the object
+store at production scale). Reading elements is:
+
+    documents → explode media spans → join media payloads → mapInArrow decode
+
+which is the Spark lifecycle equivalent of the reference's
+``ElementReader::for_each`` trace (SURVEY.md §3.1): Catalyst prunes the
+payload column unless the decode UDF is in the plan, and the ``blob_type``
+predicate is pushed to the scan — the analogues of lazy decode and
+header-only skip-scan (/root/reference/src/blob.rs:406-428).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pbf.decode import ELEMENT_SCHEMA, decode_blob_batch, split_fileblocks
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]))),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+# Spark-side rendering of pbf.decode.ELEMENT_SCHEMA (SURVEY.md §1.3)
+ELEMENTS_DDL = (
+    "element_type string, id long, lat_nano long, lon_nano long, "
+    "tags map<string,string>, refs array<long>, "
+    "ref_locations array<struct<lat_nano:long,lon_nano:long>>, "
+    "members array<struct<role:string,member_id:long,member_type:string>>, "
+    "version int, milli_timestamp long, changeset long, uid int, "
+    "user string, visible boolean, blob_no long, doc_id string"
+)
+
+
+def fileblocks_to_rows(name: str, fileblocks) -> tuple[list, list]:
+    """[(blob_type, blob_bytes)] → (document rows, media rows).
+
+    The text span records fileblock metadata (blob_no, blob_type, datasize,
+    offset) — the information the reference's header-only skip scan exposes
+    (src/blob.rs:406-428) — so metadata queries never touch payload bytes.
+    """
+    doc_rows = []
+    media_rows = []
+    offset = 0
+    for blob_no, (blob_type, blob_bytes) in enumerate(fileblocks):
+        doc_id = f"{name}#{blob_no}"
+        media_ref = f"media://{doc_id}"
+        meta = json.dumps({
+            "blob_no": blob_no, "blob_type": blob_type,
+            "datasize": len(blob_bytes), "offset": offset,
+        }, sort_keys=True)
+        spans = [
+            ("text", meta, None, 0),
+            ("media", None, media_ref, len(meta)),
+        ]
+        doc_rows.append((doc_id, spans))
+        media_rows.append((media_ref, bytearray(blob_bytes)))
+        offset += len(blob_bytes) + 4
+    return doc_rows, media_rows
+
+
+def pbf_bytes_to_rows(name: str, data: bytes) -> tuple[list, list]:
+    """Raw framed *.osm.pbf byte stream → (document rows, media rows)."""
+    blocks = [(b["blob_type"], b["blob_bytes"])
+              for b in split_fileblocks(data)]
+    return fileblocks_to_rows(name, blocks)
+
+
+def make_documents(spark: SparkSession, doc_rows, media_rows,
+                   num_partitions: int | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
+    docs = spark.createDataFrame(doc_rows, schema=DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame(media_rows, schema=MEDIA_SCHEMA)
+    if num_partitions:
+        docs = docs.repartition(num_partitions, "doc_id")
+        media = media.repartition(num_partitions, "media_ref")
+    return docs, media
+
+
+def blob_metadata(documents: DataFrame) -> DataFrame:
+    """Header-only scan: fileblock metadata without touching payloads —
+    column pruning makes this free (SURVEY.md §2.1 S4)."""
+    meta_schema = T.StructType([
+        T.StructField("blob_no", T.LongType()),
+        T.StructField("blob_type", T.StringType()),
+        T.StructField("datasize", T.LongType()),
+        T.StructField("offset", T.LongType()),
+    ])
+    text_span = F.filter("spans", lambda s: s["kind"] == F.lit("text"))[0]
+    media_span = F.filter("spans", lambda s: s["kind"] == F.lit("media"))[0]
+    meta = F.from_json(text_span["text"], meta_schema)
+    return documents.select(
+        "doc_id",
+        meta["blob_no"].alias("blob_no"),
+        meta["blob_type"].alias("blob_type"),
+        meta["datasize"].alias("datasize"),
+        meta["offset"].alias("offset"),
+        media_span["media_ref"].alias("media_ref"),
+    )
+
+
+def _decode_batches(iterator):
+    for batch in iterator:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        rows = zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("blob_no").to_pylist(),
+            batch.column("blob_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        )
+        out = decode_blob_batch(rows)
+        if out.num_rows:
+            yield out
+
+
+def read_elements(documents: DataFrame, media: DataFrame,
+                  *, broadcast_media: bool = False) -> DataFrame:
+    """The engine's top-level scan (SURVEY.md §2.1 S6): documents+media →
+    canonical ``elements`` DataFrame.
+
+    Pipeline: prune to (doc_id, blob metadata, media_ref) → filter
+    blob_type='OSMData' BEFORE touching payloads (blob-type pruning,
+    src/reader.rs:74) → equi-join payloads on media_ref → vectorized
+    ``mapInArrow`` decode (one Arrow batch of blobs in, one batch of
+    elements out; no per-row Python) → derived double coordinates as
+    Catalyst expressions (doubles derived, never authoritative).
+
+    At cluster scale the media join is a co-partitioned shuffle join keyed
+    on media_ref; pass ``broadcast_media=True`` only for small fixtures.
+    """
+    meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
+    m = F.broadcast(media) if broadcast_media else media
+    joined = meta.join(m, "media_ref").select(
+        "doc_id", "blob_no", "blob_type", "payload")
+    elements = joined.mapInArrow(_decode_batches, ELEMENTS_DDL)
+    return with_coordinate_columns(elements)
+
+
+def with_coordinate_columns(elements: DataFrame) -> DataFrame:
+    """Attach derived coordinate projections (SURVEY.md §2.7):
+    deg = 1e-9 * nano (src/elements.rs:84-86); decimicro = nano/100
+    truncated toward zero (src/elements.rs:94-96 — SQL ``DIV`` truncates
+    toward zero for the same result on negatives)."""
+    return (elements
+            .withColumn("lat", F.col("lat_nano") * F.lit(1e-9))
+            .withColumn("lon", F.col("lon_nano") * F.lit(1e-9))
+            .withColumn("decimicro_lat",
+                        F.expr("CAST(lat_nano DIV 100 AS INT)"))
+            .withColumn("decimicro_lon",
+                        F.expr("CAST(lon_nano DIV 100 AS INT)")))
+
+
+def span_signature(documents: DataFrame) -> DataFrame:
+    """Per-row span-sequence signature for the graft invariant
+    (BASELINE.json input_hint: span-sequence equality — kind, text,
+    media_ref, order). Deterministic sha256 over the ordered span list."""
+    ordered = F.array_sort(
+        F.transform("spans", lambda s: F.struct(
+            s["offset"].alias("offset"), s["kind"].alias("kind"),
+            s["text"].alias("text"), s["media_ref"].alias("media_ref"))))
+    return documents.select(
+        "doc_id",
+        F.sha2(F.to_json(ordered), 256).alias("span_sig"))
