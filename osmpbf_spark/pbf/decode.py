@@ -37,8 +37,11 @@ from .wire import (
     decode_packed_int64,
     decode_packed_sint64_delta,
     decode_packed_u64,
+    decode_packed_u64_segments,
     read_varint,
     scan_fields,
+    segmented_cumsum,
+    unzigzag,
     zigzag_decode,
 )
 
@@ -48,6 +51,8 @@ MAX_BLOB_HEADER_SIZE = 64 * 1024
 MAX_BLOB_MESSAGE_SIZE = 32 * 1024 * 1024
 
 MEMBER_TYPE_NAMES = np.array(["node", "way", "relation"], dtype=object)
+_ETYPE_CODE = {"node": 0, "way": 1, "relation": 2}
+_ETYPE_NAMES = MEMBER_TYPE_NAMES
 
 ELEMENT_SCHEMA = pa.schema([
     ("element_type", pa.string()),
@@ -445,6 +450,191 @@ class _StructRows:
         return c
 
 
+_EMPTY = b""
+
+
+def _seg_select(vals, lens, m):
+    """Truncate a segmented array (segment lengths ``lens``) to the first
+    ``m[i]`` values of each segment — vectorized zip-truncate."""
+    if vals.size == 0:
+        return vals
+    nz = lens[lens > 0]
+    starts = np.cumsum(nz) - nz
+    pos = np.arange(vals.size, dtype=np.int64) - np.repeat(starts, nz)
+    keep_len = np.repeat(m[lens > 0], nz)
+    return vals[pos < keep_len]
+
+
+def _seg_pair_select(a_vals, a_lens, b_vals, b_lens):
+    """Zip-truncate two segmented arrays to per-segment min length
+    (parallel-array zip semantics, src/elements.rs:513-538). Returns
+    (a_sel, b_sel, m) with m = per-segment pair counts."""
+    m = np.minimum(a_lens, b_lens)
+    return _seg_select(a_vals, a_lens, m), _seg_select(b_vals, b_lens, m), m
+
+
+def _batch_infos(chunk: _Chunk, info_bufs, table, date_granularity):
+    """Per-message Info parse (rare fields; scalar scan is fine — the
+    packed columns around it are the hot path)."""
+    n = len(info_bufs)
+    if not any(b is not None for b in info_bufs):
+        return
+    chunk.has_info = np.array([b is not None for b in info_bufs])
+    vers = np.full(n, -1, dtype=np.int64)
+    mts = np.zeros(n, dtype=np.int64)
+    chg = np.zeros(n, dtype=np.int64)
+    uid = np.zeros(n, dtype=np.int64)
+    user = np.full(n, None, dtype=object)
+    vis = np.ones(n, dtype=bool)
+    for i, b in enumerate(info_bufs):
+        if b is None:
+            continue
+        v = _parse_info(b, table, date_granularity)
+        vers[i] = v[0]
+        mts[i] = v[1] or 0
+        chg[i] = v[2] or 0
+        uid[i] = v[3] or 0
+        user[i] = v[4]
+        vis[i] = v[5]
+    chunk.version = vers
+    chunk.milli_ts = mts
+    chunk.changeset = chg
+    chunk.uid = uid
+    chunk.user = user
+    chunk.visible = vis
+
+
+def _parse_way_group(bufs, table, granularity, lat_offset, lon_offset,
+                     date_granularity) -> _Chunk:
+    """All Way messages of a group, batch-decoded: one scalar field scan
+    per message to collect slices, then ONE vectorized pass per packed
+    column across the whole group (refs delta-cumsum restarts per way via
+    segmented_cumsum). Re-expresses WayRefIter / WayNodeLocationsIter
+    (src/elements.rs:326-423) as whole-group columnar ops."""
+    n = len(bufs)
+    c = _Chunk("way", n)
+    ids = np.zeros(n, dtype=np.int64)
+    keys_b = [_EMPTY] * n
+    vals_b = [_EMPTY] * n
+    refs_b = [_EMPTY] * n
+    lat_b = [_EMPTY] * n
+    lon_b = [_EMPTY] * n
+    info_b = [None] * n
+    for i, buf in enumerate(bufs):
+        for field_no, wt, value in scan_fields(buf):
+            if field_no == 1:
+                ids[i] = value if value < (1 << 63) else value - (1 << 64)
+            elif field_no == 2:
+                keys_b[i] = value
+            elif field_no == 3:
+                vals_b[i] = value
+            elif field_no == 4:
+                info_b[i] = value
+            elif field_no == 8:
+                refs_b[i] = value
+            elif field_no == 9:
+                lat_b[i] = value
+            elif field_no == 10:
+                lon_b[i] = value
+    c.ids = ids
+
+    kv, kl = decode_packed_u64_segments(keys_b)
+    vv, vl = decode_packed_u64_segments(vals_b)
+    ksel, vsel, m = _seg_pair_select(kv.astype(np.int64), kl,
+                                     vv.astype(np.int64), vl)
+    c.tag_offsets = np.concatenate(([np.int64(0)], np.cumsum(m)))
+    if ksel.size:
+        c.tag_keys.append(table[ksel])
+        c.tag_vals.append(table[vsel])
+
+    rv, rl = decode_packed_u64_segments(refs_b)
+    c.refs_values = segmented_cumsum(unzigzag(rv), rl)
+    c.refs_offsets = np.concatenate(([np.int64(0)], np.cumsum(rl)))
+
+    lav, lal = decode_packed_u64_segments(lat_b)
+    lov, lol = decode_packed_u64_segments(lon_b)
+    # LocationsOnWays requires BOTH arrays (src/elements.rs:208-216)
+    both = np.minimum(lal, lol)
+    if lav.size and lov.size:
+        la_sel, lo_sel, both = _seg_pair_select(
+            unzigzag(lav), lal, unzigzag(lov), lol)
+        # NOTE: selection must happen before cumsum only when truncating;
+        # encoders always emit equal lengths, so lal==lol in practice
+        c.loc_lat = lat_offset + granularity * segmented_cumsum(
+            la_sel, both)
+        c.loc_lon = lon_offset + granularity * segmented_cumsum(
+            lo_sel, both)
+    else:
+        c.loc_lat = np.empty(0, dtype=np.int64)
+        c.loc_lon = np.empty(0, dtype=np.int64)
+    c.loc_offsets = np.concatenate(([np.int64(0)], np.cumsum(both)))
+
+    _batch_infos(c, info_b, table, date_granularity)
+    return c
+
+
+def _parse_relation_group(bufs, table, date_granularity) -> _Chunk:
+    """All Relation messages of a group, batch-decoded (RelMemberIter zip
+    + role dictionary take, src/elements.rs:462-511, as columnar ops)."""
+    n = len(bufs)
+    c = _Chunk("relation", n)
+    ids = np.zeros(n, dtype=np.int64)
+    keys_b = [_EMPTY] * n
+    vals_b = [_EMPTY] * n
+    roles_b = [_EMPTY] * n
+    memids_b = [_EMPTY] * n
+    types_b = [_EMPTY] * n
+    info_b = [None] * n
+    for i, buf in enumerate(bufs):
+        for field_no, wt, value in scan_fields(buf):
+            if field_no == 1:
+                ids[i] = value if value < (1 << 63) else value - (1 << 64)
+            elif field_no == 2:
+                keys_b[i] = value
+            elif field_no == 3:
+                vals_b[i] = value
+            elif field_no == 4:
+                info_b[i] = value
+            elif field_no == 8:
+                roles_b[i] = value
+            elif field_no == 9:
+                memids_b[i] = value
+            elif field_no == 10:
+                types_b[i] = value
+    c.ids = ids
+
+    kv, kl = decode_packed_u64_segments(keys_b)
+    vv, vl = decode_packed_u64_segments(vals_b)
+    ksel, vsel, m = _seg_pair_select(kv.astype(np.int64), kl,
+                                     vv.astype(np.int64), vl)
+    c.tag_offsets = np.concatenate(([np.int64(0)], np.cumsum(m)))
+    if ksel.size:
+        c.tag_keys.append(table[ksel])
+        c.tag_vals.append(table[vsel])
+
+    rv, rl = decode_packed_u64_segments(roles_b)
+    mv, ml = decode_packed_u64_segments(memids_b)
+    tv, tl = decode_packed_u64_segments(types_b)
+    memids = segmented_cumsum(unzigzag(mv), ml)
+    # 3-way zip truncate (min of lengths per relation)
+    mm = np.minimum(np.minimum(rl, ml), tl)
+    roles_sel = _seg_select(rv.astype(np.int64), rl, mm)
+    mem_sel = _seg_select(memids, ml, mm)
+    types_sel = _seg_select(tv.astype(np.int64), tl, mm)
+    c.mem_offsets = np.concatenate(([np.int64(0)], np.cumsum(mm)))
+    if mem_sel.size:
+        c.mem_roles = [table[roles_sel]]
+        c.mem_ids = mem_sel
+        c.mem_types = types_sel
+    else:
+        c.mem_roles = []
+        c.mem_ids = np.empty(0, dtype=np.int64)
+        c.mem_types = np.empty(0, dtype=np.int64)
+
+    _batch_infos(c, info_b, table, date_granularity)
+    return c
+
+
 def _parse_plain_node(buf, rows: _StructRows, table, granularity,
                       lat_offset, lon_offset, date_granularity):
     nid = lat = lon = 0
@@ -589,8 +779,8 @@ def parse_primitive_block(buf) -> list[_Chunk]:
     chunks: list[_Chunk] = []
     for gbuf in group_bufs:
         nodes = _StructRows("node")
-        ways = _StructRows("way")
-        rels = _StructRows("relation")
+        way_bufs = []
+        rel_bufs = []
         dense_chunks = []
         for field_no, wt, value in scan_fields(gbuf):
             if field_no == 1:
@@ -601,19 +791,21 @@ def parse_primitive_block(buf) -> list[_Chunk]:
                     value, table, granularity, lat_offset, lon_offset,
                     date_granularity))
             elif field_no == 3:
-                _parse_way(value, ways, table, granularity, lat_offset,
-                           lon_offset, date_granularity)
+                way_bufs.append(value)
             elif field_no == 4:
-                _parse_relation(value, rels, table, date_granularity)
+                rel_bufs.append(value)
             # field 5 (changesets) is dead in the format; skipped like the
             # reference (src/block.rs never reads it)
         if nodes.ids:
             chunks.append(nodes.finish())
         chunks.extend(dense_chunks)
-        if ways.ids:
-            chunks.append(ways.finish())
-        if rels.ids:
-            chunks.append(rels.finish())
+        if way_bufs:
+            chunks.append(_parse_way_group(
+                way_bufs, table, granularity, lat_offset, lon_offset,
+                date_granularity))
+        if rel_bufs:
+            chunks.append(_parse_relation_group(
+                rel_bufs, table, date_granularity))
     return chunks
 
 
@@ -655,7 +847,8 @@ def chunks_to_batch(per_blob: list[tuple[str, int, list[_Chunk]]]) -> pa.RecordB
             if n == 0:
                 continue
             n_total += n
-            etype.append(np.full(n, c.element_type, dtype=object))
+            etype.append(np.full(
+                n, _ETYPE_CODE[c.element_type], dtype=np.int8))
             ids.append(c.ids)
             if c.lat_nano is not None:
                 lat.append(c.lat_nano)
@@ -703,11 +896,13 @@ def chunks_to_batch(per_blob: list[tuple[str, int, list[_Chunk]]]) -> pa.RecordB
         return (np.concatenate(parts) if parts
                 else np.empty(0, dtype=np.int64))
 
-    etype_a = _concat_obj(etype, n_total)
+    etype_codes = (np.concatenate(etype) if etype
+                   else np.empty(0, dtype=np.int8))
+    etype_a = _ETYPE_NAMES[etype_codes]
     ids_a = cat64(ids)
     lat_a = cat64(lat)
     lon_a = cat64(lon)
-    is_node = etype_a == "node"
+    is_node = etype_codes == 0
 
     tag_offsets = np.concatenate(tag_off)
     n_tags = int(tag_offsets[-1]) if len(tag_offsets) else 0

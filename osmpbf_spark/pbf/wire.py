@@ -191,3 +191,45 @@ def decode_packed_sint64_delta(buf) -> np.ndarray:
 def decode_packed_int64(buf) -> np.ndarray:
     """Plain (two's-complement) packed int64/int32/enums/bools as int64."""
     return decode_packed_u64(buf).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Segmented batch decoding — many packed buffers in ONE numpy pass
+# ---------------------------------------------------------------------------
+# The per-message operators (way refs, relation memids, tag id arrays) would
+# otherwise pay numpy-call overhead per element; joining all buffers of a
+# group and decoding once turns ~10k ways/s into millions/s.
+
+def decode_packed_u64_segments(bufs: list) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a list of packed-varint buffers in one vectorized pass.
+
+    Returns (values, seg_lengths): all varint values concatenated, plus the
+    number of values contributed by each input buffer (0 for empty bufs).
+    """
+    if not bufs:
+        return _EMPTY_U64, np.empty(0, dtype=np.int64)
+    byte_lens = np.fromiter((len(x) for x in bufs), dtype=np.int64,
+                            count=len(bufs))
+    joined = b"".join(bytes(x) for x in bufs)
+    values = decode_packed_u64(joined)
+    if len(joined) == 0:
+        return values, np.zeros(len(bufs), dtype=np.int64)
+    b = np.frombuffer(joined, dtype=np.uint8)
+    is_end = (b < 0x80).astype(np.int64)
+    cum_ends = np.concatenate(([np.int64(0)], np.cumsum(is_end)))
+    offs = np.concatenate(([np.int64(0)], np.cumsum(byte_lens)))
+    seg_lengths = cum_ends[offs[1:]] - cum_ends[offs[:-1]]
+    return values, seg_lengths
+
+
+def segmented_cumsum(vals: np.ndarray, seg_lengths: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum (delta decode restarting at each segment
+    boundary) without a Python loop: global cumsum minus the carried
+    prefix at each segment start."""
+    if vals.size == 0:
+        return vals.astype(np.int64)
+    cs = np.cumsum(vals, dtype=np.int64)
+    nz = seg_lengths[seg_lengths > 0]
+    starts = np.cumsum(nz) - nz
+    base = np.where(starts > 0, cs[starts - 1], 0)
+    return cs - np.repeat(base, nz)

@@ -1,0 +1,646 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql)
+pair for the driver's correctness gate (__spark_entry__.py contract).
+
+Each entry exercises real engine code (operators/functions modules) and —
+where SQL-expressible — carries a DuckDB oracle built from the SAME
+dual-rendered arithmetic (functions.text / functions.grid render one
+definition to both dialects), so value hashes match bit-for-bit.
+
+OSM-specific queries synthesize the golden fixtures in-process (they are
+deterministic and tiny) and are checked against CONSTANT oracles — the
+golden values of the reference test suite (/root/reference/tests/read.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.grid import GRID_RES_FINE, grid_cell_sql, with_grid_cells
+from .functions.text import (
+    char_ngrams_sql,
+    langid_sql,
+    poly_hash_sql,
+    quality_score_sql,
+    tokens_sql,
+)
+from .operators.dedup import exact_dups, minhash_lsh_pairs, simhash
+from .operators.knn import cosine_topk, grid_knn
+from .operators.parity import count_by_type, tag_eq, ways_and_deps
+from .operators.pip import make_polygons, pip_join
+from .sources.documents import (
+    fileblocks_to_rows,
+    make_documents,
+    read_elements,
+)
+from .sources.fixtures import fixture_fileblocks
+
+P = 1_000_000_007
+
+# Derived deterministic coordinates for the events table: a 1°×1° box in
+# integer nanodegrees (int64-exact distances; the "city extract" testbed).
+LAT_SQL = "(event_id * 2654435761) % 1000000000"
+LON_SQL = "(event_id * 2246822519) % 1000000000"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+def _events_xy(spark, sf_dir) -> DataFrame:
+    return (_load(spark, sf_dir, "events")
+            .withColumn("lat_nano", F.expr(LAT_SQL))
+            .withColumn("lon_nano", F.expr(LON_SQL)))
+
+
+def _golden_elements(spark, variant="zlib_dense") -> DataFrame:
+    docs, media = make_documents(
+        spark, *fileblocks_to_rows(variant, fixture_fileblocks(variant)))
+    return read_elements(docs, media, broadcast_media=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+# name -> (spark_callable(spark, sf_dir) -> DataFrame, oracle_sql | None)
+
+REGISTRY: dict = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# ---- A: aggregation / scan parity (SURVEY.md §2.5, §2.3) -------------------
+
+@q("count_by_type", """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+""")
+def q_count_by_type(spark, sf_dir):
+    """A1/A2: the reference's flagship count workload
+    (src/reader.rs:119-142) over the events table."""
+    return (_load(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.count("*").alias("cnt")))
+
+
+# Double sums are partition-order-dependent; route through DECIMAL for an
+# order-independent exact sum, then back to DOUBLE for a stable schema.
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@q("pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')}      AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc,
+       COUNT(*)                   AS cnt
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark, sf_dir):
+    """Partial+final aggregation shape (A2) on lineitem (TPC-H Q1 style)."""
+    return (_load(spark, sf_dir, "lineitem")
+            .filter(F.col("l_shipdate")
+                    <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.expr(_dsum("l_quantity")).alias("sum_qty"),
+                 F.expr(_dsum("l_extendedprice")).alias("sum_base"),
+                 F.expr(_dsum("l_extendedprice * (1 - l_discount)"))
+                 .alias("sum_disc"),
+                 F.count("*").alias("cnt")))
+
+
+@q("zone_minmax", """
+SELECT l_returnflag, MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_zone_minmax(spark, sf_dir):
+    """A3: min/max id zone maps (src/indexed.rs:175-222)."""
+    return (_load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.min("l_orderkey").alias("min_key"),
+                 F.max("l_orderkey").alias("max_key")))
+
+
+@q("distinct_users", """
+SELECT event_type, COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY event_type
+""")
+def q_distinct_users(spark, sf_dir):
+    return (_load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("users")))
+
+
+@q("snapshot_filter", """
+SELECT COUNT(*) AS cnt FROM events WHERE event_type <> 'error'
+""")
+def q_snapshot_filter(spark, sf_dir):
+    """P15 analogue: visibility/snapshot filter."""
+    return (_load(spark, sf_dir, "events")
+            .filter(F.col("event_type") != "error")
+            .agg(F.count("*").alias("cnt")))
+
+
+@q("json_tag_filter", """
+SELECT event_type, COUNT(*) AS cnt
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 80
+GROUP BY event_type
+""")
+def q_json_tag_filter(spark, sf_dir):
+    """P11 analogue: tag-predicate filter on the props map."""
+    return (_load(spark, sf_dir, "events")
+            .filter(F.get_json_object("props", "$.k").cast("int") > 80)
+            .groupBy("event_type").agg(F.count("*").alias("cnt")))
+
+
+# ---- J: joins (SURVEY.md §2.4) --------------------------------------------
+
+@q("ways_and_deps_tpch", """
+SELECT l_returnflag, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""")
+def q_ways_and_deps_tpch(spark, sf_dir):
+    """J1: the two-pass filtered semi-join (src/indexed.rs:264-330) shape
+    on TPC tables: filtered parents → semi-join children → aggregate."""
+    orders = (_load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_orderkey").alias("l_orderkey")))
+    return (_load(spark, sf_dir, "lineitem")
+            .join(F.broadcast(orders), "l_orderkey", "left_semi")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("cnt"),
+                 F.expr(_dsum("l_quantity")).alias("sum_qty")))
+
+
+@q("region_rollup", """
+SELECT r.r_name AS region, COUNT(*) AS customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def q_region_rollup(spark, sf_dir):
+    """Broadcast-join chain over the small dimensions."""
+    c = _load(spark, sf_dir, "customer")
+    n = F.broadcast(_load(spark, sf_dir, "nation"))
+    r = F.broadcast(_load(spark, sf_dir, "region"))
+    return (c.join(n, c["c_nationkey"] == n["n_nationkey"])
+            .join(r, n["n_regionkey"] == r["r_regionkey"])
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.count("*").alias("customers"),
+                 F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) "
+                        "AS DOUBLE)").alias("total_bal")))
+
+
+@q("topk_per_user", """
+SELECT event_id, user_id, value, rn FROM (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3
+""")
+def q_topk_per_user(spark, sf_dir):
+    """Window top-k (§2.6 — absent in reference, Spark built-in)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.col("event_id"))
+    return (_load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "value",
+                    F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@q("event_time_windows", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, COUNT(*) AS cnt
+FROM events GROUP BY 1
+""")
+def q_event_time_windows(spark, sf_dir):
+    """Tumbling event-time window aggregation (batch form of the
+    streaming windowed count; streaming variant in streaming/)."""
+    return (_load(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "cnt"))
+
+
+# ---- OSM golden queries (constant oracles = reference test values) ---------
+
+@q("osm_count_by_type", """
+SELECT 'node' AS element_type, 3 AS cnt UNION ALL
+SELECT 'way', 1 UNION ALL SELECT 'relation', 1
+""")
+def q_osm_count_by_type(spark, sf_dir):
+    """Decode pipeline end-to-end; golden counts tests/read.rs:269-292."""
+    return count_by_type(_golden_elements(spark)) \
+        .select("element_type", F.col("cnt").cast("int").alias("cnt"))
+
+
+@q("osm_nano_exact", """
+SELECT * FROM (VALUES
+  (105, 52122403100, 11628401700, 521224031, 116284017),
+  (106, 52119923500, 11625644600, 521199235, 116256446),
+  (108, 52119899100, 11631019200, 521198991, 116310192))
+ AS t(id, lat_nano, lon_nano, decimicro_lat, decimicro_lon)
+""")
+def q_osm_nano_exact(spark, sf_dir):
+    """Nano-degree exactness contract; goldens tests/read.rs:112-126."""
+    return (_golden_elements(spark)
+            .filter("element_type = 'node'")
+            .select(F.col("id").cast("int").alias("id"), "lat_nano",
+                    "lon_nano", "decimicro_lat", "decimicro_lon"))
+
+
+@q("osm_ways_and_deps", """
+SELECT 1 AS n_ways, 3 AS n_dep_nodes
+""")
+def q_osm_ways_and_deps(spark, sf_dir):
+    """J1 on real decoded elements; golden tests/read.rs:294-319
+    (building filter → exactly 1 way + 3 nodes)."""
+    el = _golden_elements(spark).cache()
+    ways_f, nodes = ways_and_deps(el, tag_eq("building", "yes"))
+    return (ways_f.agg(F.count("*").cast("int").alias("n_ways"))
+            .join(nodes.agg(F.count("*").cast("int").alias("n_dep_nodes"))))
+
+
+@q("osm_variant_consistency", """
+SELECT 3 AS n_variants, 1 AS n_distinct_signatures
+""")
+def q_osm_variant_consistency(spark, sf_dir):
+    """Logical result independent of physical encoding
+    (tests/read.rs:206-222): one canonical signature across 3 encodings."""
+    sigs = []
+    for v in ("zlib_dense", "raw_dense", "raw_plain"):
+        el = _golden_elements(spark, v)
+        canon = (el.select(
+            F.sha2(F.to_json(F.struct(
+                "element_type", "id", "lat_nano", "lon_nano",
+                F.expr("to_json(map_entries(tags))").alias("tags"),
+                "refs", "members", "visible", "milli_timestamp")), 256)
+            .alias("row_sig"))
+            .agg(F.sha2(F.concat_ws("|", F.sort_array(
+                F.collect_list("row_sig"))), 256).alias("sig"))
+            .withColumn("variant", F.lit(v)))
+        sigs.append(canon)
+    u = sigs[0].unionByName(sigs[1]).unionByName(sigs[2])
+    return u.agg(
+        F.count("*").cast("int").alias("n_variants"),
+        F.countDistinct("sig").cast("int").alias("n_distinct_signatures"))
+
+
+@q("osm_history_visibility", """
+SELECT 1 AS visible_nodes, 1 AS deleted_nodes
+""")
+def q_osm_history_visibility(spark, sf_dir):
+    """P15 history semantics; golden tests/read.rs:321-340."""
+    el = _golden_elements(spark, "history")
+    return el.agg(
+        F.sum(F.when(F.col("visible"), 1).otherwise(0))
+        .cast("int").alias("visible_nodes"),
+        F.sum(F.when(~F.col("visible"), 1).otherwise(0))
+        .cast("int").alias("deleted_nodes"))
+
+
+@q("osm_locations_on_ways", """
+SELECT * FROM (VALUES
+  (107, 0, 52122403100, 11628401700),
+  (107, 1, 52119923500, 11625644600),
+  (107, 2, 52119899100, 11631019200),
+  (107, 3, 52122403100, 11628401700))
+ AS t(way_id, seq, lat_nano, lon_nano)
+""")
+def q_osm_locations_on_ways(spark, sf_dir):
+    """P9 LocationsOnWays; goldens tests/read.rs:342-420."""
+    from .operators.parity import way_node_locations
+    el = _golden_elements(spark, "loc_on_ways")
+    return way_node_locations(el).select(
+        F.col("way_id").cast("int").alias("way_id"),
+        F.col("seq").cast("int").alias("seq"), "lat_nano", "lon_nano")
+
+
+# ---- Spatial queries (grid / PIP / kNN / tiles) ----------------------------
+
+def _grid_oracle(res):
+    cell = grid_cell_sql(f"({LAT_SQL})", f"({LON_SQL})", res, "duckdb")
+    return f"""
+SELECT {cell} AS cell, COUNT(*) AS cnt FROM events GROUP BY 1
+"""
+
+
+@q("grid_cell_counts", _grid_oracle(GRID_RES_FINE))
+def q_grid_cell_counts(spark, sf_dir):
+    """Cell indexing + occupancy histogram (north_star cell assignment;
+    skew diagnostic for salting)."""
+    from .functions.grid import cell_counts
+    ev = with_grid_cells(_events_xy(spark, sf_dir), res=GRID_RES_FINE)
+    return cell_counts(ev)
+
+
+@q("tile_rollup", _grid_oracle(12))
+def q_tile_rollup(spark, sf_dir):
+    """Coarse tiling rollup at res 12 (raster↔vector assignment grid)."""
+    from .functions.grid import cell_counts
+    ev = with_grid_cells(_events_xy(spark, sf_dir), res=12)
+    return cell_counts(ev)
+
+
+# Fixed convex test polygon (closed ring) inside the derived 1°×1° box,
+# in nanodegrees. Simple diamond — exercised through the full
+# cover+refine PIP operator on the Spark side; the DuckDB oracle is the
+# same even-odd integer arithmetic expanded per edge.
+_DIAMOND = [(500_000_000, 100_000_000), (900_000_000, 500_000_000),
+            (500_000_000, 900_000_000), (100_000_000, 500_000_000),
+            (500_000_000, 100_000_000)]
+
+
+def _pip_oracle():
+    terms = []
+    for (y1, x1), (y2, x2) in zip(_DIAMOND, _DIAMOND[1:]):
+        cmp_op = "<" if y2 > y1 else ">"
+        terms.append(
+            f"(CASE WHEN ({y1} > py) != ({y2} > py) AND "
+            f"(px - {x1}) * ({y2} - {y1}) {cmp_op} "
+            f"({x2} - {x1}) * (py - {y1}) THEN 1 ELSE 0 END)")
+    s = " + ".join(terms)
+    return f"""
+WITH pts AS (SELECT event_id, {LAT_SQL} AS py, {LON_SQL} AS px FROM events)
+SELECT event_id FROM pts WHERE ({s}) % 2 = 1
+"""
+
+
+@q("pip_diamond", _pip_oracle())
+def q_pip_diamond(spark, sf_dir):
+    """Point-in-polygon join: cell-cover prefilter + exact decimal
+    ray-cast refine (operators/pip.py) — oracle is the same integer
+    geometry expanded edge-by-edge in DuckDB."""
+    ev = with_grid_cells(_events_xy(spark, sf_dir), res=GRID_RES_FINE)
+    polys = make_polygons(spark, [("diamond", _DIAMOND)])
+    return pip_join(ev, polys, res=GRID_RES_FINE).select("event_id")
+
+
+_KNN_QUERIES = [(0, 250_000_000, 250_000_000), (1, 750_000_000, 750_000_000),
+                (2, 100_000_000, 900_000_000), (3, 500_000_000, 500_000_000),
+                (4, 999_000_000, 1_000_000)]
+
+
+def _knn_oracle(k=5):
+    vals = ", ".join(f"({q}, {la}, {lo})" for q, la, lo in _KNN_QUERIES)
+    return f"""
+WITH pts AS (SELECT event_id, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM events),
+qs(query_id, qlat, qlon) AS (VALUES {vals}),
+scored AS (
+  SELECT query_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           CAST((lat - qlat) * (lat - qlat) +
+                (lon - qlon) * (lon - qlon) AS DOUBLE), event_id) AS rn
+  FROM qs, pts)
+SELECT query_id, event_id, rn FROM scored WHERE rn <= {k}
+"""
+
+
+@q("knn_events", _knn_oracle())
+def q_knn_events(spark, sf_dir):
+    """Grid kNN by cell-ring expansion (operators/knn.py) vs brute-force
+    window oracle; 1°-box coords keep squared distances int64-exact."""
+    res = 10
+    pts = with_grid_cells(
+        _events_xy(spark, sf_dir).select(
+            F.col("event_id").alias("id"), "lat_nano", "lon_nano"),
+        res=res)
+    qdf = with_grid_cells(
+        spark.createDataFrame(_KNN_QUERIES,
+                              "query_id long, lat_nano long, lon_nano long"),
+        res=res)
+    out = grid_knn(pts, qdf, 5, res=res)
+    return out.select("query_id", F.col("id").alias("event_id"), "rn")
+
+
+# mercator y from one shared formula text (asinh spelled out as
+# ln(x+sqrt(x²+1)) so both engines execute the identical double ops)
+_MERC = ("floor((1.0 - ln(tan(radians(la)) + sqrt(tan(radians(la)) * "
+         "tan(radians(la)) + 1.0)) / pi()) / 2.0 * 4096)")
+
+
+@q("mercator_tiles", f"""
+WITH pts AS (
+  SELECT CAST(({LAT_SQL}) AS DOUBLE) * 1e-9 + 40.0 AS la,
+         CAST(({LON_SQL}) AS DOUBLE) * 1e-9 + 5.0 AS lo
+  FROM events)
+SELECT CAST(floor((lo + 180.0) / 360.0 * 4096) AS BIGINT) AS tx,
+       CAST({_MERC} AS BIGINT) AS ty, COUNT(*) AS cnt
+FROM pts GROUP BY 1, 2
+""")
+def q_mercator_tiles(spark, sf_dir):
+    """Web-mercator z12 raster tiling (functions/tiles.py math) — the
+    raster half of raster↔vector assignment."""
+    pts = (_events_xy(spark, sf_dir)
+           .select((F.col("lat_nano").cast("double") * 1e-9 + 40.0)
+                   .alias("la"),
+                   (F.col("lon_nano").cast("double") * 1e-9 + 5.0)
+                   .alias("lo")))
+    return (pts.select(
+        F.expr("CAST(floor((lo + 180.0) / 360.0 * 4096) AS BIGINT)")
+        .alias("tx"),
+        F.expr(f"CAST({_MERC} AS BIGINT)").alias("ty"))
+        .groupBy("tx", "ty").agg(F.count("*").alias("cnt")))
+
+
+@q("s2_cell_counts", None)   # no s2 library in DuckDB → rows-only check
+def q_s2_cell_counts(spark, sf_dir):
+    """S2 level-12 cell occupancy via the vectorized pandas UDF
+    (functions/s2.py) — validated by self-consistency tests; no SQL
+    oracle exists without an s2 library."""
+    from .functions.s2 import with_s2_cells
+    pts = (_events_xy(spark, sf_dir)
+           .select((F.col("lat_nano").cast("double") * 1e-9 + 40.0)
+                   .alias("lat"),
+                   (F.col("lon_nano").cast("double") * 1e-9 + 5.0)
+                   .alias("lon")))
+    return (with_s2_cells(pts, level=12)
+            .groupBy("s2_cell").agg(F.count("*").alias("cnt")))
+
+
+# ---- Dedup / text-analysis queries ----------------------------------------
+
+@q("dedup_exact", """
+SELECT md5(text) AS content_hash, COUNT(*) AS cnt,
+       MIN(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    return exact_dups(_load(spark, sf_dir, "documents"))
+
+
+@q("doc_profile", f"""
+SELECT doc_id,
+       {poly_hash_sql('text', 'duckdb')} AS fingerprint,
+       len({tokens_sql('text', 'duckdb')}) AS n_tokens,
+       {quality_score_sql('text', 'duckdb')} AS quality,
+       {langid_sql('text', 'duckdb')} AS lang_guess
+FROM documents
+""")
+def q_doc_profile(spark, sf_dir):
+    """Fingerprint + token count + quality score + language ID in one
+    narrow pass (all dual-rendered Catalyst built-ins)."""
+    return (_load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(poly_hash_sql("text")).alias("fingerprint"),
+                    F.expr(f"size({tokens_sql('text')})").alias("n_tokens"),
+                    F.expr(quality_score_sql("text")).alias("quality"),
+                    F.expr(langid_sql("text")).alias("lang_guess")))
+
+
+_MINHASH_K = 16
+_MINHASH_BANDS = 8
+
+_MINHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql('text', 'duckdb')} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, u.s FROM toks,
+  UNNEST([array_to_string(list_slice(toks, i, i + 2), ' ')
+          FOR i IN range(1, GREATEST(len(toks) - 2, 0) + 1)]) AS u(s)),
+hs AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         [unicode(c) FOR c IN string_split_regex(s, '') IF c != '']),
+         (acc, c) -> (acc * 31 + c) % {P}) AS h FROM sh),
+sigs AS (
+  SELECT doc_id, j,
+         MIN(((((j + 1) * 104729 + 7) % {P}) * h
+              + (((j + 1) * 7919 + 3) % {P})) % {P}) AS sig
+  FROM hs, (SELECT range AS j FROM range({_MINHASH_K})) GROUP BY 1, 2),
+bandv AS (
+  SELECT doc_id, j // 2 AS band,
+         SUM((sig * (CASE j % 2 WHEN 0 THEN 1 WHEN 1 THEN 31 END)) % {P})
+           AS band_val
+  FROM sigs GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandv a JOIN bandv b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+           / CAST({_MINHASH_K} AS DOUBLE) AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sb.j = sa.j
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+@q("minhash_lsh_pairs", _MINHASH_ORACLE)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (operators/dedup.py) — full pipeline
+    mirrored step-for-step by the DuckDB CTE oracle."""
+    return minhash_lsh_pairs(_load(spark, sf_dir, "documents"),
+                             k=_MINHASH_K, bands=_MINHASH_BANDS,
+                             threshold=0.5)
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok FROM (
+    SELECT doc_id, {tokens_sql('text', 'duckdb')} AS t FROM documents),
+  UNNEST(t) AS u(tok)),
+hs AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         [unicode(c) FOR c IN string_split_regex(tok, '') IF c != '']),
+         (acc, c) -> (acc * 31 + c) % {P}) AS h FROM toks),
+votes AS (
+  SELECT doc_id, b, SUM((h // CAST(power(2, b) AS BIGINT)) % 2) AS ones,
+         COUNT(*) AS n
+  FROM hs, (SELECT range AS b FROM range(32)) GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(CASE WHEN 2 * ones > n
+                   THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+@q("simhash_signatures", _SIMHASH_ORACLE)
+def q_simhash_signatures(spark, sf_dir):
+    return simhash(_load(spark, sf_dir, "documents"))
+
+
+@q("ngram_jaccard_adjacent", f"""
+WITH g AS (
+  SELECT doc_id, {char_ngrams_sql('text', 3, 'duckdb')} AS grams
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+         AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+""")
+def q_ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact char-3-gram Jaccard on a deterministic pair sample
+    (adjacent doc ids)."""
+    from .operators.dedup import ngram_jaccard_pairs
+    docs = _load(spark, sf_dir, "documents")
+    cand = (docs.select(F.col("doc_id").alias("doc_a"))
+            .join(docs.select(F.col("doc_id").alias("doc_b")),
+                  F.col("doc_b") == F.col("doc_a") + 1))
+    return ngram_jaccard_pairs(docs, cand, n=3)
+
+
+@q("knn_cosine", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, e.vec_id,
+         ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+             FOR x IN list_zip(qv, e.embedding)]), (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN qv]),
+              (acc, v) -> acc + v))
+          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN e.embedding]),
+              (acc, v) -> acc + v))), 4) AS cs
+  FROM q, embeddings e),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, rn FROM ranked WHERE rn <= 3
+""")
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (operators/knn.py); ranking
+    on cosine rounded to 4 decimals for cross-engine float stability."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    scored = cosine_topk(emb, queries, 1000)  # rank all, re-rank rounded
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_sim", 4)), F.col("vec_id"))
+    return (scored.withColumn("rn2", F.row_number().over(w))
+            .filter(F.col("rn2") <= 3)
+            .select("query_id", "vec_id", F.col("rn2").alias("rn")))
+
+
+def all_queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def all_oracles():
+    return {name: sql.strip() for name, (_, sql) in REGISTRY.items()
+            if sql is not None}

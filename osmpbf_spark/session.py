@@ -26,6 +26,29 @@ def _ensure_pythonpath():
             _PKG_ROOT + (os.pathsep + pp if pp else ""))
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make ``osmpbf_spark`` importable on executor Python workers of an
+    ALREADY-RUNNING session (the driver-harness case, where we didn't
+    control JVM startup): zip the package and ``addPyFile`` it — the
+    same mechanism as ``spark-submit --py-files osmpbf_spark.zip``."""
+    marker = "_osmpbf_pyfiles_added"
+    ctx = spark.sparkContext
+    if getattr(ctx, marker, False):
+        return
+    import shutil
+    import tempfile
+    zip_base = os.path.join(tempfile.gettempdir(), "osmpbf_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        staging = tempfile.mkdtemp()
+        shutil.copytree(os.path.join(_PKG_ROOT, "osmpbf_spark"),
+                        os.path.join(staging, "osmpbf_spark"),
+                        ignore=shutil.ignore_patterns("__pycache__"))
+        shutil.make_archive(zip_base, "zip", staging)
+    ctx.addPyFile(zip_path)
+    setattr(ctx, marker, True)
+
+
 def get_spark(app_name: str = "osmpbf_spark", *, master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:

@@ -135,7 +135,8 @@ def _decode_batches(iterator):
 
 
 def read_elements(documents: DataFrame, media: DataFrame,
-                  *, broadcast_media: bool = False) -> DataFrame:
+                  *, broadcast_media: bool = False,
+                  decode_partitions: int | None = None) -> DataFrame:
     """The engine's top-level scan (SURVEY.md §2.1 S6): documents+media →
     canonical ``elements`` DataFrame.
 
@@ -153,6 +154,12 @@ def read_elements(documents: DataFrame, media: DataFrame,
     m = F.broadcast(media) if broadcast_media else media
     joined = meta.join(m, "media_ref").select(
         "doc_id", "blob_no", "blob_type", "payload")
+    if decode_partitions:
+        # spread fat blob rows across workers when the blob count is small
+        # relative to the cluster (fixture/bench scale); at production
+        # scale (millions of blobs) AQE's size-based coalescing is right
+        # and this should stay None
+        joined = joined.repartition(decode_partitions, "blob_no")
     elements = joined.mapInArrow(_decode_batches, ELEMENTS_DDL)
     return with_coordinate_columns(elements)
 

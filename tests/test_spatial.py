@@ -1,0 +1,164 @@
+"""Spatial layer tests: grid cells (exactness, wrap/clamp), PIP join vs a
+pure-Python exact ray-cast oracle, grid kNN vs a brute-force oracle."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmpbf_spark.functions.grid import (
+    GRID_RES_FINE,
+    RES_SHIFT,
+    Y_SHIFT,
+    cell_parent,
+    grid_cell_sql,
+    with_grid_cells,
+)
+from osmpbf_spark.operators.knn import cosine_topk, grid_knn
+from osmpbf_spark.operators.pip import make_polygons, pip_join
+
+RNG = random.Random(42)
+
+
+def _cell(res, x, y):
+    return res * RES_SHIFT + x * Y_SHIFT + y
+
+
+def test_grid_cell_known_values(spark):
+    rows = [
+        (0, 0),                      # equator/greenwich
+        (52_119_923_500, 11_625_644_600),
+        (-90_000_000_000, -180_000_000_000),   # south pole, date line
+        (90_000_000_000, 180_000_000_000),     # north pole, wraps lon
+    ]
+    df = spark.createDataFrame(rows, "lat_nano long, lon_nano long")
+    got = [r["cell"] for r in df.select(F.expr(
+        grid_cell_sql("lat_nano", "lon_nano", 4, "spark")).alias("cell"))
+        .collect()]
+    n = 16
+
+    def py_cell(lat, lon):
+        x = ((lon + 180_000_000_000) * n // 360_000_000_000) % n
+        y = min((lat + 90_000_000_000) * n // 180_000_000_000, n - 1)
+        return _cell(4, x, y)
+    assert got == [py_cell(a, b) for a, b in rows]
+    # poles/date-line land inside the grid
+    assert all(0 <= g - 4 * RES_SHIFT for g in got)
+
+
+def test_grid_duckdb_parity():
+    # the same expression evaluates identically in DuckDB (oracle contract)
+    import duckdb
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT CAST(range*7919 % 180000000000 - "
+            "90000000000 AS BIGINT) lat_nano, CAST(range*104729 % "
+            "360000000000 - 180000000000 AS BIGINT) lon_nano "
+            "FROM range(1000)")
+    duck = con.sql("SELECT " + grid_cell_sql(
+        "lat_nano", "lon_nano", GRID_RES_FINE, "duckdb") + " AS c FROM t "
+        "ORDER BY c").fetchall()
+    n = 1 << GRID_RES_FINE
+    rows = con.sql("SELECT lat_nano, lon_nano FROM t").fetchall()
+
+    def py_cell(lat, lon):
+        x = ((lon + 180_000_000_000) * n // 360_000_000_000) % n
+        y = min((lat + 90_000_000_000) * n // 180_000_000_000, n - 1)
+        return _cell(GRID_RES_FINE, x, y)
+    assert sorted(c for (c,) in duck) == sorted(
+        py_cell(a, b) for a, b in rows)
+
+
+def test_cell_parent(spark):
+    df = spark.createDataFrame(
+        [(52_119_923_500, 11_625_644_600)], "lat_nano long, lon_nano long")
+    fine = df.select(F.expr(grid_cell_sql(
+        "lat_nano", "lon_nano", 16, "spark")).alias("cell"))
+    coarse_direct = df.select(F.expr(grid_cell_sql(
+        "lat_nano", "lon_nano", 12, "spark")).alias("cell")).collect()[0][0]
+    rolled = fine.select(cell_parent("cell", 12).alias("p")).collect()[0][0]
+    assert rolled == coarse_direct
+
+
+def _py_point_in_ring(px, py, ring):
+    """Exact even-odd oracle with arbitrary-precision ints."""
+    inside = False
+    for (y1, x1), (y2, x2) in zip(ring, ring[1:]):
+        if (y1 > py) != (y2 > py):
+            t = (px - x1) * (y2 - y1) - (x2 - x1) * (py - y1)
+            if (t < 0) if y2 > y1 else (t > 0):
+                inside = not inside
+    return inside
+
+
+@pytest.fixture(scope="module")
+def concave_poly():
+    # concave "C" shape crossing cell boundaries, nanodegree vertices
+    B = 1_000_000_000
+    ring = [(0, 0), (4 * B, 0), (4 * B, 3 * B), (3 * B, 3 * B),
+            (3 * B, 1 * B), (1 * B, 1 * B), (1 * B, 3 * B), (0, 3 * B),
+            (0, 0)]
+    return ring
+
+
+def test_pip_join_matches_oracle(spark, concave_poly):
+    B = 1_000_000_000
+    pts = [(i, RNG.randrange(-B, 5 * B), RNG.randrange(-B, 4 * B))
+           for i in range(500)]
+    pdf = with_grid_cells(
+        spark.createDataFrame(pts, "id long, lat_nano long, lon_nano long"),
+        res=8)
+    polys = make_polygons(spark, [("c_shape", concave_poly)])
+    got = {r["id"] for r in
+           pip_join(pdf, polys, res=8).select("id").collect()}
+    want = {i for i, la, lo in pts
+            if _py_point_in_ring(lo, la, concave_poly)}
+    assert got == want
+    assert len(want) > 20  # fixture sanity: the test actually covers hits
+
+
+def test_pip_two_polygons_disjoint_output(spark, concave_poly):
+    B = 1_000_000_000
+    square = [(10 * B, 10 * B), (12 * B, 10 * B), (12 * B, 12 * B),
+              (10 * B, 12 * B), (10 * B, 10 * B)]
+    pts = [(1, 11 * B, 11 * B), (2, 2 * B, B // 2), (3, 50 * B, 50 * B)]
+    pdf = with_grid_cells(
+        spark.createDataFrame(pts, "id long, lat_nano long, lon_nano long"),
+        res=8)
+    polys = make_polygons(
+        spark, [("c_shape", concave_poly), ("square", square)])
+    got = {(r["id"], r["poly_id"]) for r in
+           pip_join(pdf, polys, res=8).select("id", "poly_id").collect()}
+    assert got == {(1, "square"), (2, "c_shape")}
+
+
+def test_grid_knn_matches_bruteforce(spark):
+    B = 100_000_000  # 0.1 degree box → int64-exact squared distances
+    pts = [(i, RNG.randrange(0, B), RNG.randrange(0, B)) for i in range(400)]
+    qs = [(100 + j, RNG.randrange(0, B), RNG.randrange(0, B))
+          for j in range(20)]
+    res = 10
+    pdf = with_grid_cells(spark.createDataFrame(
+        pts, "id long, lat_nano long, lon_nano long"), res=res)
+    qdf = with_grid_cells(spark.createDataFrame(
+        qs, "query_id long, lat_nano long, lon_nano long"), res=res)
+    got = grid_knn(pdf, qdf, 5, res=res)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["query_id"], []).append((r["rn"], r["id"]))
+    for qid, qla, qlo in qs:
+        dists = sorted(((la - qla) ** 2 + (lo - qlo) ** 2, i)
+                       for i, la, lo in pts)
+        want = [i for _, i in dists[:5]]
+        have = [i for _, i in sorted(got_map[qid])]
+        assert have == want, f"query {qid}"
+
+
+def test_cosine_topk_deterministic(spark):
+    vecs = [(i, [RNG.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(0, vecs[7][1])], "query_id long, embedding array<double>")
+    top = cosine_topk(edf, qdf, 3).collect()
+    assert top[0]["vec_id"] == 7           # self-match first
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-12
+    assert [r["rn"] for r in sorted(top, key=lambda r: r["rn"])] == [1, 2, 3]

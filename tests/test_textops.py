@@ -1,0 +1,147 @@
+"""Text-analysis + dedup operator tests, including Spark↔DuckDB parity of
+the dual-rendered SQL (the oracle contract) and planted-duplicate recall."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from osmpbf_spark.functions.text import (
+    HASH_BASE,
+    HASH_MOD,
+    langid_sql,
+    poly_hash_sql,
+    quality_score_sql,
+    tokens_sql,
+)
+from osmpbf_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+TEXTS = [
+    "the cat and the hat sat on the mat",
+    "the cat and the hat sat on a mat",       # near-dup of 0
+    "der hund und die katze ist im haus",
+    "completely different words entirely here now",
+    "the cat and the hat sat on the mat",     # exact dup of 0
+    "",
+]
+
+
+def _py_hash(s):
+    acc = 0
+    for c in s:
+        acc = (acc * HASH_BASE + ord(c)) % HASH_MOD
+    return acc
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+
+
+def test_poly_hash_three_way_parity(spark, docs):
+    got_spark = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", F.expr(poly_hash_sql("text")).alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(TEXTS)])
+    got_duck = dict(con.sql(
+        "SELECT doc_id, " + poly_hash_sql("text", "duckdb")
+        + " FROM t").fetchall())
+    want = {i: _py_hash(t) for i, t in enumerate(TEXTS)}
+    assert got_spark == want
+    assert got_duck == want
+
+
+def test_quality_and_langid_parity(spark, docs):
+    got_spark = [(r[0], r[1], r[2]) for r in docs.select(
+        "doc_id",
+        F.expr(quality_score_sql("text")).alias("q"),
+        F.expr(langid_sql("text")).alias("lang")).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(TEXTS)])
+    got_duck = con.sql(
+        "SELECT doc_id, " + quality_score_sql("text", "duckdb") + ", "
+        + langid_sql("text", "duckdb") + " FROM t ORDER BY doc_id").fetchall()
+    assert got_spark == [tuple(r) for r in got_duck]
+    langs = {r[0]: r[2] for r in got_spark}
+    assert langs[0] == "en" and langs[2] == "de" and langs[5] == "und"
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", F.expr(f"size({tokens_sql('text')})").alias("n")).collect()}
+    assert got[0] == 9 and got[5] == 0
+
+
+def test_exact_dups(spark, docs):
+    groups = exact_dups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["cnt"] == 2 and groups[0]["keeper"] == 0
+
+
+def test_minhash_signature_is_permutation_min(spark, docs):
+    sigs = minhash_signatures(docs, k=8, shingle_n=3)
+    rows = sigs.filter("doc_id = 0").collect()
+    assert len(rows) == 8
+
+    def shingles(t):
+        toks = [w for w in t.split(" ") if w]
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    hs = [_py_hash(s) for s in shingles(TEXTS[0])]
+    for r in rows:
+        j = r["j"]
+        a = ((j + 1) * 104729 + 7) % HASH_MOD
+        b = ((j + 1) * 7919 + 3) % HASH_MOD
+        assert r["sig"] == min((a * h + b) % HASH_MOD for h in hs)
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    # bands=16 (r=2): python-oracle-confirmed collisions are exactly
+    # {(0,1), (0,4), (1,4)} with est 0.53125/1.0/0.53125
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, k=32, bands=16,
+                                        threshold=0.4).collect()}
+    assert pairs == {(0, 1): 0.53125, (0, 4): 1.0, (1, 4): 0.53125}
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert pairs.get((0, 4)) == 0
+    assert (0, 1) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    cand = spark.createDataFrame([(0, 1), (0, 3), (0, 4)],
+                                 "doc_a long, doc_b long")
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in ngram_jaccard_pairs(docs, cand, n=3).collect()}
+    assert j[(0, 4)] == 1.0
+    assert j[(0, 1)] > 0.6
+    assert j[(0, 3)] < 0.1
+
+
+def test_embedding_neardup(spark):
+    base = [1.0, 0.5, -0.25, 0.8, 0.0, 0.3, -0.7, 0.1]
+    near = [v * 1.001 + (0.001 if i == 2 else 0)
+            for i, v in enumerate(base)]
+    ortho = [0.0, 0.0, 1.0, 0.0, 0.5, -0.5, 0.9, -0.2]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)],
+        "vec_id long, embedding array<double>")
+    planes = [[((i * j + 3) % 7 - 3) / 3.0 for j in range(8)]
+              for i in range(4)]
+    pairs = embedding_neardup_pairs(df, planes, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["cos_sim"] > 0.999

