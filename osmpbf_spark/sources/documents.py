@@ -134,9 +134,134 @@ def _decode_batches(iterator):
             yield out
 
 
+HEADER_DDL = ("doc_id string, blob_no long, bbox_left double, "
+              "bbox_right double, bbox_top double, bbox_bottom double, "
+              "required_features array<string>, "
+              "optional_features array<string>, writingprogram string, "
+              "source string, osmosis_replication_timestamp long, "
+              "osmosis_replication_sequence_number long, "
+              "osmosis_replication_base_url string")
+
+
+def read_header(documents: DataFrame, media: DataFrame,
+                *, broadcast_media: bool = True) -> DataFrame:
+    """OSMHeader blobs → one metadata row per header (HeaderBlock
+    accessors, /root/reference/src/block.rs:21-86, incl. the osmosis
+    replication checkpoint fields). Tiny result — the engine's ``header``
+    table."""
+    import pyarrow as pa
+
+    from ..pbf.decode import decompress_blob, parse_header_block
+
+    meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMHeader")
+    m = F.broadcast(media) if broadcast_media else media
+    joined = meta.join(m, "media_ref").select("doc_id", "blob_no", "payload")
+
+    def batches(it):
+        for batch in it:
+            rows = {k: [] for k in (
+                "doc_id", "blob_no", "bbox_left", "bbox_right", "bbox_top",
+                "bbox_bottom", "required_features", "optional_features",
+                "writingprogram", "source", "osmosis_replication_timestamp",
+                "osmosis_replication_sequence_number",
+                "osmosis_replication_base_url")}
+            for d, b, p in zip(batch.column("doc_id").to_pylist(),
+                               batch.column("blob_no").to_pylist(),
+                               batch.column("payload").to_pylist()):
+                h = parse_header_block(decompress_blob(bytes(p)))
+                bb = h["bbox"] or {}
+                rows["doc_id"].append(d)
+                rows["blob_no"].append(b)
+                rows["bbox_left"].append(bb.get("left"))
+                rows["bbox_right"].append(bb.get("right"))
+                rows["bbox_top"].append(bb.get("top"))
+                rows["bbox_bottom"].append(bb.get("bottom"))
+                rows["required_features"].append(h["required_features"])
+                rows["optional_features"].append(h["optional_features"])
+                rows["writingprogram"].append(h["writingprogram"])
+                rows["source"].append(h["source"])
+                rows["osmosis_replication_timestamp"].append(
+                    h["osmosis_replication_timestamp"])
+                rows["osmosis_replication_sequence_number"].append(
+                    h["osmosis_replication_sequence_number"])
+                rows["osmosis_replication_base_url"].append(
+                    h["osmosis_replication_base_url"])
+            if rows["doc_id"]:
+                yield pa.RecordBatch.from_pydict(rows)
+    return joined.mapInArrow(batches, HEADER_DDL)
+
+
+ERRORS_DDL = ("doc_id string, blob_no long, error string")
+
+
+def read_elements_quarantine(documents: DataFrame, media: DataFrame,
+                             *, broadcast_media: bool = False,
+                             decode_partitions: int | None = None
+                             ) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`read_elements` but corrupt blobs are quarantined to an
+    errors DataFrame (with lineage) instead of failing the job — the
+    alternative error channel for hostile 100 TB inputs (SURVEY.md §4
+    "quarantine bad blobs to an errors table with lineage"). The default
+    path stays fail-fast (error-latching semantics of the reference,
+    src/blob.rs:266-269).
+
+    Returns (elements, errors). The two share the decode scan lineage but
+    are separate actions — cache the joined input if both are consumed.
+    """
+    import pyarrow as pa
+
+    from ..pbf.decode import decode_blob_batch
+
+    meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
+    m = F.broadcast(media) if broadcast_media else media
+    joined = meta.join(m, "media_ref").select(
+        "doc_id", "blob_no", "blob_type", "payload")
+    if decode_partitions:
+        joined = joined.repartition(decode_partitions, "blob_no")
+
+    def good_batches(it):
+        for batch in it:
+            ok = []
+            for row in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("blob_no").to_pylist(),
+                           batch.column("blob_type").to_pylist(),
+                           batch.column("payload").to_pylist()):
+                try:
+                    out = decode_blob_batch([row])
+                except Exception:
+                    continue
+                ok.append(out)
+            for out in ok:
+                if out.num_rows:
+                    yield out
+
+    def error_batches(it):
+        for batch in it:
+            docs, blobs, errs = [], [], []
+            for row in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("blob_no").to_pylist(),
+                           batch.column("blob_type").to_pylist(),
+                           batch.column("payload").to_pylist()):
+                try:
+                    decode_blob_batch([row])
+                except Exception as e:
+                    docs.append(row[0])
+                    blobs.append(row[1])
+                    errs.append(f"{type(e).__name__}: {e}")
+            if docs:
+                yield pa.RecordBatch.from_pydict(
+                    {"doc_id": docs, "blob_no": blobs, "error": errs})
+
+    elements = with_coordinate_columns(
+        joined.mapInArrow(good_batches, ELEMENTS_DDL))
+    errors = joined.mapInArrow(error_batches, ERRORS_DDL)
+    return elements, errors
+
+
 def read_elements(documents: DataFrame, media: DataFrame,
                   *, broadcast_media: bool = False,
-                  decode_partitions: int | None = None) -> DataFrame:
+                  decode_partitions: int | None = None,
+                  media_join: str = "shuffle") -> DataFrame:
     """The engine's top-level scan (SURVEY.md §2.1 S6): documents+media →
     canonical ``elements`` DataFrame.
 
@@ -151,9 +276,19 @@ def read_elements(documents: DataFrame, media: DataFrame,
     on media_ref; pass ``broadcast_media=True`` only for small fixtures.
     """
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
-    m = F.broadcast(media) if broadcast_media else media
-    joined = meta.join(m, "media_ref").select(
-        "doc_id", "blob_no", "blob_type", "payload")
+    if media_join == "broadcast_meta":
+        # Fat payload bytes NEVER shuffle: the (narrow) metadata side is
+        # broadcast and the media scan streams straight into the decode
+        # UDF — the plan shape you want whenever metadata fits in a
+        # broadcast (or, at 10^12-doc scale, when documents and media are
+        # co-bucketed by media_ref in Iceberg, which removes the shuffle
+        # the same way).
+        joined = media.join(F.broadcast(meta), "media_ref").select(
+            "doc_id", "blob_no", "blob_type", "payload")
+    else:
+        m = F.broadcast(media) if broadcast_media else media
+        joined = meta.join(m, "media_ref").select(
+            "doc_id", "blob_no", "blob_type", "payload")
     if decode_partitions:
         # spread fat blob rows across workers when the blob count is small
         # relative to the cluster (fixture/bench scale); at production

@@ -1,0 +1,58 @@
+"""Element store: the engine's at-rest layout (SURVEY.md §7 step 3).
+
+Writes the elements DataFrame partitioned by ``element_type`` and sorted
+by ``id`` within files — which makes Parquet row-group min/max stats
+reproduce the reference's lazily-built id zone maps
+(/root/reference/src/indexed.rs:175-222) and its element-availability
+pruning (src/indexed.rs:18-23,57-76) for free: an id-range or type filter
+prunes partitions/row-groups at plan time, no data read. This matches the
+format's own `Sort.Type_then_ID` contract (reference README.md:105-109).
+
+At production scale the same layout is an Iceberg table
+(``writeTo(...).partitionedBy("element_type").createOrReplace()``) with
+snapshot-per-stage checkpoints (north_rule resumability); parquet is the
+local stand-in — the pruning mechanics are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_elements(elements: DataFrame, path: str, *,
+                   sort_partitions: int | None = None) -> None:
+    """Write partitioned by element_type, sorted by id within files."""
+    df = elements
+    if sort_partitions:
+        df = df.repartition(sort_partitions, "element_type")
+    (df.sortWithinPartitions("element_type", "id")
+       .write.mode("overwrite")
+       .partitionBy("element_type")
+       .parquet(path))
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def nodes_in_id_range(store: DataFrame, lo: int, hi: int) -> DataFrame:
+    """id BETWEEN lo AND hi over the node partition — served by partition
+    pruning (element_type) + row-group stats (id); the Spark rendering of
+    IndexedReader's two-level pruning (src/indexed.rs:26-28,89-106)."""
+    return store.filter(
+        (F.col("element_type") == "node")
+        & F.col("id").between(lo, hi))
+
+
+def scan_is_pruned(df: DataFrame) -> dict:
+    """Inspect the physical plan for pushdown evidence (PushedFilters /
+    PartitionFilters) — used by tests and the plans audit."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+        "partition_filters": "PartitionFilters: [" in plan
+        and "PartitionFilters: []" not in plan,
+        "plan": plan,
+    }

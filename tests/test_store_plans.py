@@ -1,0 +1,135 @@
+"""Element store layout + physical-plan audits: the scale-shape contract.
+
+These tests pin the plans we want at 100 TB: pushdown reaching the scan,
+broadcast joins where a side is small, zero row-at-a-time Python, and the
+quarantine/header side channels."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmpbf_spark.plans.audit import audit
+from osmpbf_spark.sources.documents import (
+    fileblocks_to_rows,
+    make_documents,
+    read_elements,
+    read_elements_quarantine,
+    read_header,
+)
+from osmpbf_spark.sources.fixtures import fixture_fileblocks
+from osmpbf_spark.sources.store import (
+    nodes_in_id_range,
+    read_store,
+    scan_is_pruned,
+    write_elements,
+)
+from osmpbf_spark.sources.synth import synth_documents
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("elstore") / "elements")
+    docs, media, expected = synth_documents(spark, 20000,
+                                            block_elements=2000)
+    el = read_elements(docs, media, broadcast_media=True)
+    write_elements(el, path, sort_partitions=4)
+    return read_store(spark, path), expected
+
+
+def test_store_roundtrip_counts(store):
+    df, expected = store
+    counts = {r["element_type"]: r["cnt"] for r in
+              df.groupBy("element_type").agg(F.count("*").alias("cnt"))
+              .collect()}
+    assert counts["node"] == expected["node"]
+    assert counts["way"] == expected["way"]
+    assert counts["relation"] == expected["relation"]
+
+
+def test_id_range_scan_is_pruned(store):
+    df, _ = store
+    q = nodes_in_id_range(df, 100, 200)
+    info = scan_is_pruned(q)
+    # type filter reaches partition pruning; id range reaches parquet stats
+    assert info["partition_filters"], info["plan"][:2000]
+    assert info["pushed_filters"], info["plan"][:2000]
+    assert q.count() == 101
+
+
+def test_zone_map_parity_with_reference_semantics(store):
+    # A3: per-blob min/max ranges materialized == zone maps
+    from osmpbf_spark.operators.parity import element_id_ranges
+    df, _ = store
+    ranges = element_id_ranges(df)
+    row = (ranges.filter("element_type = 'node'")
+           .agg(F.min("min_id").alias("lo"), F.max("max_id").alias("hi"))
+           .collect()[0])
+    assert row["lo"] == 1 and row["hi"] == 20000
+
+
+def test_semi_join_is_broadcast_and_codegen(store):
+    df, _ = store
+    from osmpbf_spark.operators.parity import tag_eq, ways_and_deps
+    _, nodes = ways_and_deps(df, tag_eq("building", "yes"))
+    a = audit(nodes, execute=True)
+    assert a["broadcast_joins"] >= 1, a["plan"][:2000]
+    assert a["row_at_a_time_python"] == 0
+    assert a["codegen_stages"] >= 1
+    assert a["pushed_filters"]
+
+
+def test_pip_join_plan_shape(spark, store):
+    # big side must not shuffle: cover and polygons joins are broadcast
+    df, _ = store
+    from osmpbf_spark.functions.grid import with_grid_cells
+    from osmpbf_spark.operators.pip import make_polygons, pip_join
+    B = 1_000_000_000
+    polys = make_polygons(spark, [
+        ("box", [(40 * B, 5 * B), (50 * B, 5 * B), (50 * B, 15 * B),
+                 (40 * B, 15 * B), (40 * B, 5 * B)])])
+    nodes = with_grid_cells(df.filter("element_type = 'node'"))
+    joined = pip_join(nodes, polys)
+    a = audit(joined)
+    assert a["broadcast_joins"] >= 2, a["plan"][:3000]
+    assert a["sortmerge_joins"] == 0
+    assert a["row_at_a_time_python"] == 0
+    # refine is Catalyst decimal math — no Python beyond the decode UDF
+    assert a["python_evals"] <= 1
+
+
+def test_decode_scan_prunes_payload_for_metadata(spark):
+    # header-only queries must not carry the payload column (lazy decode
+    # analogue): scan of documents for blob metadata reads spans only
+    from osmpbf_spark.sources.documents import blob_metadata
+    doc_rows, media_rows = fileblocks_to_rows(
+        "p", fixture_fileblocks("zlib_dense"))
+    docs, _ = make_documents(spark, doc_rows, media_rows)
+    plan = blob_metadata(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "payload" not in plan
+
+
+def test_read_header(spark):
+    doc_rows, media_rows = fileblocks_to_rows(
+        "h", fixture_fileblocks("loc_on_ways"))
+    docs, media = make_documents(spark, doc_rows, media_rows)
+    hdr = read_header(docs, media).collect()
+    assert len(hdr) == 1
+    h = hdr[0]
+    assert set(h["required_features"]) == {"OsmSchema-V0.6"}
+    assert set(h["optional_features"]) == {"LocationsOnWays"}
+    assert abs(h["bbox_top"] - 52.1224031) < 1e-6
+
+
+def test_quarantine_mode(spark):
+    good = fixture_fileblocks("zlib_dense")
+    corrupt = (good[1][0], good[1][1][:-6] + b"\x00" * 6)
+    doc_rows, media_rows = fileblocks_to_rows(
+        "q", good + [corrupt])
+    docs, media = make_documents(spark, doc_rows, media_rows)
+    elements, errors = read_elements_quarantine(
+        docs, media, broadcast_media=True)
+    assert elements.count() == 5           # good blob decodes fully
+    errs = errors.collect()
+    assert len(errs) == 1
+    assert errs[0]["doc_id"] == "q#2"
+    assert "Error" in errs[0]["error"] or "error" in errs[0]["error"]

@@ -31,8 +31,12 @@ from osmpbf_spark.operators.pip import make_polygons, pip_join
 cpus = int(sys.argv[1])
 base = sys.argv[2]
 n_elements = int(sys.argv[3])
+# small maxPartitionBytes: payload rows are fat and the decode UDF is the
+# bottleneck — scan splits must outnumber cores (split ≈ one 18 MB file)
 spark = get_spark(f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=max(cpus, 8))
+                  shuffle_partitions=max(cpus, 8),
+                  extra_conf={{"spark.sql.files.maxPartitionBytes":
+                               str(16 * 1024 * 1024)}})
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(base + "/documents.parquet")
 media = spark.read.parquet(base + "/media.parquet")
@@ -95,9 +99,16 @@ def main():
     results = {}
     cpu_list = [int(c) for c in args.cpus.split(",")]
     for cpus in cpu_list:
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cpus` CPUs — otherwise JVM GC/shuffle threads overflow the
+        # nominal core count and understate the scaling ratio
+        cmd = [sys.executable, "-c", runner, str(cpus), base,
+               str(n_elements)]
+        import shutil as _sh
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, "-c", runner, str(cpus), base, str(n_elements)],
-            capture_output=True, text=True, timeout=1800)
+            cmd, capture_output=True, text=True, timeout=1800)
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
