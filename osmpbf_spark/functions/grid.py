@@ -135,10 +135,16 @@ def cell_counts(indexed: DataFrame, cell_col: str = "cell") -> DataFrame:
             .groupBy(cell_col).agg(F.count("*").alias("cnt")))
 
 
-def salted_repartition(df: DataFrame, cell_col: str, salt_n: int) -> DataFrame:
+def salted_repartition(df: DataFrame, cell_col: str, salt_n: int,
+                       key_cols: list[str] | None = None) -> DataFrame:
     """Salted repartition for skewed cells (north_rule: megacity skew).
-    Adds a deterministic salt derived from a stable row key so output is
-    reproducible, then repartitions on (cell, salt)."""
+    Adds a deterministic salt derived from stable row keys so output is
+    reproducible, then repartitions on (cell, salt). MAP columns are
+    excluded from the salt hash (Spark forbids hashing maps)."""
+    from pyspark.sql import types as T
+    if key_cols is None:
+        key_cols = [f.name for f in df.schema.fields
+                    if not isinstance(f.dataType, T.MapType)]
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt_n)))
+        "_salt", F.pmod(F.xxhash64(*key_cols), F.lit(salt_n)))
     return salted.repartition(F.col(cell_col), F.col("_salt")).drop("_salt")

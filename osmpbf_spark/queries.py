@@ -430,6 +430,123 @@ def q_knn_events(spark, sf_dir):
     return out.select("query_id", F.col("id").alias("event_id"), "rn")
 
 
+@q("sessionize", """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+              event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e)
+SELECT user_id, session_no + 1 AS session_no, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_no
+""")
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via window lag +
+    running sum — the batch form of session windows; identical SQL runs
+    in both engines."""
+    return spark.read.parquet(_t(sf_dir, "events")) \
+        .createOrReplaceTempView("_ev") or spark.sql("""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+              event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM _ev),
+s AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e)
+SELECT user_id, session_no + 1 AS session_no, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_no
+""")
+
+
+@q("region_rollup_cube", """
+SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def q_region_rollup_cube(spark, sf_dir):
+    """Hierarchical ROLLUP (grouping sets — absent in the reference,
+    Spark built-in per SURVEY §2.5)."""
+    c = _load(spark, sf_dir, "customer")
+    n = F.broadcast(_load(spark, sf_dir, "nation"))
+    r = F.broadcast(_load(spark, sf_dir, "region"))
+    return (c.join(n, c["c_nationkey"] == n["n_nationkey"])
+            .join(r, n["n_regionkey"] == r["r_regionkey"])
+            .select(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+            .rollup("region", "nation")
+            .agg(F.count("*").alias("customers")))
+
+
+@q("set_ops_users", """
+SELECT user_id, date_trunc('hour', ts) AS hr
+FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id, date_trunc('hour', ts)
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, date_trunc('hour', ts)
+FROM events WHERE event_type = 'error'
+""")
+def q_set_ops_users(spark, sf_dir):
+    """Set operators (§2.6 — absent in reference, Spark built-ins):
+    (user, hour) slots with clicks ∩ views ∖ errors."""
+    ev = _load(spark, sf_dir, "events")
+
+    def slot(t):
+        return (ev.filter(F.col("event_type") == t)
+                .select("user_id",
+                        F.date_trunc("hour", "ts").alias("hr")))
+    return slot("click").intersect(slot("view")).exceptAll(
+        slot("error").distinct())
+
+
+@q("value_percentiles", """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type
+""")
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    quantile_cont), rounded for cross-engine float stability."""
+    return (_load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90")))
+
+
+@q("osm_way_centroid_tile", """
+SELECT 107 AS way_id, 52121157200 AS c_lat_nano, 11628366800 AS c_lon_nano,
+       2180 AS tile_x, 1350 AS tile_y
+""")
+def q_osm_way_centroid_tile(spark, sf_dir):
+    """Raster↔vector assignment on real decoded geometry: way 107's
+    LocationsOnWays centroid → z12 web-mercator tile. Constants verified
+    against the published slippy formula (functions/tiles.py)."""
+    from .functions.tiles import tile_xy
+    from .operators.parity import way_node_locations
+    el = _golden_elements(spark, "loc_on_ways")
+    cent = (way_node_locations(el)
+            .groupBy("way_id")
+            .agg(F.expr("CAST(AVG(lat_nano) AS BIGINT)").alias("c_lat_nano"),
+                 F.expr("CAST(AVG(lon_nano) AS BIGINT)").alias("c_lon_nano")))
+    tx, ty = tile_xy(F.col("c_lat_nano") * 1e-9,
+                     F.col("c_lon_nano") * 1e-9, 12)
+    return cent.select(F.col("way_id").cast("int").alias("way_id"),
+                       "c_lat_nano", "c_lon_nano",
+                       tx.cast("int").alias("tile_x"),
+                       ty.cast("int").alias("tile_y"))
+
+
 # mercator y from one shared formula text (asinh spelled out as
 # ln(x+sqrt(x²+1)) so both engines execute the identical double ops)
 _MERC = ("floor((1.0 - ln(tan(radians(la)) + sqrt(tan(radians(la)) * "

@@ -1,0 +1,106 @@
+"""Coverage for the remaining operators: LSH ANN recall vs exact, salted
+PIP equivalence under megacity skew, way-geometry resolution, tag
+frequency, BPE-ish token count, ring offsets."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from osmpbf_spark.functions.grid import (
+    GRID_RES_FINE,
+    ring_offsets,
+    with_grid_cells,
+)
+from osmpbf_spark.functions.text import bpe_ish_token_count
+from osmpbf_spark.operators.knn import cosine_topk, lsh_cosine_topk
+from osmpbf_spark.operators.parity import (
+    resolve_way_geometries,
+    tag_frequency,
+)
+from osmpbf_spark.operators.pip import make_polygons, pip_join
+from osmpbf_spark.sources.documents import read_elements
+from osmpbf_spark.sources.synth import synth_documents
+
+RNG = random.Random(11)
+
+
+def test_lsh_cosine_recall(spark):
+    dims = 16
+    vecs = [(i, [RNG.gauss(0, 1) for _ in range(dims)]) for i in range(300)]
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(i, vecs[i][1]) for i in range(5)],
+        "query_id long, embedding array<double>")
+    planes = [[RNG.gauss(0, 1) for _ in range(dims)] for _ in range(4)]
+    exact = cosine_topk(edf, qdf, 5)
+    approx = lsh_cosine_topk(edf, qdf, 5, planes)
+    exact_map = {}
+    for r in exact.collect():
+        exact_map.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for r in approx.collect():
+        total += 1
+        if r["vec_id"] in exact_map[r["query_id"]]:
+            hits += 1
+    # self-match always lands in the query's own bucket
+    approx_map = {}
+    for r in approx.collect():
+        approx_map.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in range(5):
+        assert qid in approx_map[qid]
+    assert hits / max(total, 1) > 0.4   # bucketing keeps useful recall
+
+
+def test_salted_pip_equivalence(spark):
+    # megacity skew: salted and unsalted PIP joins return identical rows
+    docs, media, _ = synth_documents(spark, 30000, block_elements=4000)
+    el = read_elements(docs, media, broadcast_media=True)
+    nodes = with_grid_cells(el.filter("element_type = 'node'"),
+                            res=GRID_RES_FINE).cache()
+    B = 1_000_000_000
+    # box over the densest hotspot (synth.HOTSPOTS[0] at lat 43, lon 9)
+    polys = make_polygons(spark, [
+        ("hot", [(int(42.8 * B), int(8.8 * B)), (int(43.2 * B), int(8.8 * B)),
+                 (int(43.2 * B), int(9.2 * B)), (int(42.8 * B), int(9.2 * B)),
+                 (int(42.8 * B), int(8.8 * B))])])
+    plain = {(r["id"], r["poly_id"]) for r in
+             pip_join(nodes, polys).select("id", "poly_id").collect()}
+    salted = {(r["id"], r["poly_id"]) for r in
+              pip_join(nodes, polys, salt_n=7)
+              .select("id", "poly_id").collect()}
+    assert plain == salted
+    assert len(plain) > 3000   # the hotspot concentrates ~1/3 of nodes
+    nodes.unpersist()
+
+
+def test_resolve_way_geometries_and_tag_frequency(spark):
+    docs, media, expected = synth_documents(spark, 5000, block_elements=1000)
+    el = read_elements(docs, media, broadcast_media=True).cache()
+    geo = resolve_way_geometries(el, broadcast_nodes=True)
+    # every way ref resolves to a node coordinate (synth refs are valid)
+    assert geo.filter(F.col("lat_nano").isNull()).count() == 0
+    assert geo.count() == expected["way"] * 5   # 5 refs per ring
+    # closed ring: first and last resolved coords equal per way
+    firsts = geo.filter("seq = 0").select("way_id", "lat_nano", "lon_nano")
+    lasts = geo.filter("seq = 4").select("way_id", "lat_nano", "lon_nano")
+    assert firsts.exceptAll(lasts).count() == 0
+    freq = {(r["key"], r["value"]): r["cnt"]
+            for r in tag_frequency(el).collect()}
+    assert freq[("building", "yes")] == expected["building_ways"]
+    el.unpersist()
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [("hello, world! 42x",), ("",)], "text string")
+    got = [r["n"] for r in
+           df.select(bpe_ish_token_count("text").alias("n")).collect()]
+    # hello | , | <sp> | world | ! | <sp> | 42 | x  (regex boundary split)
+    assert got[0] >= 6
+    assert got[1] == 0
+
+
+def test_ring_offsets(spark):
+    r2 = ring_offsets(spark, 2).collect()
+    assert len(r2) == 16                      # ring k has 8k cells
+    assert all(max(abs(r["dx"]), abs(r["dy"])) == 2 for r in r2)
