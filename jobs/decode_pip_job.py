@@ -49,6 +49,7 @@ def main():
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from osmpbf_spark.functions.grid import with_grid_cells
     from osmpbf_spark.operators.pip import make_polygons, pip_join
@@ -78,6 +79,20 @@ def main():
 
     store = read_store(spark, el_path)
     metrics["elements"] = store.count()
+    # per-partition lineage + skew metrics (north_rule: per-partition
+    # lineage and decode/join metrics emitted per stage)
+    part_stats = (store.groupBy(F.spark_partition_id().alias("pid"))
+                  .agg(F.count("*").alias("rows"))
+                  .agg(F.count("*").alias("partitions"),
+                       F.min("rows").alias("min_rows"),
+                       F.max("rows").alias("max_rows"))).collect()[0]
+    metrics["partitions"] = part_stats["partitions"]
+    metrics["partition_rows_min"] = part_stats["min_rows"]
+    metrics["partition_rows_max"] = part_stats["max_rows"]
+    metrics["blobs_by_type"] = {
+        r["element_type"]: r["blobs"] for r in
+        store.groupBy("element_type")
+        .agg(F.countDistinct("blob_no").alias("blobs")).collect()}
 
     if args.polygons or args.synth_nodes:
         t0 = time.time()

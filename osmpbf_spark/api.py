@@ -1,0 +1,100 @@
+"""User-facing facade: the reference's API surface, Spark-first.
+
+Migration map for a b-r-u/osmpbf user (every public entry point of the
+reference and its engine equivalent):
+
+| reference (Rust)                         | engine (PySpark)            |
+|------------------------------------------|-----------------------------|
+| ElementReader::from_path(p)              | Engine.from_pbf_bytes / from_tables |
+| reader.for_each(|el| …)                  | engine.elements() → any DataFrame op |
+| reader.par_map_reduce(map, id, reduce)   | engine.elements().groupBy().agg(…) — Catalyst plans partial+final |
+| Element::Node/Way/Relation match         | filter(element_type = …)    |
+| node.lat()/nano_lat()/decimicro_lat()    | lat / lat_nano / decimicro_lat columns |
+| way.refs() (delta-decoded)               | refs column (decoded)       |
+| way.node_locations()                     | ref_locations column / way_node_locations() |
+| relation.members(), member.role()        | members column              |
+| element.tags() / raw_tags()              | tags MAP column (raw ids intentionally not exposed) |
+| info().uid()/user()/visible()/deleted()  | uid/user/visible columns; deleted = NOT visible |
+| BlobReader / next_header_skip_blob       | engine.blob_metadata()      |
+| Blob::to_headerblock()                   | engine.header()             |
+| IndexedReader::read_ways_and_deps(f, cb) | engine.ways_and_deps(predicate) |
+| IndexedReader::for_each_node             | engine.nodes()              |
+
+Everything downstream of ``elements()`` is ordinary Spark — the reference
+has no further query surface (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Engine:
+    """Bound to a (documents, media) pair — the engine's input tables."""
+
+    def __init__(self, spark: SparkSession, documents: DataFrame,
+                 media: DataFrame):
+        self.spark = spark
+        self.documents = documents
+        self.media = media
+
+    # -- constructors -----------------------------------------------------
+    @classmethod
+    def from_pbf_bytes(cls, spark: SparkSession, name: str,
+                       data: bytes) -> "Engine":
+        """Ingest a raw framed *.osm.pbf byte stream (ElementReader::
+        from_path analogue, src/reader.rs:145-166)."""
+        from .sources.documents import make_documents, pbf_bytes_to_rows
+        doc_rows, media_rows = pbf_bytes_to_rows(name, data)
+        docs, media = make_documents(spark, doc_rows, media_rows)
+        return cls(spark, docs, media)
+
+    @classmethod
+    def from_tables(cls, spark: SparkSession, documents_path: str,
+                    media_path: str) -> "Engine":
+        return cls(spark, spark.read.parquet(documents_path),
+                   spark.read.parquet(media_path))
+
+    # -- scans ------------------------------------------------------------
+    def elements(self, **kwargs) -> DataFrame:
+        from .sources.documents import read_elements
+        return read_elements(self.documents, self.media, **kwargs)
+
+    def nodes(self, **kwargs) -> DataFrame:
+        return self.elements(**kwargs).filter(
+            F.col("element_type") == "node")
+
+    def ways(self, **kwargs) -> DataFrame:
+        return self.elements(**kwargs).filter(F.col("element_type") == "way")
+
+    def relations(self, **kwargs) -> DataFrame:
+        return self.elements(**kwargs).filter(
+            F.col("element_type") == "relation")
+
+    def header(self) -> DataFrame:
+        from .sources.documents import read_header
+        return read_header(self.documents, self.media)
+
+    def blob_metadata(self) -> DataFrame:
+        from .sources.documents import blob_metadata
+        return blob_metadata(self.documents)
+
+    # -- reference operators ----------------------------------------------
+    def ways_and_deps(self, predicate, **kwargs):
+        from .operators.parity import ways_and_deps
+        return ways_and_deps(self.elements(**kwargs), predicate)
+
+    def count_by_type(self, **kwargs) -> DataFrame:
+        from .operators.parity import count_by_type
+        return count_by_type(self.elements(**kwargs))
+
+    # -- spatial layer ------------------------------------------------------
+    def indexed_nodes(self, *, res: int | None = None, **kwargs) -> DataFrame:
+        from .functions.grid import GRID_RES_FINE, with_grid_cells
+        return with_grid_cells(self.nodes(**kwargs),
+                               res=res or GRID_RES_FINE)
+
+    def pip_join(self, polygons: DataFrame, **kwargs) -> DataFrame:
+        from .operators.pip import pip_join
+        return pip_join(self.indexed_nodes(), polygons, **kwargs)

@@ -89,6 +89,9 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                 .withColumn("dist2", dist2)
                 .withColumn("rn", F.row_number().over(win))
                 .filter(F.col("rn") <= k))
+        # the loop's completeness check and the final union both consume
+        # cand — cache it so each round's join+window runs once
+        cand = cand.persist()
         # guarantee: k-th distance inside searched square of half-width
         # disk*cell_h (cells are 2:1 — lon cells are wider, so cell_h is
         # the binding, conservative bound)

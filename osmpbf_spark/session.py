@@ -39,10 +39,15 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     import tempfile
     zip_base = os.path.join(tempfile.gettempdir(), "osmpbf_spark_pkg")
     zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
+    pkg_dir = os.path.join(_PKG_ROOT, "osmpbf_spark")
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files if f.endswith(".py"))
+    if not os.path.exists(zip_path) \
+            or os.path.getmtime(zip_path) < newest_src:
         staging = tempfile.mkdtemp()
-        shutil.copytree(os.path.join(_PKG_ROOT, "osmpbf_spark"),
-                        os.path.join(staging, "osmpbf_spark"),
+        shutil.copytree(pkg_dir, os.path.join(staging, "osmpbf_spark"),
                         ignore=shutil.ignore_patterns("__pycache__"))
         shutil.make_archive(zip_base, "zip", staging)
     ctx.addPyFile(zip_path)

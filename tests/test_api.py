@@ -1,0 +1,23 @@
+"""Facade (api.Engine) test: the reference-user migration surface."""
+
+from osmpbf_spark.api import Engine
+from osmpbf_spark.operators.parity import tag_eq
+from osmpbf_spark.sources.fixtures import fixture_file_bytes
+
+
+def test_engine_facade(spark):
+    eng = Engine.from_pbf_bytes(spark, "t", fixture_file_bytes("zlib_dense"))
+    counts = {r["element_type"]: r["cnt"]
+              for r in eng.count_by_type().collect()}
+    assert counts == {"node": 3, "way": 1, "relation": 1}
+    assert eng.nodes(broadcast_media=True).count() == 3
+    hdr = eng.header().collect()[0]
+    assert "OsmSchema-V0.6" in hdr["required_features"]
+    meta = eng.blob_metadata().collect()
+    assert [m["blob_type"] for m in sorted(meta, key=lambda m: m["blob_no"])] \
+        == ["OSMHeader", "OSMData"]
+    ways_f, deps = eng.ways_and_deps(tag_eq("building", "yes"),
+                                     broadcast_media=True)
+    assert ways_f.count() == 1 and deps.count() == 3
+    idx = eng.indexed_nodes(broadcast_media=True)
+    assert idx.filter("cell IS NOT NULL").count() == 3
