@@ -978,6 +978,99 @@ def _shift_append(acc: list[np.ndarray], offsets, n: int | None = None):
         acc.append(offsets[1:] + base)
 
 
+NODE_POINTS_SCHEMA = pa.schema([
+    ("id", pa.int64()),
+    ("lat_nano", pa.int64()),
+    ("lon_nano", pa.int64()),
+    ("blob_no", pa.int64()),
+    ("doc_id", pa.string()),
+])
+
+
+def parse_block_node_points(buf):
+    """Minimal node decode: (ids, lat_nano, lon_nano) only — skips string
+    tables, tags, info, ways, relations entirely. The decode-side
+    equivalent of column pruning + kind pushdown ("lazy decode",
+    src/blob.rs:406-428 spirit): a spatial pipeline that needs only node
+    points should not pay for dictionary decoding it will drop."""
+    group_bufs = []
+    granularity = 100
+    lat_offset = 0
+    lon_offset = 0
+    for field_no, wt, value in scan_fields(buf):
+        if field_no == 2:
+            group_bufs.append(value)
+        elif field_no == 17:
+            granularity = value
+        elif field_no == 19:
+            lat_offset = value if value < (1 << 63) else value - (1 << 64)
+        elif field_no == 20:
+            lon_offset = value
+    ids, lats, lons = [], [], []
+    for gbuf in group_bufs:
+        for field_no, wt, value in scan_fields(gbuf):
+            if field_no == 2:   # DenseNodes
+                id_buf = lat_buf = lon_buf = None
+                for f2, w2, v2 in scan_fields(value):
+                    if f2 == 1:
+                        id_buf = v2
+                    elif f2 == 8:
+                        lat_buf = v2
+                    elif f2 == 9:
+                        lon_buf = v2
+                if id_buf is None:
+                    continue
+                ids.append(decode_packed_sint64_delta(id_buf))
+                lats.append(lat_offset + granularity
+                            * decode_packed_sint64_delta(lat_buf))
+                lons.append(lon_offset + granularity
+                            * decode_packed_sint64_delta(lon_buf))
+            elif field_no == 1:  # plain Node
+                nid = la = lo = 0
+                for f2, w2, v2 in scan_fields(value):
+                    if f2 == 1:
+                        nid = zigzag_decode(v2)
+                    elif f2 == 8:
+                        la = zigzag_decode(v2)
+                    elif f2 == 9:
+                        lo = zigzag_decode(v2)
+                ids.append(np.array([nid], dtype=np.int64))
+                lats.append(np.array([lat_offset + granularity * la],
+                                     dtype=np.int64))
+                lons.append(np.array([lon_offset + granularity * lo],
+                                     dtype=np.int64))
+    if not ids:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    return (np.concatenate(ids), np.concatenate(lats), np.concatenate(lons))
+
+
+def decode_node_points_batch(rows) -> pa.RecordBatch:
+    """(doc_id, blob_no, blob_type, payload) → minimal node-point batch."""
+    ids, lats, lons, blob_nos, doc_ids = [], [], [], [], []
+    total = 0
+    for doc_id, blob_no, blob_type, payload in rows:
+        if blob_type != "OSMData":
+            continue
+        i, la, lo = parse_block_node_points(decompress_blob(payload))
+        if len(i) == 0:
+            continue
+        ids.append(i)
+        lats.append(la)
+        lons.append(lo)
+        blob_nos.append(np.full(len(i), blob_no, dtype=np.int64))
+        doc_ids.append(np.full(len(i), doc_id, dtype=object))
+        total += len(i)
+    cat = (lambda p: np.concatenate(p) if p else np.empty(0, dtype=np.int64))
+    return pa.RecordBatch.from_arrays([
+        pa.array(cat(ids), type=pa.int64()),
+        pa.array(cat(lats), type=pa.int64()),
+        pa.array(cat(lons), type=pa.int64()),
+        pa.array(cat(blob_nos), type=pa.int64()),
+        pa.array(_concat_obj(doc_ids, total), type=pa.string()),
+    ], schema=NODE_POINTS_SCHEMA)
+
+
 def decode_blob_batch(rows) -> pa.RecordBatch:
     """(doc_id, blob_no, blob_type, payload) iterable → element RecordBatch.
 

@@ -754,6 +754,67 @@ def q_knn_cosine(spark, sf_dir):
             .select("query_id", "vec_id", F.col("rn2").alias("rn")))
 
 
+# deterministic hyperplanes for the embedding near-dup oracle (constants
+# rendered into both engines)
+_PLANES = [[(((i * 13 + jj * 7) % 11) - 5) / 5.0 for jj in range(64)]
+           for i in range(4)]
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) "
+            f"FOR x IN list_zip({a}, {b})]), (acc, v) -> acc + v)")
+
+
+def _duck_plane_arr(p):
+    return "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in p) + "]"
+
+
+def _emb_neardup_oracle(threshold=0.3):
+    sig_terms = " + ".join(
+        f"(CASE WHEN {_duck_dot('embedding', _duck_plane_arr(p))} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES))
+    norm = (f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN embedding]), "
+            f"(acc, v) -> acc + v))")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({sig_terms}) AS sig, {norm} AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_duck_dot('a.embedding', 'b.embedding')}
+               / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+@q("embedding_neardup", _emb_neardup_oracle())
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-duplicate pairs: hyperplane-LSH bucket join + exact
+    cosine refine (operators/dedup.py), mirrored in DuckDB with the same
+    fixed planes and left-to-right double math."""
+    from .operators.dedup import embedding_neardup_pairs
+    emb = _load(spark, sf_dir, "embeddings")
+    # driver embeddings are random (max pair cosine ~0.47), so the
+    # demonstration threshold is 0.3; production near-dup uses ~0.95+
+    return embedding_neardup_pairs(emb, _PLANES, threshold=0.3)
+
+
+@q("ann_lsh_topk", None)   # recall-bearing approximation → rows-only
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path of knn_cosine);
+    approximate by construction, validated against the exact baseline in
+    tests — rows-only check here."""
+    from .operators.knn import lsh_cosine_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return lsh_cosine_topk(emb, queries, 3, _PLANES)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -134,6 +134,42 @@ def _decode_batches(iterator):
             yield out
 
 
+NODE_POINTS_DDL = ("id long, lat_nano long, lon_nano long, blob_no long, "
+                   "doc_id string")
+
+
+def read_node_points(documents: DataFrame, media: DataFrame,
+                     *, broadcast_media: bool = False,
+                     decode_partitions: int | None = None) -> DataFrame:
+    """Pushdown fast path for spatial pipelines: decode ONLY node ids and
+    nanodegree coordinates (skips string tables, tags, info, ways,
+    relations inside the UDF — column pruning pushed through the Arrow
+    boundary, which Catalyst cannot do on its own). ~3-4× less decode
+    work and Arrow transfer than the full elements scan when only point
+    geometry is needed (PIP, kNN, tiling)."""
+    from ..pbf.decode import decode_node_points_batch
+
+    meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
+    m = F.broadcast(media) if broadcast_media else media
+    joined = meta.join(m, "media_ref").select(
+        "doc_id", "blob_no", "blob_type", "payload")
+    if decode_partitions:
+        joined = joined.repartition(decode_partitions, "blob_no")
+
+    def batches(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            out = decode_node_points_batch(zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("blob_no").to_pylist(),
+                batch.column("blob_type").to_pylist(),
+                batch.column("payload").to_pylist()))
+            if out.num_rows:
+                yield out
+    return joined.mapInArrow(batches, NODE_POINTS_DDL)
+
+
 HEADER_DDL = ("doc_id string, blob_no long, bbox_left double, "
               "bbox_right double, bbox_top double, bbox_bottom double, "
               "required_features array<string>, "

@@ -128,6 +128,20 @@ def test_blob_metadata_scan(spark):
     assert all(m["media_ref"].startswith("media://") for m in meta)
 
 
+def test_node_points_pushdown_parity(spark):
+    # the minimal node-points reader returns exactly the node subset of
+    # the full scan (pushdown must not change results)
+    from osmpbf_spark.sources.documents import read_node_points
+    from osmpbf_spark.sources.synth import synth_documents
+    docs, media, _ = synth_documents(spark, 3000, block_elements=500)
+    full = read_elements(docs, media, broadcast_media=True) \
+        .filter("element_type = 'node'") \
+        .select("id", "lat_nano", "lon_nano", "blob_no", "doc_id")
+    mini = read_node_points(docs, media, broadcast_media=True)
+    assert full.exceptAll(mini).count() == 0
+    assert mini.exceptAll(full).count() == 0
+
+
 def test_span_signature_invariant(spark):
     # byte-identical synthesis → identical span signatures (graft invariant)
     docs1, _ = _load(spark, "zlib_dense")
