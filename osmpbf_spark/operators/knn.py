@@ -83,9 +83,10 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                                    F.col("_y") + F.col("dy"), F.lit(n - 1)),
                                    F.lit(0))).alias("jcell"),
                               "_x", "_y"))
-        cand = (cand_cells
-                .join(pts.hint("shuffle_hash"),
-                      cand_cells["jcell"] == pts["p_cell"])
+        # queries×offsets is tiny — broadcast it so the (big) point side
+        # never shuffles for the candidate join
+        cand = (F.broadcast(cand_cells)
+                .join(pts, cand_cells["jcell"] == pts["p_cell"])
                 .withColumn("dist2", dist2)
                 .withColumn("rn", F.row_number().over(win))
                 .filter(F.col("rn") <= k))

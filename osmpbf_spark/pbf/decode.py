@@ -189,19 +189,19 @@ def parse_header_block(buf) -> dict:
                 "top": bb.get(3, 0) * 1e-9,
                 "bottom": bb.get(4, 0) * 1e-9,
             }
-        elif field_no == 4:
+        elif field_no == 4 and wt == WT_LEN:
             out["required_features"].append(bytes(value).decode())
-        elif field_no == 5:
+        elif field_no == 5 and wt == WT_LEN:
             out["optional_features"].append(bytes(value).decode())
-        elif field_no == 16:
+        elif field_no == 16 and wt == WT_LEN:
             out["writingprogram"] = bytes(value).decode()
-        elif field_no == 17:
+        elif field_no == 17 and wt == WT_LEN:
             out["source"] = bytes(value).decode()
         elif field_no == 32:
             out["osmosis_replication_timestamp"] = value
         elif field_no == 33:
             out["osmosis_replication_sequence_number"] = value
-        elif field_no == 34:
+        elif field_no == 34 and wt == WT_LEN:
             out["osmosis_replication_base_url"] = bytes(value).decode()
     return out
 
@@ -264,6 +264,15 @@ def _decode_stringtable(buf) -> np.ndarray:
     return arr
 
 
+def _table_take(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Bounds-checked dictionary take — hostile inputs with string-table
+    ids out of range fail cleanly (StringtableIndexOutOfBounds semantics,
+    src/error.rs:54-58) instead of crashing numpy."""
+    if idx.size and (idx.min() < 0 or idx.max() >= len(table)):
+        raise ValueError("string table index out of bounds")
+    return table[idx]
+
+
 def _split_keys_vals(kv: np.ndarray, n_nodes: int, table: np.ndarray):
     """DenseNodes keys_vals → (pair_counts per node, key strings, val strings).
 
@@ -281,8 +290,8 @@ def _split_keys_vals(kv: np.ndarray, n_nodes: int, table: np.ndarray):
     m = min(len(seg_lengths), n_nodes)
     pair_counts[:m] = seg_lengths[:m] // 2
     nz = kv[kv != 0]
-    keys = table[nz[0::2]]
-    vals = table[nz[1::2]]
+    keys = _table_take(table, nz[0::2])
+    vals = _table_take(table, nz[1::2])
     return pair_counts, keys, vals
 
 
@@ -293,6 +302,8 @@ def _parse_dense(buf, table: np.ndarray, granularity: int, lat_offset: int,
     id_buf = lat_buf = lon_buf = kv_buf = None
     di_buf = None
     for field_no, wt, value in scan_fields(buf):
+        if wt != WT_LEN:
+            continue  # all DenseNodes fields are packed/message (LEN)
         if field_no == 1:
             id_buf = value
         elif field_no == 5:
@@ -328,7 +339,8 @@ def _parse_dense(buf, table: np.ndarray, granularity: int, lat_offset: int,
     if di_buf is not None:
         fields = {}
         for field_no, wt, value in scan_fields(di_buf):
-            fields[field_no] = value
+            if wt == WT_LEN:
+                fields[field_no] = value
         chunk.has_info = np.ones(n, dtype=bool)
 
         def _full(buf_key, delta):
@@ -346,7 +358,7 @@ def _parse_dense(buf, table: np.ndarray, granularity: int, lat_offset: int,
         chunk.changeset = _full(3, True)
         chunk.uid = _full(4, True)
         user_sid = _full(5, True)
-        chunk.user = table[user_sid]
+        chunk.user = _table_take(table, user_sid)
         vis_buf = fields.get(6)
         if vis_buf is None:
             chunk.visible = np.ones(n, dtype=bool)
@@ -365,6 +377,8 @@ def _parse_info(buf, table: np.ndarray, date_granularity: int):
     user = None
     visible = True  # default true (src/elements.rs:614-619)
     for field_no, wt, value in scan_fields(buf):
+        if wt != WT_VARINT:
+            continue  # all Info fields are varints
         if field_no == 1:
             version = value if value < (1 << 63) else value - (1 << 64)
         elif field_no == 2:
@@ -522,8 +536,10 @@ def _parse_way_group(bufs, table, granularity, lat_offset, lon_offset,
     info_b = [None] * n
     for i, buf in enumerate(bufs):
         for field_no, wt, value in scan_fields(buf):
-            if field_no == 1:
+            if field_no == 1 and wt == WT_VARINT:
                 ids[i] = value if value < (1 << 63) else value - (1 << 64)
+            elif wt != WT_LEN:
+                continue
             elif field_no == 2:
                 keys_b[i] = value
             elif field_no == 3:
@@ -544,8 +560,8 @@ def _parse_way_group(bufs, table, granularity, lat_offset, lon_offset,
                                      vv.astype(np.int64), vl)
     c.tag_offsets = np.concatenate(([np.int64(0)], np.cumsum(m)))
     if ksel.size:
-        c.tag_keys.append(table[ksel])
-        c.tag_vals.append(table[vsel])
+        c.tag_keys.append(_table_take(table, ksel))
+        c.tag_vals.append(_table_take(table, vsel))
 
     rv, rl = decode_packed_u64_segments(refs_b)
     c.refs_values = segmented_cumsum(unzigzag(rv), rl)
@@ -587,8 +603,10 @@ def _parse_relation_group(bufs, table, date_granularity) -> _Chunk:
     info_b = [None] * n
     for i, buf in enumerate(bufs):
         for field_no, wt, value in scan_fields(buf):
-            if field_no == 1:
+            if field_no == 1 and wt == WT_VARINT:
                 ids[i] = value if value < (1 << 63) else value - (1 << 64)
+            elif wt != WT_LEN:
+                continue
             elif field_no == 2:
                 keys_b[i] = value
             elif field_no == 3:
@@ -609,8 +627,8 @@ def _parse_relation_group(bufs, table, date_granularity) -> _Chunk:
                                      vv.astype(np.int64), vl)
     c.tag_offsets = np.concatenate(([np.int64(0)], np.cumsum(m)))
     if ksel.size:
-        c.tag_keys.append(table[ksel])
-        c.tag_vals.append(table[vsel])
+        c.tag_keys.append(_table_take(table, ksel))
+        c.tag_vals.append(_table_take(table, vsel))
 
     rv, rl = decode_packed_u64_segments(roles_b)
     mv, ml = decode_packed_u64_segments(memids_b)
@@ -623,7 +641,7 @@ def _parse_relation_group(bufs, table, date_granularity) -> _Chunk:
     types_sel = _seg_select(tv.astype(np.int64), tl, mm)
     c.mem_offsets = np.concatenate(([np.int64(0)], np.cumsum(mm)))
     if mem_sel.size:
-        c.mem_roles = [table[roles_sel]]
+        c.mem_roles = [_table_take(table, roles_sel)]
         c.mem_ids = mem_sel
         c.mem_types = types_sel
     else:
@@ -640,17 +658,17 @@ def _parse_plain_node(buf, rows: _StructRows, table, granularity,
     nid = lat = lon = 0
     keys_buf = vals_buf = info_buf = None
     for field_no, wt, value in scan_fields(buf):
-        if field_no == 1:
+        if field_no == 1 and wt == WT_VARINT:
             nid = zigzag_decode(value)
-        elif field_no == 2:
+        elif field_no == 2 and wt == WT_LEN:
             keys_buf = value
-        elif field_no == 3:
+        elif field_no == 3 and wt == WT_LEN:
             vals_buf = value
-        elif field_no == 4:
+        elif field_no == 4 and wt == WT_LEN:
             info_buf = value
-        elif field_no == 8:
+        elif field_no == 8 and wt == WT_VARINT:
             lat = zigzag_decode(value)
-        elif field_no == 9:
+        elif field_no == 9 and wt == WT_VARINT:
             lon = zigzag_decode(value)
     rows.ids.append(nid)
     rows.lat_nano.append(lat_offset + granularity * lat)
@@ -670,8 +688,8 @@ def _append_tags(rows: _StructRows, keys_buf, vals_buf, table):
     m = min(len(k), len(v))  # zip semantics (src/elements.rs:513-538)
     rows.tag_counts.append(m)
     if m:
-        rows.tag_keys.append(table[k[:m]])
-        rows.tag_vals.append(table[v[:m]])
+        rows.tag_keys.append(_table_take(table, k[:m]))
+        rows.tag_vals.append(_table_take(table, v[:m]))
 
 
 def _parse_way(buf, rows: _StructRows, table, granularity, lat_offset,
@@ -741,7 +759,7 @@ def _parse_relation(buf, rows: _StructRows, table, date_granularity):
     m = min(len(roles), len(memids), len(types))  # zip (src/elements.rs:484-509)
     rows.mem_counts.append(m)
     if m:
-        rows.mem_roles.append(table[roles[:m]])
+        rows.mem_roles.append(_table_take(table, roles[:m]))
         rows.mem_ids.append(memids[:m])
         rows.mem_types.append(types[:m])
     rows.infos.append(
@@ -760,17 +778,17 @@ def parse_primitive_block(buf) -> list[_Chunk]:
     lat_offset = 0
     lon_offset = 0
     for field_no, wt, value in scan_fields(buf):
-        if field_no == 1:
+        if field_no == 1 and wt == WT_LEN:
             st_buf = value
-        elif field_no == 2:
+        elif field_no == 2 and wt == WT_LEN:
             group_bufs.append(value)
-        elif field_no == 17:
+        elif field_no == 17 and wt == WT_VARINT:
             granularity = value
-        elif field_no == 18:
+        elif field_no == 18 and wt == WT_VARINT:
             date_granularity = value
-        elif field_no == 19:
+        elif field_no == 19 and wt == WT_VARINT:
             lat_offset = value if value < (1 << 63) else value - (1 << 64)
-        elif field_no == 20:
+        elif field_no == 20 and wt == WT_VARINT:
             lon_offset = value
 
     table = _decode_stringtable(st_buf) if st_buf is not None \
@@ -783,6 +801,8 @@ def parse_primitive_block(buf) -> list[_Chunk]:
         rel_bufs = []
         dense_chunks = []
         for field_no, wt, value in scan_fields(gbuf):
+            if wt != WT_LEN:
+                continue  # all PrimitiveGroup fields are messages
             if field_no == 1:
                 _parse_plain_node(value, nodes, table, granularity,
                                   lat_offset, lon_offset, date_granularity)
@@ -998,20 +1018,24 @@ def parse_block_node_points(buf):
     lat_offset = 0
     lon_offset = 0
     for field_no, wt, value in scan_fields(buf):
-        if field_no == 2:
+        if field_no == 2 and wt == WT_LEN:
             group_bufs.append(value)
-        elif field_no == 17:
+        elif field_no == 17 and wt == WT_VARINT:
             granularity = value
-        elif field_no == 19:
+        elif field_no == 19 and wt == WT_VARINT:
             lat_offset = value if value < (1 << 63) else value - (1 << 64)
-        elif field_no == 20:
+        elif field_no == 20 and wt == WT_VARINT:
             lon_offset = value
     ids, lats, lons = [], [], []
     for gbuf in group_bufs:
         for field_no, wt, value in scan_fields(gbuf):
+            if wt != WT_LEN:
+                continue
             if field_no == 2:   # DenseNodes
                 id_buf = lat_buf = lon_buf = None
                 for f2, w2, v2 in scan_fields(value):
+                    if w2 != WT_LEN:
+                        continue
                     if f2 == 1:
                         id_buf = v2
                     elif f2 == 8:
@@ -1028,6 +1052,8 @@ def parse_block_node_points(buf):
             elif field_no == 1:  # plain Node
                 nid = la = lo = 0
                 for f2, w2, v2 in scan_fields(value):
+                    if w2 != WT_VARINT:
+                        continue
                     if f2 == 1:
                         nid = zigzag_decode(v2)
                     elif f2 == 8:

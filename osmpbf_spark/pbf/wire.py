@@ -95,7 +95,10 @@ def read_varint(buf, pos: int) -> tuple[int, int]:
     """Read one varint at ``pos``; returns (value, next_pos)."""
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
