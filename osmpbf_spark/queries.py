@@ -754,6 +754,42 @@ def q_knn_cosine(spark, sf_dir):
             .select("query_id", "vec_id", F.col("rn2").alias("rn")))
 
 
+@q("stream_windows", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type, COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
+""")
+def q_stream_windows(spark, sf_dir):
+    """REAL Structured Streaming run (readStream → watermarked tumbling
+    windows → availableNow trigger → memory sink), checked against the
+    batch SQL oracle — streaming results must equal the batch answer on
+    bounded input."""
+    import hashlib
+    import os
+    import uuid
+
+    from .streaming.ops import windowed_event_counts
+    schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    # the file source needs a directory; expose the single parquet file
+    # through a symlink dir (testdata is read-only)
+    src = os.path.abspath(_t(sf_dir, "events"))
+    d = os.path.join("/tmp", "stream_src_"
+                     + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = (spark.readStream.schema(schema).parquet(d)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = windowed_event_counts(stream, window="1 hour",
+                                watermark="2 hours")
+    name = "stream_windows_" + uuid.uuid4().hex[:8]
+    qh = (out.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(availableNow=True).start())
+    qh.awaitTermination(300)
+    return spark.table(name)
+
+
 # deterministic hyperplanes for the embedding near-dup oracle (constants
 # rendered into both engines)
 _PLANES = [[(((i * 13 + jj * 7) % 11) - 5) / 5.0 for jj in range(64)]
