@@ -39,7 +39,8 @@ def _with_xy(df: DataFrame, cell_col: str) -> DataFrame:
 def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
              res: int = GRID_RES_FINE, cell_col: str = "cell",
              id_col: str = "id", query_id_col: str = "query_id",
-             max_disk: int = 64, start_disk: int = 1) -> DataFrame:
+             max_disk: int = 64, start_disk: int = 1,
+             broadcast_candidates: bool = True) -> DataFrame:
     """k nearest ``points`` for each query point.
 
     ``points``: (id, lat_nano, lon_nano, cell); ``queries``:
@@ -83,9 +84,14 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                                    F.col("_y") + F.col("dy"), F.lit(n - 1)),
                                    F.lit(0))).alias("jcell"),
                               "_x", "_y"))
-        # queries×offsets is tiny — broadcast it so the (big) point side
-        # never shuffles for the candidate join
-        cand = (F.broadcast(cand_cells)
+        # with a small query set (the common case) broadcast queries ×
+        # offsets so the (big) point side never shuffles; for a kNN JOIN
+        # with a large query side (EDBT-2012 regime) pass
+        # broadcast_candidates=False → co-partitioned shuffle join on
+        # cell instead
+        left = (F.broadcast(cand_cells) if broadcast_candidates
+                else cand_cells)
+        cand = (left
                 .join(pts, cand_cells["jcell"] == pts["p_cell"])
                 .withColumn("dist2", dist2)
                 .withColumn("rn", F.row_number().over(win))
