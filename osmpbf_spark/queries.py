@@ -754,6 +754,19 @@ def q_knn_cosine(spark, sf_dir):
             .select("query_id", "vec_id", F.col("rn2").alias("rn")))
 
 
+@q("top_orders", """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def q_top_orders(spark, sf_dir):
+    """Global sort + limit (§2.6 — absent in reference; Spark's TakeOrdered
+    avoids a full sort). Deterministic via the orderkey tiebreak."""
+    return (_load(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(10)
+            .select("o_orderkey", "o_totalprice"))
+
+
 @q("stream_windows", """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type, COUNT(*) AS cnt
