@@ -114,6 +114,28 @@ def resolve_way_geometries(elements: DataFrame,
     return ref_rows.join(nodes, "ref", "left")
 
 
+def resolve_relation_members(elements: DataFrame) -> DataFrame:
+    """Relation → member element rows via join on (member_type, member_id)
+    — the by-id resolution the reference documents as whole-file iteration
+    (README.md:105-109), as one shuffle equi-join. Returns
+    (relation_id, seq, role, member_type, member_id, member element cols
+    prefixed m_)."""
+    members = (elements.filter(F.col("element_type") == "relation")
+               .select(F.col("id").alias("relation_id"),
+                       F.posexplode("members").alias("seq", "m"))
+               .select("relation_id", "seq",
+                       F.col("m.role").alias("role"),
+                       F.col("m.member_type").alias("member_type"),
+                       F.col("m.member_id").alias("member_id")))
+    targets = elements.select(
+        F.col("element_type").alias("member_type"),
+        F.col("id").alias("member_id"),
+        F.col("lat_nano").alias("m_lat_nano"),
+        F.col("lon_nano").alias("m_lon_nano"),
+        F.col("tags").alias("m_tags"))
+    return members.join(targets, ["member_type", "member_id"], "left")
+
+
 def tag_frequency(elements: DataFrame) -> DataFrame:
     """Tag key/value frequency — explode(tags) analytics the reference's
     closure API supports via for_each (SURVEY.md §2.9)."""

@@ -754,6 +754,34 @@ def q_knn_cosine(spark, sf_dir):
             .select("query_id", "vec_id", F.col("rn2").alias("rn")))
 
 
+@q("osm_incremental_update", """
+SELECT * FROM (VALUES
+  (105, 52122403100, 1),
+  (106, 52119923600, 2))
+ AS t(id, lat_nano, version)
+""")
+def q_osm_incremental_update(spark, sf_dir):
+    """Replication-diff application (operators/updates.py): move node 106
+    (v2) and tombstone node 108 (v2) over the golden base — last-writer-
+    wins merge with delete semantics; constant oracle."""
+    from .operators.updates import apply_updates
+    from .pbf.encode import Info, Node, encode_blob, encode_primitive_block
+    base = _golden_elements(spark).filter("element_type = 'node'")
+    upd_nodes = [
+        Node(id=106, lat_raw=521199236, lon_raw=116256446,
+             info=Info(version=2, timestamp=2000, visible=True)),
+        Node(id=108, lat_raw=521198991, lon_raw=116310192,
+             info=Info(version=2, timestamp=2000, visible=False)),
+    ]
+    block = encode_primitive_block([upd_nodes], dense=True)
+    rows = fileblocks_to_rows("upd", [("OSMData", encode_blob(block))])
+    docs, media = make_documents(spark, *rows)
+    upd = read_elements(docs, media, broadcast_media=True)
+    merged = apply_updates(base, upd)
+    return merged.select(F.col("id").cast("int").alias("id"),
+                         "lat_nano", "version")
+
+
 @q("top_orders", """
 SELECT o_orderkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
