@@ -143,19 +143,28 @@ def simhash(docs: DataFrame, *, bits: int = 32, text_col: str = "text",
     """32-bit SimHash over whitespace tokens: bit b of the signature is
     the majority vote of bit b across token hashes. Returns
     (doc_id, simhash)."""
-    # fully row-local: token hashes once, then a 32-bit majority vote as
-    # nested higher-order functions — no explode, no shuffle (the old
-    # explode(tokens)×explode(bits) shape shuffled O(tokens×32) rows)
-    hs = (f"transform({tokens_sql(text_col)}, "
-          f"t -> {poly_hash_sql('t')})")
-    sim = (f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc + "
-           f"IF(2 * size(filter(_hs, h -> "
-           f"(h DIV CAST(power(2, b) AS BIGINT)) % 2 = 1)) > size(_hs), "
-           f"CAST(power(2, b) AS BIGINT), 0L))")
-    return (docs
-            .select(F.col(id_col), F.expr(hs).alias("_hs"))
-            .filter(F.expr("size(_hs) > 0"))   # tokenless docs never pair
-            .select(id_col, F.expr(sim).alias("simhash")))
+    # explode+groupBy deliberately (same finding as MinHash: HOF lambdas
+    # evaluate interpreted and projection collapse re-inlines the token
+    # hashing per bit — measured slower than this codegen'd shape; the
+    # shuffle is docs×32 rows after map-side partial aggregation)
+    toks = (docs.select(
+        F.col(id_col),
+        F.explode(F.expr(tokens_sql(text_col))).alias("tok"))
+        .withColumn("h", F.expr(poly_hash_sql("tok"))))
+    bit_range = F.broadcast(
+        docs.sparkSession.range(bits).select(F.col("id").alias("b")))
+    votes = (toks.join(bit_range)
+             .withColumn("bit", F.expr("(h DIV CAST(power(2, b) AS BIGINT))"
+                                       " % 2"))
+             .groupBy(id_col, "b")
+             .agg(F.sum("bit").alias("ones"), F.count("*").alias("n")))
+    return (votes
+            .withColumn("term",
+                        F.when(F.col("ones") * 2 > F.col("n"),
+                               F.expr("CAST(power(2, b) AS BIGINT)"))
+                        .otherwise(F.lit(0).cast("long")))
+            .groupBy(id_col)
+            .agg(F.sum("term").alias("simhash")))
 
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
