@@ -692,81 +692,6 @@ def _append_tags(rows: _StructRows, keys_buf, vals_buf, table):
         rows.tag_vals.append(_table_take(table, v[:m]))
 
 
-def _parse_way(buf, rows: _StructRows, table, granularity, lat_offset,
-               lon_offset, date_granularity):
-    wid = 0
-    keys_buf = vals_buf = info_buf = refs_buf = lat_buf = lon_buf = None
-    for field_no, wt, value in scan_fields(buf):
-        if field_no == 1:
-            wid = value if value < (1 << 63) else value - (1 << 64)
-        elif field_no == 2:
-            keys_buf = value
-        elif field_no == 3:
-            vals_buf = value
-        elif field_no == 4:
-            info_buf = value
-        elif field_no == 8:
-            refs_buf = value
-        elif field_no == 9:
-            lat_buf = value
-        elif field_no == 10:
-            lon_buf = value
-    rows.ids.append(wid)
-    _append_tags(rows, keys_buf, vals_buf, table)
-    rows.refs.append(decode_packed_sint64_delta(refs_buf)
-                     if refs_buf is not None else np.empty(0, dtype=np.int64))
-    # LocationsOnWays (src/elements.rs:392-423): empty unless both present
-    if lat_buf is not None and lon_buf is not None:
-        rows.loc_lat.append(
-            lat_offset + granularity * decode_packed_sint64_delta(lat_buf))
-        rows.loc_lon.append(
-            lon_offset + granularity * decode_packed_sint64_delta(lon_buf))
-    else:
-        rows.loc_lat.append(np.empty(0, dtype=np.int64))
-        rows.loc_lon.append(np.empty(0, dtype=np.int64))
-    rows.infos.append(
-        _parse_info(info_buf, table, date_granularity)
-        if info_buf is not None else None)
-
-
-def _parse_relation(buf, rows: _StructRows, table, date_granularity):
-    rid = 0
-    keys_buf = vals_buf = info_buf = None
-    roles_buf = memids_buf = types_buf = None
-    for field_no, wt, value in scan_fields(buf):
-        if field_no == 1:
-            rid = value if value < (1 << 63) else value - (1 << 64)
-        elif field_no == 2:
-            keys_buf = value
-        elif field_no == 3:
-            vals_buf = value
-        elif field_no == 4:
-            info_buf = value
-        elif field_no == 8:
-            roles_buf = value
-        elif field_no == 9:
-            memids_buf = value
-        elif field_no == 10:
-            types_buf = value
-    rows.ids.append(rid)
-    _append_tags(rows, keys_buf, vals_buf, table)
-    roles = (decode_packed_int64(roles_buf) if roles_buf is not None
-             else np.empty(0, dtype=np.int64))
-    memids = (decode_packed_sint64_delta(memids_buf)
-              if memids_buf is not None else np.empty(0, dtype=np.int64))
-    types = (decode_packed_int64(types_buf) if types_buf is not None
-             else np.empty(0, dtype=np.int64))
-    m = min(len(roles), len(memids), len(types))  # zip (src/elements.rs:484-509)
-    rows.mem_counts.append(m)
-    if m:
-        rows.mem_roles.append(_table_take(table, roles[:m]))
-        rows.mem_ids.append(memids[:m])
-        rows.mem_types.append(types[:m])
-    rows.infos.append(
-        _parse_info(info_buf, table, date_granularity)
-        if info_buf is not None else None)
-
-
 def parse_primitive_block(buf) -> list[_Chunk]:
     """PrimitiveBlock → list of columnar element chunks, in the reference's
     fixed emission order nodes→dense→ways→relations per group
