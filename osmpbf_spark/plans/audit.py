@@ -31,6 +31,10 @@ def audit(df: DataFrame, *, execute: bool = False) -> dict:
         df.collect()
     import re
     plan = physical_plan(df)
+    # an executed AQE plan prints Final + Initial sections — audit only
+    # the final one (the Initial section would double-count operators)
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
     # codegen stages appear as "*(n)" prefixes in the compact plan string
     # (or "WholeStageCodegen (n)" in the verbose form)
     codegen = len(set(re.findall(r"\*\((\d+)\)", plan))) \
@@ -40,6 +44,9 @@ def audit(df: DataFrame, *, execute: bool = False) -> dict:
         "sortmerge_joins": plan.count("SortMergeJoin"),
         "shuffle_hash_joins": plan.count("ShuffledHashJoin"),
         "exchanges": plan.count("Exchange"),
+        "shuffle_exchanges": (plan.count("Exchange hashpartitioning")
+                              + plan.count("Exchange rangepartitioning")
+                              + plan.count("Exchange SinglePartition")),
         "codegen_stages": codegen,
         "python_evals": (plan.count("ArrowEvalPython")
                          + plan.count("MapInArrow")
