@@ -448,8 +448,8 @@ def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via window lag +
     running sum — the batch form of session windows; identical SQL runs
     in both engines."""
-    return spark.read.parquet(_t(sf_dir, "events")) \
-        .createOrReplaceTempView("_ev") or spark.sql("""
+    _load(spark, sf_dir, "events").createOrReplaceTempView("_ev")
+    return spark.sql("""
 WITH e AS (
   SELECT user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,

@@ -150,6 +150,25 @@ def test_wrong_type_decode_errors():
         decompress_blob(bogus)
 
 
+def test_date_granularity_scaling():
+    # milli_ts = timestamp * date_granularity (src/elements.rs:584-590);
+    # non-default granularity must scale the stored units
+    from osmpbf_spark.pbf.encode import (
+        Info,
+        Node,
+        encode_blob,
+        encode_primitive_block,
+    )
+    node = Node(id=1, lat_raw=0, lon_raw=0,
+                info=Info(version=1, timestamp=500))
+    block = encode_primitive_block([[node]], dense=True,
+                                   date_granularity=2000)
+    rows = pa.Table.from_batches([chunks_to_batch(
+        [("d", 0, parse_primitive_block(
+            decompress_blob(encode_blob(block))))])]).to_pylist()
+    assert rows[0]["milli_timestamp"] == 500 * 2000
+
+
 def test_decimicro_truncation_toward_zero():
     # negative coords: Rust `as i32` after /100 truncates toward zero
     # (src/elements.rs:94-96); engine contract checked at the Spark layer
