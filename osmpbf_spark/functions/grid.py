@@ -91,9 +91,8 @@ def cell_parent(cell: Column | str, parent_res: int) -> Column:
     _check_res(parent_res)
     res, x, y = cell_xy(cell)
     shift = res - F.lit(parent_res)
-    px = F.shiftright(x, 0)  # placeholder for typing; real shift below
     # 2^shift as a column: shift is data-dependent only via res, which is
-    # constant per call site in practice; use pow via repeated division
+    # constant per call site in practice
     factor = F.pow(F.lit(2.0), shift.cast("double")).cast("long")
     px = (x / factor).cast("long")
     py = (y / factor).cast("long")

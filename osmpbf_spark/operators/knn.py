@@ -29,11 +29,9 @@ from ..functions.grid import (
 
 
 def _with_xy(df: DataFrame, cell_col: str) -> DataFrame:
-    c = F.col(cell_col)
-    res = (c / F.lit(RES_SHIFT)).cast("long")
-    rem = c - res * F.lit(RES_SHIFT)
-    x = (rem / F.lit(Y_SHIFT)).cast("long")
-    return df.withColumn("_x", x).withColumn("_y", rem - x * F.lit(Y_SHIFT))
+    from ..functions.grid import cell_xy
+    _, x, y = cell_xy(cell_col)
+    return df.withColumn("_x", x).withColumn("_y", y)
 
 
 def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
@@ -65,8 +63,11 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         F.col(id_col), F.col("lat_nano").alias("p_lat"),
         F.col("lon_nano").alias("p_lon"), F.col(cell_col).alias("p_cell"))
 
-    dist2 = ((F.col("lat_nano") - F.col("p_lat")).cast("double") ** 2
-             + (F.col("lon_nano") - F.col("p_lon")).cast("double") ** 2)
+    # d*d (not pow) so any engine replicating this gets bit-identical
+    # doubles; integer diffs cast once then multiplied
+    _dlat = (F.col("lat_nano") - F.col("p_lat")).cast("double")
+    _dlon = (F.col("lon_nano") - F.col("p_lon")).cast("double")
+    dist2 = _dlat * _dlat + _dlon * _dlon
     win = Window.partitionBy(query_id_col).orderBy("dist2", id_col)
 
     spark = points.sparkSession
@@ -75,14 +76,18 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
     disk = start_disk
     while disk <= max_disk:
         offs = F.broadcast(neighbor_offsets(spark, disk))
+        # y offsets outside [0, n) are dropped (no tiles beyond the
+        # poles); clamping instead would map several dy values to the
+        # same cell and duplicate candidate rows, occupying multiple
+        # top-k ranks with one point. x wraps (antimeridian).
         cand_cells = (remaining.join(offs)
+                      .filter((F.col("_y") + F.col("dy") >= 0)
+                              & (F.col("_y") + F.col("dy") <= n - 1))
                       .select(query_id_col, "lat_nano", "lon_nano",
                               (F.lit(res).cast("long") * F.lit(RES_SHIFT)
                                + F.pmod(F.col("_x") + F.col("dx"), F.lit(n))
                                * F.lit(Y_SHIFT)
-                               + F.greatest(F.least(
-                                   F.col("_y") + F.col("dy"), F.lit(n - 1)),
-                                   F.lit(0))).alias("jcell"),
+                               + (F.col("_y") + F.col("dy"))).alias("jcell"),
                               "_x", "_y"))
         # with a small query set (the common case) broadcast queries ×
         # offsets so the (big) point side never shuffles; for a kNN JOIN
@@ -106,7 +111,9 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         stats = (cand.groupBy(query_id_col)
                  .agg(F.count("*").alias("n_found"),
                       F.max("dist2").alias("dk")))
-        ok_ids = stats.filter((F.col("n_found") >= k) & (F.col("dk") <= guard)) \
+        # strict <: a point exactly AT the guaranteed radius outside the
+        # searched square could still win the (dist2, id) tiebreak
+        ok_ids = stats.filter((F.col("n_found") >= k) & (F.col("dk") < guard)) \
             .select(query_id_col)
         done = cand.join(ok_ids, query_id_col, "left_semi") \
             .select(query_id_col, F.col(id_col), "dist2", "rn")

@@ -286,13 +286,40 @@ def _split_keys_vals(kv: np.ndarray, n_nodes: int, table: np.ndarray):
         kv = np.concatenate([kv, np.zeros(1, dtype=kv.dtype)])
     zero_pos = np.flatnonzero(kv == 0)
     seg_lengths = np.diff(np.concatenate(([np.int64(-1)], zero_pos))) - 1
-    pair_counts = np.zeros(n_nodes, dtype=np.int64)
-    m = min(len(seg_lengths), n_nodes)
-    pair_counts[:m] = seg_lengths[:m] // 2
+    # keep only complete (key, val) pairs of the first n_nodes segments:
+    # a dangling odd entry or surplus segments must not shift the global
+    # key/val alternation for later nodes
     nz = kv[kv != 0]
-    keys = _table_take(table, nz[0::2])
-    vals = _table_take(table, nz[1::2])
+    n_segs = len(seg_lengths)
+    starts = np.cumsum(seg_lengths) - seg_lengths
+    seg_of_entry = np.repeat(np.arange(n_segs), seg_lengths)
+    pos_in_seg = np.arange(nz.size, dtype=np.int64) - np.repeat(
+        starts, seg_lengths)
+    even_len = 2 * (seg_lengths // 2)
+    keep = ((seg_of_entry < n_nodes)
+            & (pos_in_seg < np.repeat(even_len, seg_lengths)))
+    kept = nz[keep]
+    keys = _table_take(table, kept[0::2])
+    vals = _table_take(table, kept[1::2])
+    m = min(n_segs, n_nodes)
+    pair_counts = np.zeros(n_nodes, dtype=np.int64)
+    pair_counts[:m] = seg_lengths[:m] // 2
+    # silent-skip semantics for unresolvable (invalid-UTF-8) entries
+    # (src/elements.rs:513-538): drop pairs whose key or val is None --
+    # Arrow MAP keys cannot be null
+    if keys.size and (_has_none(keys) or _has_none(vals)):
+        good = np.array([k is not None and v is not None
+                         for k, v in zip(keys, vals)])
+        seg_of_pair = np.repeat(np.arange(m), pair_counts[:m])
+        pair_counts = np.bincount(seg_of_pair[good],
+                                  minlength=n_nodes).astype(np.int64)
+        keys = keys[good]
+        vals = vals[good]
     return pair_counts, keys, vals
+
+
+def _has_none(arr: np.ndarray) -> bool:
+    return bool((arr == None).any())  # noqa: E711 -- elementwise vs None
 
 
 def _parse_dense(buf, table: np.ndarray, granularity: int, lat_offset: int,
@@ -343,17 +370,20 @@ def _parse_dense(buf, table: np.ndarray, granularity: int, lat_offset: int,
                 fields[field_no] = value
         chunk.has_info = np.ones(n, dtype=bool)
 
-        def _full(buf_key, delta):
+        def _full(buf_key, delta, default=0):
             b = fields.get(buf_key)
             if b is None:
-                return np.zeros(n, dtype=np.int64)
+                return np.full(n, default, dtype=np.int64)
             a = decode_packed_sint64_delta(b) if delta \
                 else decode_packed_int64(b)
             if len(a) < n:
-                a = np.pad(a, (0, n - len(a)))
+                a = np.pad(a, (0, n - len(a)),
+                           constant_values=default)
             return a[:n]
 
-        chunk.version = _full(1, False)
+        # version default is -1 (proto Info default) so dense and plain
+        # encodings of the same element agree
+        chunk.version = _full(1, False, default=-1)
         chunk.milli_ts = _full(2, True) * date_granularity
         chunk.changeset = _full(3, True)
         chunk.uid = _full(4, True)
@@ -467,6 +497,19 @@ class _StructRows:
 _EMPTY = b""
 
 
+def _filter_none_tag_pairs(m, keys, vals):
+    """Drop (key, val) pairs containing an unresolvable (None) string,
+    adjusting per-element pair counts (silent-skip semantics,
+    src/elements.rs:513-538)."""
+    if keys.size == 0 or not (_has_none(keys) or _has_none(vals)):
+        return m, keys, vals
+    good = np.array([k is not None and v is not None
+                     for k, v in zip(keys, vals)])
+    owner = np.repeat(np.arange(len(m)), m)
+    m2 = np.bincount(owner[good], minlength=len(m)).astype(np.int64)
+    return m2, keys[good], vals[good]
+
+
 def _seg_select(vals, lens, m):
     """Truncate a segmented array (segment lengths ``lens``) to the first
     ``m[i]`` values of each segment — vectorized zip-truncate."""
@@ -558,10 +601,13 @@ def _parse_way_group(bufs, table, granularity, lat_offset, lon_offset,
     vv, vl = decode_packed_u64_segments(vals_b)
     ksel, vsel, m = _seg_pair_select(kv.astype(np.int64), kl,
                                      vv.astype(np.int64), vl)
+    tk = _table_take(table, ksel)
+    tv = _table_take(table, vsel)
+    m, tk, tv = _filter_none_tag_pairs(m, tk, tv)
     c.tag_offsets = np.concatenate(([np.int64(0)], np.cumsum(m)))
-    if ksel.size:
-        c.tag_keys.append(_table_take(table, ksel))
-        c.tag_vals.append(_table_take(table, vsel))
+    if tk.size:
+        c.tag_keys.append(tk)
+        c.tag_vals.append(tv)
 
     rv, rl = decode_packed_u64_segments(refs_b)
     c.refs_values = segmented_cumsum(unzigzag(rv), rl)
@@ -625,10 +671,13 @@ def _parse_relation_group(bufs, table, date_granularity) -> _Chunk:
     vv, vl = decode_packed_u64_segments(vals_b)
     ksel, vsel, m = _seg_pair_select(kv.astype(np.int64), kl,
                                      vv.astype(np.int64), vl)
+    tk = _table_take(table, ksel)
+    tv = _table_take(table, vsel)
+    m, tk, tv = _filter_none_tag_pairs(m, tk, tv)
     c.tag_offsets = np.concatenate(([np.int64(0)], np.cumsum(m)))
-    if ksel.size:
-        c.tag_keys.append(_table_take(table, ksel))
-        c.tag_vals.append(_table_take(table, vsel))
+    if tk.size:
+        c.tag_keys.append(tk)
+        c.tag_vals.append(tv)
 
     rv, rl = decode_packed_u64_segments(roles_b)
     mv, ml = decode_packed_u64_segments(memids_b)
@@ -686,10 +735,17 @@ def _append_tags(rows: _StructRows, keys_buf, vals_buf, table):
     k = decode_packed_u64(keys_buf).astype(np.int64)
     v = decode_packed_u64(vals_buf).astype(np.int64)
     m = min(len(k), len(v))  # zip semantics (src/elements.rs:513-538)
+    ks = _table_take(table, k[:m])
+    vs = _table_take(table, v[:m])
+    if m and (_has_none(ks) or _has_none(vs)):
+        good = np.array([a is not None and b is not None
+                         for a, b in zip(ks, vs)])
+        ks, vs = ks[good], vs[good]
+        m = int(good.sum())
     rows.tag_counts.append(m)
     if m:
-        rows.tag_keys.append(_table_take(table, k[:m]))
-        rows.tag_vals.append(_table_take(table, v[:m]))
+        rows.tag_keys.append(ks)
+        rows.tag_vals.append(vs)
 
 
 def parse_primitive_block(buf) -> list[_Chunk]:
@@ -714,7 +770,7 @@ def parse_primitive_block(buf) -> list[_Chunk]:
         elif field_no == 19 and wt == WT_VARINT:
             lat_offset = value if value < (1 << 63) else value - (1 << 64)
         elif field_no == 20 and wt == WT_VARINT:
-            lon_offset = value
+            lon_offset = value if value < (1 << 63) else value - (1 << 64)
 
     table = _decode_stringtable(st_buf) if st_buf is not None \
         else np.empty(0, dtype=object)
@@ -950,7 +1006,7 @@ def parse_block_node_points(buf):
         elif field_no == 19 and wt == WT_VARINT:
             lat_offset = value if value < (1 << 63) else value - (1 << 64)
         elif field_no == 20 and wt == WT_VARINT:
-            lon_offset = value
+            lon_offset = value if value < (1 << 63) else value - (1 << 64)
     ids, lats, lons = [], [], []
     for gbuf in group_bufs:
         for field_no, wt, value in scan_fields(gbuf):
@@ -969,11 +1025,15 @@ def parse_block_node_points(buf):
                         lon_buf = v2
                 if id_buf is None:
                     continue
-                ids.append(decode_packed_sint64_delta(id_buf))
+                i_arr = decode_packed_sint64_delta(id_buf)
+                zeros = np.zeros(len(i_arr), dtype=np.int64)
+                ids.append(i_arr)
                 lats.append(lat_offset + granularity
-                            * decode_packed_sint64_delta(lat_buf))
+                            * (decode_packed_sint64_delta(lat_buf)
+                               if lat_buf is not None else zeros))
                 lons.append(lon_offset + granularity
-                            * decode_packed_sint64_delta(lon_buf))
+                            * (decode_packed_sint64_delta(lon_buf)
+                               if lon_buf is not None else zeros))
             elif field_no == 1:  # plain Node
                 nid = la = lo = 0
                 for f2, w2, v2 in scan_fields(value):

@@ -124,7 +124,10 @@ def _encode_dense(nodes: list[Node], st: StringTableBuilder,
     if with_info:
         infos = [n.info or Info() for n in nodes]
         di = bytearray()
-        di += packed_field(1, [i.version for i in infos])
+        versions = [i.version for i in infos]
+        if any(v is not None for v in versions):
+            di += packed_field(
+                1, [v if v is not None else -1 for v in versions])
         di += packed_field(2, [i.timestamp or 0 for i in infos],
                            zigzag=True, delta=True)
         di += packed_field(3, [i.changeset or 0 for i in infos],

@@ -406,8 +406,9 @@ qs(query_id, qlat, qlon) AS (VALUES {vals}),
 scored AS (
   SELECT query_id, event_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-           CAST((lat - qlat) * (lat - qlat) +
-                (lon - qlon) * (lon - qlon) AS DOUBLE), event_id) AS rn
+           CAST(lat - qlat AS DOUBLE) * CAST(lat - qlat AS DOUBLE) +
+           CAST(lon - qlon AS DOUBLE) * CAST(lon - qlon AS DOUBLE),
+           event_id) AS rn
   FROM qs, pts)
 SELECT query_id, event_id, rn FROM scored WHERE rn <= {k}
 """
@@ -416,7 +417,9 @@ SELECT query_id, event_id, rn FROM scored WHERE rn <= {k}
 @q("knn_events", _knn_oracle())
 def q_knn_events(spark, sf_dir):
     """Grid kNN by cell-ring expansion (operators/knn.py) vs brute-force
-    window oracle; 1°-box coords keep squared distances int64-exact."""
+    window oracle; both engines compute dist² with the identical
+    double d·d formula (squares of ~1e18 exceed 2^53, so the FORMULA —
+    not int64 exactness — is the determinism contract)."""
     res = 10
     pts = with_grid_cells(
         _events_xy(spark, sf_dir).select(
@@ -432,13 +435,13 @@ def q_knn_events(spark, sf_dir):
 
 @q("sessionize", """
 WITH e AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
               event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events),
 s AS (
   SELECT user_id,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_no
   FROM e)
 SELECT user_id, session_no + 1 AS session_no, COUNT(*) AS n_events
@@ -451,13 +454,13 @@ def q_sessionize(spark, sf_dir):
     _load(spark, sf_dir, "events").createOrReplaceTempView("_ev")
     return spark.sql("""
 WITH e AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
               event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM _ev),
 s AS (
   SELECT user_id,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_no
   FROM e)
 SELECT user_id, session_no + 1 AS session_no, COUNT(*) AS n_events
