@@ -222,7 +222,7 @@ def q_topk_per_user(spark, sf_dir):
         F.desc("value"), F.col("event_id"))
     return (_load(spark, sf_dir, "events")
             .select("event_id", "user_id", "value",
-                    F.row_number().over(w).alias("rn"))
+                    F.row_number().over(w).cast("long").alias("rn"))
             .filter(F.col("rn") <= 3))
 
 
@@ -410,7 +410,8 @@ scored AS (
            CAST(lon - qlon AS DOUBLE) * CAST(lon - qlon AS DOUBLE),
            event_id) AS rn
   FROM qs, pts)
-SELECT query_id, event_id, rn FROM scored WHERE rn <= {k}
+SELECT CAST(query_id AS BIGINT) AS query_id, event_id, rn
+FROM scored WHERE rn <= {k}
 """
 
 
@@ -430,7 +431,8 @@ def q_knn_events(spark, sf_dir):
                               "query_id long, lat_nano long, lon_nano long"),
         res=res)
     out = grid_knn(pts, qdf, 5, res=res)
-    return out.select("query_id", F.col("id").alias("event_id"), "rn")
+    return out.select("query_id", F.col("id").alias("event_id"),
+                      F.col("rn").cast("long").alias("rn"))
 
 
 @q("sessionize", """
@@ -444,7 +446,8 @@ s AS (
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_no
   FROM e)
-SELECT user_id, session_no + 1 AS session_no, COUNT(*) AS n_events
+SELECT user_id, CAST(session_no + 1 AS BIGINT) AS session_no,
+       COUNT(*) AS n_events
 FROM s GROUP BY user_id, session_no
 """)
 def q_sessionize(spark, sf_dir):
@@ -620,7 +623,8 @@ def q_doc_profile(spark, sf_dir):
     return (_load(spark, sf_dir, "documents")
             .select("doc_id",
                     F.expr(poly_hash_sql("text")).alias("fingerprint"),
-                    F.expr(f"size({tokens_sql('text')})").alias("n_tokens"),
+                    F.expr(f"CAST(size({tokens_sql('text')}) AS BIGINT)")
+                    .alias("n_tokens"),
                     F.expr(quality_score_sql("text")).alias("quality"),
                     F.expr(langid_sql("text")).alias("lang_guess")))
 
@@ -754,7 +758,8 @@ def q_knn_cosine(spark, sf_dir):
         F.desc(F.round("cos_sim", 4)), F.col("vec_id"))
     return (scored.withColumn("rn2", F.row_number().over(w))
             .filter(F.col("rn2") <= 3)
-            .select("query_id", "vec_id", F.col("rn2").alias("rn")))
+            .select("query_id", "vec_id",
+                    F.col("rn2").cast("long").alias("rn")))
 
 
 @q("osm_incremental_update", """

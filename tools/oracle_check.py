@@ -34,6 +34,44 @@ def _canon(v):
     return str(v)
 
 
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+    "TINYINT": "tinyint", "DOUBLE": "double", "FLOAT": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "UBIGINT": None, "HUGEINT": None,  # None = no Spark analogue → FAIL
+}
+
+
+def type_mismatches(spark_schema, o_cols, o_types):
+    """Columns whose DuckDB type wouldn't canonicalize to the Spark type.
+
+    The driver's hasher is type-aware (round-1 sessionize failed there on a
+    DuckDB HUGEINT vs Spark BIGINT even though the VALUES matched), so flag
+    any oracle output column whose type widens past its Spark counterpart.
+    Unknown/complex DuckDB types are skipped (arrays/structs compare by
+    value anyway)."""
+    spark_types = {f.name: f.dataType.simpleString()
+                   for f in spark_schema.fields}
+    bad = []
+    for c, t in zip(o_cols, o_types):
+        ts = str(t).upper()
+        if ts.startswith("DECIMAL"):
+            mapped = ts.lower()
+        elif ts in _DUCK_TO_SPARK:
+            mapped = _DUCK_TO_SPARK[ts]
+        else:
+            continue  # complex/unknown type: value hash still guards it
+        st = spark_types.get(c)
+        if st is None:
+            continue  # column-name mismatch reported separately
+        if st == "timestamp_ntz":
+            st = "timestamp"
+        if mapped != st:
+            bad.append(f"{c}: duckdb {ts} vs spark {st}")
+    return bad
+
+
 def value_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
@@ -69,6 +107,7 @@ def main():
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
+            schema = df.schema
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL  {name:28s} spark error: {str(e)[:200]}")
@@ -82,6 +121,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             o_cols = rel.columns
+            o_types = rel.types
             o_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name:28s} duckdb error: {str(e)[:200]}")
@@ -91,10 +131,12 @@ def main():
         ok_rows = len(rows) == len(o_rows)
         h1 = value_hash(cols, rows)
         h2 = value_hash(o_cols, o_rows)
-        ok = ok_cols and ok_rows and h1 == h2
+        tdiff = type_mismatches(schema, o_cols, o_types)
+        ok = ok_cols and ok_rows and h1 == h2 and not tdiff
         status = "OK  " if ok else "FAIL"
         print(f"{status}  {name:28s} rows={len(rows)}/{len(o_rows)} "
               f"cols={'=' if ok_cols else cols} hash={'=' if h1 == h2 else (h1, h2)} "
+              f"types={'=' if not tdiff else tdiff} "
               f"[{spark_s:.1f}s]")
         if not ok:
             failures.append(name)
