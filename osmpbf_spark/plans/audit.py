@@ -21,6 +21,28 @@ def explain_formatted(df: DataFrame) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
+def exchanges_carrying(df: DataFrame, column: str) -> list[str]:
+    """Shuffle/broadcast Exchange nodes whose input carries ``column``.
+
+    Parses ``explain('formatted')`` detail blocks — each physical node is
+    printed as ``(id) NodeName`` followed by its ``Input``/``Arguments``
+    lines. Any Exchange whose Input list mentions the column would move
+    that column's bytes across the cluster; for fat columns (``payload``)
+    the scale contract is that this list stays EMPTY.
+    """
+    import re
+    txt = explain_formatted(df)
+    hits = []
+    for m in re.finditer(r"^\((\d+)\) (\w*Exchange\w*)[^\n]*\n((?:[^\n(]"
+                         r"[^\n]*\n?)*)", txt, flags=re.M):
+        body = m.group(3)
+        inp = "\n".join(ln for ln in body.splitlines()
+                        if ln.startswith(("Input", "Arguments")))
+        if re.search(rf"\b{re.escape(column)}\b", inp):
+            hits.append(f"({m.group(1)}) {m.group(2)}")
+    return hits
+
+
 def audit(df: DataFrame, *, execute: bool = False) -> dict:
     """With ``execute=True`` the DataFrame is materialized first so the
     AQE-final plan (incl. WholeStageCodegen annotations) is inspected."""

@@ -118,6 +118,34 @@ def blob_metadata(documents: DataFrame) -> DataFrame:
     )
 
 
+def join_payloads(meta: DataFrame, media: DataFrame, *,
+                  broadcast_media: bool = False,
+                  media_join: str = "broadcast_meta",
+                  columns=("doc_id", "blob_no", "blob_type", "payload")
+                  ) -> DataFrame:
+    """Attach payload bytes to blob metadata WITHOUT shuffling payloads.
+
+    The fat ``payload`` column must never cross a shuffle at 100 TB, so the
+    default plan broadcasts the narrow metadata side and streams the media
+    scan straight into the decode UDF (``media_join='broadcast_meta'``).
+    Alternatives: ``broadcast_media=True`` broadcasts the payload side
+    (only for tiny fixtures); ``media_join='shuffle'`` is the explicit
+    co-partitioned shuffle join for the regime where even the metadata
+    side exceeds broadcast limits AND the tables aren't co-bucketed —
+    at 10^12-doc scale the right answer is the co-bucketed Iceberg layout
+    (proven shuffle-free in tests/test_bucketed_join.py), not this.
+    """
+    if broadcast_media:
+        joined = meta.join(F.broadcast(media), "media_ref")
+    elif media_join == "broadcast_meta":
+        joined = media.join(F.broadcast(meta), "media_ref")
+    elif media_join == "shuffle":
+        joined = meta.join(media, "media_ref")
+    else:
+        raise ValueError(f"unknown media_join: {media_join!r}")
+    return joined.select(*columns)
+
+
 def _decode_batches(iterator):
     for batch in iterator:
         n = batch.num_rows
@@ -140,7 +168,8 @@ NODE_POINTS_DDL = ("id long, lat_nano long, lon_nano long, blob_no long, "
 
 def read_node_points(documents: DataFrame, media: DataFrame,
                      *, broadcast_media: bool = False,
-                     decode_partitions: int | None = None) -> DataFrame:
+                     decode_partitions: int | None = None,
+                     media_join: str = "broadcast_meta") -> DataFrame:
     """Pushdown fast path for spatial pipelines: decode ONLY node ids and
     nanodegree coordinates (skips string tables, tags, info, ways,
     relations inside the UDF — column pruning pushed through the Arrow
@@ -150,9 +179,8 @@ def read_node_points(documents: DataFrame, media: DataFrame,
     from ..pbf.decode import decode_node_points_batch
 
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
-    m = F.broadcast(media) if broadcast_media else media
-    joined = meta.join(m, "media_ref").select(
-        "doc_id", "blob_no", "blob_type", "payload")
+    joined = join_payloads(meta, media, broadcast_media=broadcast_media,
+                           media_join=media_join)
     if decode_partitions:
         joined = joined.repartition(decode_partitions, "blob_no")
 
@@ -190,8 +218,8 @@ def read_header(documents: DataFrame, media: DataFrame,
     from ..pbf.decode import decompress_blob, parse_header_block
 
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMHeader")
-    m = F.broadcast(media) if broadcast_media else media
-    joined = meta.join(m, "media_ref").select("doc_id", "blob_no", "payload")
+    joined = join_payloads(meta, media, broadcast_media=broadcast_media,
+                           columns=("doc_id", "blob_no", "payload"))
 
     def batches(it):
         for batch in it:
@@ -232,7 +260,8 @@ ERRORS_DDL = ("doc_id string, blob_no long, error string")
 
 def read_elements_quarantine(documents: DataFrame, media: DataFrame,
                              *, broadcast_media: bool = False,
-                             decode_partitions: int | None = None
+                             decode_partitions: int | None = None,
+                             media_join: str = "broadcast_meta"
                              ) -> tuple[DataFrame, DataFrame]:
     """Like :func:`read_elements` but corrupt blobs are quarantined to an
     errors DataFrame (with lineage) instead of failing the job — the
@@ -249,9 +278,8 @@ def read_elements_quarantine(documents: DataFrame, media: DataFrame,
     from ..pbf.decode import decode_blob_batch
 
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
-    m = F.broadcast(media) if broadcast_media else media
-    joined = meta.join(m, "media_ref").select(
-        "doc_id", "blob_no", "blob_type", "payload")
+    joined = join_payloads(meta, media, broadcast_media=broadcast_media,
+                           media_join=media_join)
     if decode_partitions:
         joined = joined.repartition(decode_partitions, "blob_no")
 
@@ -297,7 +325,7 @@ def read_elements_quarantine(documents: DataFrame, media: DataFrame,
 def read_elements(documents: DataFrame, media: DataFrame,
                   *, broadcast_media: bool = False,
                   decode_partitions: int | None = None,
-                  media_join: str = "shuffle") -> DataFrame:
+                  media_join: str = "broadcast_meta") -> DataFrame:
     """The engine's top-level scan (SURVEY.md §2.1 S6): documents+media →
     canonical ``elements`` DataFrame.
 
@@ -308,23 +336,13 @@ def read_elements(documents: DataFrame, media: DataFrame,
     elements out; no per-row Python) → derived double coordinates as
     Catalyst expressions (doubles derived, never authoritative).
 
-    At cluster scale the media join is a co-partitioned shuffle join keyed
-    on media_ref; pass ``broadcast_media=True`` only for small fixtures.
+    The default join shape is ``broadcast_meta``: the fat payload column
+    never crosses a shuffle (see :func:`join_payloads`); a plan audit
+    pins this in tests/test_store_plans.py.
     """
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
-    if media_join == "broadcast_meta":
-        # Fat payload bytes NEVER shuffle: the (narrow) metadata side is
-        # broadcast and the media scan streams straight into the decode
-        # UDF — the plan shape you want whenever metadata fits in a
-        # broadcast (or, at 10^12-doc scale, when documents and media are
-        # co-bucketed by media_ref in Iceberg, which removes the shuffle
-        # the same way).
-        joined = media.join(F.broadcast(meta), "media_ref").select(
-            "doc_id", "blob_no", "blob_type", "payload")
-    else:
-        m = F.broadcast(media) if broadcast_media else media
-        joined = meta.join(m, "media_ref").select(
-            "doc_id", "blob_no", "blob_type", "payload")
+    joined = join_payloads(meta, media, broadcast_media=broadcast_media,
+                           media_join=media_join)
     if decode_partitions:
         # spread fat blob rows across workers when the blob count is small
         # relative to the cluster (fixture/bench scale); at production
