@@ -110,6 +110,35 @@ def main():
     queries["osm_decode"] = round(t_decode, 3)
     queries["osm_decode_pip"] = round(t_pip, 3)
 
+    # --- kNN-JOIN regime (EDBT-2012): 100k query points, co-partitioned
+    # shuffle join (broadcast_candidates=False) over the decoded nodes ---
+    from osmpbf_spark.operators.knn import grid_knn
+    res_knn = 14
+    nodes = with_grid_cells(
+        read_elements(docs, media, decode_partitions=cpus * 2)
+        .filter("element_type = 'node'")
+        .select("id", "lat_nano", "lon_nano"), res=res_knn).persist()
+    nodes.count()                      # decode outside the timer
+    n_queries = 100_000
+    qdf = with_grid_cells(
+        spark.range(n_queries).select(
+            F.col("id").alias("query_id"),
+            (F.lit(40 * _B) + F.pmod(F.xxhash64("id"), F.lit(10 * _B)))
+            .alias("lat_nano"),
+            (F.lit(5 * _B) + F.pmod(F.xxhash64("id", F.lit(1)),
+                                    F.lit(10 * _B))).alias("lon_nano")),
+        res=res_knn)
+    t_knn = float("inf")
+    knn_rows = 0
+    for _ in range(2):
+        t0 = time.time()
+        out = grid_knn(nodes, qdf, 5, res=res_knn,
+                       broadcast_candidates=False)
+        knn_rows = out.count()
+        t_knn = min(t_knn, time.time() - t0)
+    nodes.unpersist()
+    queries["knn_join_100k"] = round(t_knn, 3)
+
     # attach the recorded two-cluster-size evidence if present
     scaling = None
     md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -139,6 +168,8 @@ def main():
         "decode_elements_per_sec": round(n_elements / t_decode, 1),
         "synth_elements": n_elements,
         "pip_matches": n_inside,
+        "knn_join_queries_per_sec": round(n_queries / t_knn, 1),
+        "knn_join_rows": knn_rows,
         "scaling": scaling,
     }
     print(json.dumps(out))

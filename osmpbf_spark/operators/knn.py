@@ -71,7 +71,18 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
     win = Window.partitionBy(query_id_col).orderBy("dist2", id_col)
 
     spark = points.sparkSession
+    pts_pinned = False
+    if not broadcast_candidates:
+        # kNN-JOIN regime: the point side participates in a shuffle join
+        # EVERY doubling round — pre-partition it by cell once (spill-safe
+        # MEMORY_AND_DISK) so rounds reuse the partitioning instead of
+        # re-shuffling the big side; released before returning (round
+        # outputs are eagerly checkpointed, so nothing recomputes).
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        pts = pts.repartition(n_shuffle, "p_cell").persist()
+        pts_pinned = True
     remaining = q
+    remaining_n = None                 # unknown until first checkpoint
     done_parts = []
     disk = start_disk
     while disk <= max_disk:
@@ -93,16 +104,24 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # offsets so the (big) point side never shuffles; for a kNN JOIN
         # with a large query side (EDBT-2012 regime) pass
         # broadcast_candidates=False → co-partitioned shuffle join on
-        # cell instead
-        left = (F.broadcast(cand_cells) if broadcast_candidates
-                else cand_cells)
+        # cell. Straggler rounds shrink fast, so once the remaining set ×
+        # disk area is broadcast-sized, flip to the broadcast shape even
+        # in the join regime (join strategy doesn't change the result —
+        # ranking is deterministic on (dist2, id)).
+        area = (2 * disk + 1) ** 2
+        small_round = (remaining_n is not None
+                       and remaining_n * min(area, 1024) <= 2_000_000)
+        left = (F.broadcast(cand_cells)
+                if broadcast_candidates or small_round else cand_cells)
         cand = (left
                 .join(pts, cand_cells["jcell"] == pts["p_cell"])
                 .withColumn("dist2", dist2)
                 .withColumn("rn", F.row_number().over(win))
                 .filter(F.col("rn") <= k))
-        # the loop's completeness check and the final union both consume
-        # cand — cache it so each round's join+window runs once
+        # the round's completeness check and its output both consume cand —
+        # cache it so the join+window runs once, then RELEASE it before the
+        # next round (a leak here pins every round's candidate set in
+        # executor storage for the session lifetime)
         cand = cand.persist()
         # guarantee: k-th distance inside searched square of half-width
         # disk*cell_h (cells are 2:1 — lon cells are wider, so cell_h is
@@ -115,11 +134,20 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # searched square could still win the (dist2, id) tiebreak
         ok_ids = stats.filter((F.col("n_found") >= k) & (F.col("dk") < guard)) \
             .select(query_id_col)
-        done = cand.join(ok_ids, query_id_col, "left_semi") \
-            .select(query_id_col, F.col(id_col), "dist2", "rn")
+        # materialize the round's small outputs eagerly (≤ k rows per
+        # finished query / one row per open query) so lineage is truncated
+        # each round — without this, `remaining` accumulates one left_anti
+        # join per doubling and the final union recomputes every round's
+        # join+window after cand is gone
+        done = (cand.join(ok_ids, query_id_col, "left_semi")
+                .select(query_id_col, F.col(id_col), "dist2", "rn")
+                .localCheckpoint(eager=True))
         done_parts.append(done)
-        remaining = remaining.join(ok_ids, query_id_col, "left_anti")
-        if remaining.isEmpty():
+        remaining = (remaining.join(ok_ids, query_id_col, "left_anti")
+                     .localCheckpoint(eager=True))
+        cand.unpersist()
+        remaining_n = remaining.count()   # cheap: checkpointed
+        if remaining_n == 0:
             break
         disk *= 2
     else:
@@ -129,11 +157,17 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                  .withColumn("rn", F.row_number().over(win))
                  .filter(F.col("rn") <= k)
                  .select(query_id_col, F.col(id_col), "dist2", "rn"))
+        if pts_pinned:
+            brute = brute.localCheckpoint(eager=True)
         done_parts.append(brute)
 
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
+    if pts_pinned:
+        # safe: every round output (incl. the brute backstop) was eagerly
+        # checkpointed above, so nothing recomputes through pts
+        pts.unpersist()
     return out
 
 

