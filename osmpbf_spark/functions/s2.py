@@ -84,9 +84,11 @@ def face_uv(x, y, z):
 
 
 def st_from_uv(u):
-    """Quadratic projection (S2_QUADRATIC_PROJECTION UVtoST)."""
-    return np.where(u >= 0, 0.5 * np.sqrt(1 + 3 * u),
-                    1 - 0.5 * np.sqrt(1 - 3 * u))
+    """Quadratic projection (S2_QUADRATIC_PROJECTION UVtoST). Computed
+    via |u| so no negative argument ever reaches sqrt (identical doubles:
+    1 - 0.5*sqrt(1-3u) == 1 - 0.5*sqrt(1+3|u|) for u < 0)."""
+    half = 0.5 * np.sqrt(1 + 3 * np.abs(u))
+    return np.where(u >= 0, half, 1 - half)
 
 
 def si_ti(s):
@@ -143,6 +145,109 @@ def s2_level(cell_ids: np.ndarray) -> np.ndarray:
     lsb = u & (~u + np.uint64(1))
     return (MAX_LEVEL
             - (np.log2(lsb.astype(np.float64)) / 2).astype(np.int64))
+
+
+def s2_oracle_sql(points: list[tuple], level: int = 12) -> str:
+    """Render the FULL S2 cell-id computation for constant (pid, lat, lon)
+    points as DuckDB SQL — an independent second implementation of the
+    published algorithm (face/uv projection, quadratic ST, per-level
+    Hilbert walk from the published base tables POS_TO_IJ /
+    POS_TO_ORIENTATION via a recursive CTE) so the numpy path is
+    hash-checked cross-engine, not just self-consistent.
+
+    The per-level walk is equivalent to the 4-bit-LUT FromFaceIJ above:
+    the LUT is the 4-level composition of the same base tables, and the
+    two leading zero levels of the 32-bit LUT loop are no-ops from a
+    face orientation (which is always 0 or 1: IJ_TO_POS[o][0]=0 and
+    orientation 0↔1 flips twice, returning to face&1).
+    """
+    return s2_oracle_sql_from(
+        "(VALUES " + ", ".join(
+            f"(CAST({p} AS BIGINT), CAST({la!r} AS DOUBLE), "
+            f"CAST({lo!r} AS DOUBLE))"
+            for p, la, lo in points) + ")", level)
+
+
+def s2_oracle_sql_from(pts_rel: str, level: int = 12) -> str:
+    """Like :func:`s2_oracle_sql` but over any relation producing
+    (pid, plat, plon) rows — e.g. a subquery over the events table."""
+    n30 = 1 << MAX_LEVEL
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    # IJ_TO_POS rows (inverse of _POS_TO_IJ rows) keyed by orient*4+ij2
+    ij_to_pos = {0: [0, 1, 3, 2], 1: [0, 3, 1, 2],
+                 2: [2, 3, 1, 0], 3: [2, 1, 3, 0]}
+    whens = " ".join(f"WHEN {o * 4 + ij} THEN {pos}"
+                     for o, row in ij_to_pos.items()
+                     for ij, pos in enumerate(row))
+    return f"""
+WITH RECURSIVE
+pts(pid, plat, plon) AS (SELECT * FROM {pts_rel}),
+xyz AS (
+  SELECT pid,
+         cos(radians(plat)) * cos(radians(plon)) AS x,
+         cos(radians(plat)) * sin(radians(plon)) AS y,
+         sin(radians(plat)) AS z
+  FROM pts),
+fuv AS (
+  SELECT pid,
+         CASE ax WHEN 2 THEN (CASE WHEN z >= 0 THEN 2 ELSE 5 END)
+                 WHEN 1 THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+                 ELSE (CASE WHEN x >= 0 THEN 0 ELSE 3 END) END AS face,
+         x, y, z
+  FROM (SELECT pid, x, y, z,
+               CASE WHEN abs(z) > GREATEST(abs(x), abs(y)) THEN 2
+                    WHEN abs(y) > abs(x) THEN 1 ELSE 0 END AS ax
+        FROM xyz)),
+uv AS (
+  SELECT pid, face,
+         CASE face WHEN 0 THEN y / x  WHEN 1 THEN -x / y
+                   WHEN 2 THEN -x / z WHEN 3 THEN z / x
+                   WHEN 4 THEN z / y  ELSE -y / z END AS u,
+         CASE face WHEN 0 THEN z / x  WHEN 1 THEN z / y
+                   WHEN 2 THEN -y / z WHEN 3 THEN y / x
+                   WHEN 4 THEN -x / y ELSE -x / z END AS v
+  FROM fuv),
+st AS (
+  SELECT pid, face,
+         CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u)
+              ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v)
+              ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+  FROM uv),
+ij AS (
+  SELECT pid, face,
+         LEAST(GREATEST(CAST(trunc(s * {n30}) AS BIGINT), 0),
+               {n30 - 1}) AS i,
+         LEAST(GREATEST(CAST(trunc(t * {n30}) AS BIGINT), 0),
+               {n30 - 1}) AS j
+  FROM st),
+walk(pid, k, orient, pos) AS (
+  SELECT pid, {MAX_LEVEL} AS k, face % 2 AS orient,
+         CAST(0 AS BIGINT) AS pos
+  FROM ij
+  UNION ALL
+  SELECT w.pid, w.k - 1,
+         xor(w.orient, CASE pk WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+         w.pos * 4 + pk
+  FROM (SELECT w.pid, w.k, w.orient, w.pos,
+               CASE w.orient * 4
+                    + ((ij.i >> (w.k - 1)) & 1) * 2
+                    + ((ij.j >> (w.k - 1)) & 1)
+                    {whens} END AS pk
+        FROM walk w JOIN ij ON ij.pid = w.pid
+        WHERE w.k > 0) w),
+leaf AS (
+  SELECT w.pid,
+         CAST(ij.face AS HUGEINT) * {1 << 61}
+         + CAST(w.pos AS HUGEINT) * 2 + 1 AS leaf_u
+  FROM walk w JOIN ij ON ij.pid = w.pid WHERE w.k = 0),
+cid AS (
+  SELECT pid, (leaf_u // {2 * lsb}) * {2 * lsb} + {lsb} AS id_u
+  FROM leaf)
+SELECT pid, CAST(CASE WHEN id_u >= {1 << 63} THEN id_u - {1 << 64}
+                      ELSE id_u END AS BIGINT) AS s2_cell
+FROM cid
+"""
 
 
 def s2_cell_udf(level: int = 12):

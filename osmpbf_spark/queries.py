@@ -583,11 +583,23 @@ def q_mercator_tiles(spark, sf_dir):
         .groupBy("tx", "ty").agg(F.count("*").alias("cnt")))
 
 
-@q("s2_cell_counts", None)   # no s2 library in DuckDB → rows-only check
+def _s2_counts_oracle():
+    from .functions.s2 import s2_oracle_sql_from
+    pts = (f"(SELECT event_id AS pid, "
+           f"CAST(({LAT_SQL}) AS DOUBLE) * 1e-9 + 40.0 AS plat, "
+           f"CAST(({LON_SQL}) AS DOUBLE) * 1e-9 + 5.0 AS plon "
+           f"FROM events)")
+    inner = s2_oracle_sql_from(pts, level=12)
+    return (f"SELECT s2_cell, COUNT(*) AS cnt FROM ({inner}) "
+            f"GROUP BY s2_cell")
+
+
+@q("s2_cell_counts", _s2_counts_oracle())
 def q_s2_cell_counts(spark, sf_dir):
     """S2 level-12 cell occupancy via the vectorized pandas UDF
-    (functions/s2.py) — validated by self-consistency tests; no SQL
-    oracle exists without an s2 library."""
+    (functions/s2.py), hash-checked against an independent SQL rendering
+    of the published algorithm (recursive-CTE Hilbert walk,
+    s2_oracle_sql_from)."""
     from .functions.s2 import with_s2_cells
     pts = (_events_xy(spark, sf_dir)
            .select((F.col("lat_nano").cast("double") * 1e-9 + 40.0)
@@ -596,6 +608,38 @@ def q_s2_cell_counts(spark, sf_dir):
                    .alias("lon")))
     return (with_s2_cells(pts, level=12)
             .groupBy("s2_cell").agg(F.count("*").alias("cnt")))
+
+
+_S2_GOLDEN_PTS = [
+    (1, 0.5, 0.5), (2, 45.0, 45.0), (3, 52.5163, 13.3777),
+    (4, 40.7128, -74.006), (5, -33.8688, 151.2093),
+    (6, 35.6762, 139.6503), (7, -1.2921, 36.8219),
+    (8, 78.2232, 15.6267), (9, -75.25, 0.125),
+    (10, 0.25, 179.5), (11, 20.0, -100.0), (12, -45.0, -60.0),
+    (13, 85.0, 170.0), (14, -85.0, -170.0), (15, 10.0, 95.0),
+    (16, 60.0, -45.0),
+]
+
+
+def _s2_golden_oracle():
+    from .functions.s2 import s2_oracle_sql
+    return s2_oracle_sql(_S2_GOLDEN_PTS, level=12)
+
+
+@q("s2_golden", _s2_golden_oracle())
+def q_s2_golden(spark, sf_dir):
+    """S2 golden vectors: 16 fixed points covering all 6 faces and both
+    hemispheres, level-12 cell ids. The Spark side runs the numpy LUT
+    path (functions/s2.py); the oracle runs a from-scratch recursive-CTE
+    SQL implementation of the same published algorithm — two independent
+    code paths must agree bit-for-bit. Level-0 face anchors are
+    additionally pinned to the published bit-layout constants in
+    tests/test_s2.py."""
+    from .functions.s2 import with_s2_cells
+    df = spark.createDataFrame(_S2_GOLDEN_PTS,
+                               "pid long, lat double, lon double")
+    return (with_s2_cells(df, level=12)
+            .select("pid", "s2_cell"))
 
 
 # ---- Dedup / text-analysis queries ----------------------------------------

@@ -91,3 +91,31 @@ def test_spark_udf(spark):
     assert vals[2] is None
     want = s2_cell_id(np.array([52.0]), np.array([11.0]), 10)[0]
     assert vals[0] == want
+
+
+def test_level0_face_anchors_public_constants():
+    # External anchors from the PUBLISHED S2 bit layout: the level-0 cell
+    # of any point on face f is exactly (f << 61) | (1 << 60) — for the
+    # six cardinal directions the face is unambiguous.
+    lat = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    got = [int(v) for v in s2_cell_id(lat, lon, 0)]
+    want = [(f << 61) | (1 << 60) for f in range(6)]
+    want = [w - (1 << 64) if w >= (1 << 63) else w for w in want]
+    assert got == want
+
+
+def test_sql_oracle_matches_numpy_on_random_points():
+    # the dual-rendered DuckDB implementation (recursive-CTE Hilbert walk)
+    # must agree bit-for-bit with the numpy LUT path
+    import duckdb
+
+    from osmpbf_spark.functions.s2 import s2_oracle_sql
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-89.9, 89.9, 200)
+    lon = rng.uniform(-179.9, 179.9, 200)
+    pts = [(i, float(la), float(lo))
+           for i, (la, lo) in enumerate(zip(lat, lon))]
+    want = {i: int(v) for i, v in enumerate(s2_cell_id(lat, lon, 12))}
+    got = dict(duckdb.sql(s2_oracle_sql(pts, 12)).fetchall())
+    assert got == want
