@@ -219,7 +219,7 @@ class _Chunk:
                  "loc_offsets", "loc_lat", "loc_lon",
                  "mem_offsets", "mem_roles", "mem_ids", "mem_types",
                  "version", "milli_ts", "changeset", "uid", "user", "visible",
-                 "has_info")
+                 "has_info", "ts_mask", "chg_mask", "uid_mask")
 
     def __init__(self, element_type: str, n: int):
         self.element_type = element_type
@@ -246,6 +246,12 @@ class _Chunk:
         self.user = None           # object array
         self.visible = None        # bool array
         self.has_info = None       # bool mask: info present per element
+        # per-FIELD presence within an Info (reference exposes these as
+        # Option — 0 must be distinguishable from absent,
+        # src/elements.rs:566-626); None ⇒ present wherever has_info
+        self.ts_mask = None
+        self.chg_mask = None
+        self.uid_mask = None
 
 
 def _decode_stringtable(buf) -> np.ndarray:
@@ -371,23 +377,30 @@ def _parse_dense(buf, table: np.ndarray, granularity: int, lat_offset: int,
         chunk.has_info = np.ones(n, dtype=bool)
 
         def _full(buf_key, delta, default=0):
+            """(values, present): absent column or padded tail ⇒ not
+            present — 0 would otherwise be indistinguishable from a real
+            zero (per-field Option, src/elements.rs:566-626)."""
             b = fields.get(buf_key)
             if b is None:
-                return np.full(n, default, dtype=np.int64)
+                return (np.full(n, default, dtype=np.int64),
+                        np.zeros(n, dtype=bool))
             a = decode_packed_sint64_delta(b) if delta \
                 else decode_packed_int64(b)
+            present = np.ones(n, dtype=bool)
             if len(a) < n:
+                present[len(a):] = False
                 a = np.pad(a, (0, n - len(a)),
                            constant_values=default)
-            return a[:n]
+            return a[:n], present
 
         # version default is -1 (proto Info default) so dense and plain
         # encodings of the same element agree
-        chunk.version = _full(1, False, default=-1)
-        chunk.milli_ts = _full(2, True) * date_granularity
-        chunk.changeset = _full(3, True)
-        chunk.uid = _full(4, True)
-        user_sid = _full(5, True)
+        chunk.version, _ = _full(1, False, default=-1)
+        ts_raw, chunk.ts_mask = _full(2, True)
+        chunk.milli_ts = ts_raw * date_granularity
+        chunk.changeset, chunk.chg_mask = _full(3, True)
+        chunk.uid, chunk.uid_mask = _full(4, True)
+        user_sid, _ = _full(5, True)
         chunk.user = _table_take(table, user_sid)
         vis_buf = fields.get(6)
         if vis_buf is None:
@@ -486,6 +499,13 @@ class _StructRows:
             c.milli_ts = col(1, 0)
             c.changeset = col(2, 0)
             c.uid = col(3, 0)
+
+            def mask(idx):
+                return np.array([i is not None and i[idx] is not None
+                                 for i in self.infos])
+            c.ts_mask = mask(1)
+            c.chg_mask = mask(2)
+            c.uid_mask = mask(3)
             u = np.empty(n, dtype=object)
             u[:] = [i[4] if i is not None else None for i in self.infos]
             c.user = u
@@ -541,6 +561,9 @@ def _batch_infos(chunk: _Chunk, info_bufs, table, date_granularity):
     mts = np.zeros(n, dtype=np.int64)
     chg = np.zeros(n, dtype=np.int64)
     uid = np.zeros(n, dtype=np.int64)
+    ts_m = np.zeros(n, dtype=bool)
+    chg_m = np.zeros(n, dtype=bool)
+    uid_m = np.zeros(n, dtype=bool)
     user = np.full(n, None, dtype=object)
     vis = np.ones(n, dtype=bool)
     for i, b in enumerate(info_bufs):
@@ -548,15 +571,24 @@ def _batch_infos(chunk: _Chunk, info_bufs, table, date_granularity):
             continue
         v = _parse_info(b, table, date_granularity)
         vers[i] = v[0]
-        mts[i] = v[1] or 0
-        chg[i] = v[2] or 0
-        uid[i] = v[3] or 0
+        if v[1] is not None:
+            mts[i] = v[1]
+            ts_m[i] = True
+        if v[2] is not None:
+            chg[i] = v[2]
+            chg_m[i] = True
+        if v[3] is not None:
+            uid[i] = v[3]
+            uid_m[i] = True
         user[i] = v[4]
         vis[i] = v[5]
     chunk.version = vers
     chunk.milli_ts = mts
     chunk.changeset = chg
     chunk.uid = uid
+    chunk.ts_mask = ts_m
+    chunk.chg_mask = chg_m
+    chunk.uid_mask = uid_m
     chunk.user = user
     chunk.visible = vis
 
@@ -839,6 +871,7 @@ def chunks_to_batch(per_blob: list[tuple[str, int, list[_Chunk]]]) -> pa.RecordB
     mem_roles, mem_ids, mem_types = [], [], []
     version, milli_ts, changeset, uid = [], [], [], []
     user, visible, has_info = [], [], []
+    ts_present, chg_present, uid_present = [], [], []
     blob_nos, doc_ids = [], []
 
     n_total = 0
@@ -881,15 +914,25 @@ def chunks_to_batch(per_blob: list[tuple[str, int, list[_Chunk]]]) -> pa.RecordB
                 uid.append(c.uid)
                 user.append(c.user)
                 visible.append(c.visible)
+                ts_present.append(c.ts_mask if c.ts_mask is not None
+                                  else c.has_info)
+                chg_present.append(c.chg_mask if c.chg_mask is not None
+                                   else c.has_info)
+                uid_present.append(c.uid_mask if c.uid_mask is not None
+                                   else c.has_info)
             else:
                 has_info.append(np.zeros(n, dtype=bool))
                 z = np.zeros(n, dtype=np.int64)
+                zb = np.zeros(n, dtype=bool)
                 version.append(z)
                 milli_ts.append(z)
                 changeset.append(z)
                 uid.append(z)
                 user.append(np.full(n, None, dtype=object))
                 visible.append(np.ones(n, dtype=bool))
+                ts_present.append(zb)
+                chg_present.append(zb)
+                uid_present.append(zb)
             blob_nos.append(np.full(n, blob_no, dtype=np.int64))
             doc_ids.append(np.full(n, doc_id, dtype=object))
 
@@ -941,6 +984,14 @@ def chunks_to_batch(per_blob: list[tuple[str, int, list[_Chunk]]]) -> pa.RecordB
                   else np.empty(0, dtype=bool))
     no_info = ~has_info_a
 
+    def catb(parts):
+        return (np.concatenate(parts) if parts
+                else np.empty(0, dtype=bool))
+    # per-field absence: Info present but field omitted ⇒ NULL, not 0
+    no_ts = ~catb(ts_present)
+    no_chg = ~catb(chg_present)
+    no_uid = ~catb(uid_present)
+
     def masked(arr, astype, mask):
         return pa.array(arr.astype(astype), mask=mask)
 
@@ -955,9 +1006,9 @@ def chunks_to_batch(per_blob: list[tuple[str, int, list[_Chunk]]]) -> pa.RecordB
         loc_arr,
         mem_arr,
         masked(version_a, np.int32, no_info),
-        masked(cat64(milli_ts), np.int64, no_info),
-        masked(cat64(changeset), np.int64, no_info),
-        masked(cat64(uid), np.int32, no_info),
+        masked(cat64(milli_ts), np.int64, no_ts),
+        masked(cat64(changeset), np.int64, no_chg),
+        masked(cat64(uid), np.int32, no_uid),
         pa.array(_concat_obj(user, n_total), type=pa.string()),
         pa.array(np.concatenate(visible) if visible
                  else np.empty(0, dtype=bool), mask=no_info),

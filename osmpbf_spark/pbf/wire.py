@@ -221,6 +221,14 @@ def decode_packed_u64_segments(bufs: list) -> tuple[np.ndarray, np.ndarray]:
     is_end = (b < 0x80).astype(np.int64)
     cum_ends = np.concatenate(([np.int64(0)], np.cumsum(is_end)))
     offs = np.concatenate(([np.int64(0)], np.cumsum(byte_lens)))
+    # fail-fast guard: every NONEMPTY buffer must end on a varint
+    # terminator, else a dangling continuation byte silently merges its
+    # value into the NEXT buffer's first varint — wrong refs/memids for
+    # two elements with no error (single-buffer decode_packed_u64 catches
+    # this; the joined pass must too)
+    ends = offs[1:][byte_lens > 0]
+    if ends.size and not (b[ends - 1] < 0x80).all():
+        raise ValueError("truncated varint at packed-field segment end")
     seg_lengths = cum_ends[offs[1:]] - cum_ends[offs[:-1]]
     return values, seg_lengths
 

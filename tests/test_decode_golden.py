@@ -174,3 +174,35 @@ def test_decimicro_truncation_toward_zero():
     # (src/elements.rs:94-96); engine contract checked at the Spark layer
     # too (test_elements_spark)
     assert int(-52119923550 / 100) == -521199235  # python trunc division check
+
+
+def test_info_per_field_absence_is_null_not_zero():
+    # reference exposes Info fields as per-field Option
+    # (src/elements.rs:566-626): an Info carrying only version+user must
+    # surface NULL timestamp/changeset/uid, not 0
+    from osmpbf_spark.pbf.encode import (
+        Info,
+        Node,
+        Way,
+        encode_blob,
+        encode_primitive_block,
+    )
+    node = Node(id=1, lat_raw=0, lon_raw=0,
+                info=Info(version=3, user="alice"))
+    zero = Node(id=2, lat_raw=0, lon_raw=0,
+                info=Info(version=1, timestamp=0, changeset=0, uid=0))
+    way = Way(id=3, refs=[1, 2], info=Info(version=2, uid=None,
+                                           changeset=77))
+    block = encode_primitive_block([[node, zero], [way]], dense=False)
+    rows = {r["id"]: r for r in pa.Table.from_batches([chunks_to_batch(
+        [("d", 0, parse_primitive_block(
+            decompress_blob(encode_blob(block))))])]).to_pylist()}
+    assert rows[1]["version"] == 3 and rows[1]["user"] == "alice"
+    assert rows[1]["milli_timestamp"] is None
+    assert rows[1]["changeset"] is None
+    assert rows[1]["uid"] is None
+    # explicit zeros stay zeros (distinguishable from absent)
+    assert rows[2]["milli_timestamp"] == 0
+    assert rows[2]["changeset"] == 0
+    assert rows[2]["uid"] == 0
+    assert rows[3]["changeset"] == 77 and rows[3]["uid"] is None

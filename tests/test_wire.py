@@ -59,3 +59,21 @@ def test_empty_packed():
 def test_truncated_varint_raises():
     with pytest.raises(ValueError):
         wire.decode_packed_u64(b"\x80\x80")
+
+
+def test_segments_truncated_varint_raises():
+    # a buffer ending mid-varint (continuation bit set) must fail fast,
+    # not silently merge into the next buffer's first varint
+    import pytest
+
+    from osmpbf_spark.pbf.wire import (
+        decode_packed_u64_segments,
+        encode_varint,
+    )
+    good = b"".join(encode_varint(v) for v in (1, 2, 3))
+    vals, lens = decode_packed_u64_segments([good, b"", good])
+    assert list(lens) == [3, 0, 3]
+    with pytest.raises(ValueError, match="truncated varint"):
+        decode_packed_u64_segments([good[:-1] + b"\x80", good])
+    with pytest.raises(ValueError, match="truncated varint"):
+        decode_packed_u64_segments([b"\x80"])
