@@ -228,19 +228,44 @@ def hyperplane_signature(df: DataFrame, planes: list[list[float]], *,
     return df.withColumn(out_col, sig)
 
 
+def probe_masks(n_planes: int, multiprobe: int) -> list[int]:
+    """XOR masks for multi-probe LSH: the exact bucket, every 1-bit flip,
+    and (multiprobe ≥ 2) every 2-bit flip — the standard multi-probe
+    recall lever (probe the neighboring buckets most likely to hold
+    near-misses, instead of building more tables)."""
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return masks
+
+
 def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
                     planes: list[list[float]], *,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    query_id_col: str = "query_id") -> DataFrame:
+                    query_id_col: str = "query_id",
+                    multiprobe: int = 1) -> DataFrame:
     """Bucketed ANN: candidates share a hyperplane-signature bucket with
     the query (equi-join on sig — at 100 TB this is the scale path: the
     embedding table is hash-partitioned by sig, queries probe matching
-    buckets only). Recall < 1.0 by construction; validate against
-    :func:`cosine_topk` on samples."""
+    buckets only). ``multiprobe`` flips up to that many signature bits on
+    the QUERY side (the small side — the probe fan-out rides the
+    broadcast, the big table still sees one equi-join), trading a
+    constant-factor candidate increase for recall. Distinct masks give
+    distinct probe values, so each (query, vector) pair appears at most
+    once — no dedup needed. Recall < 1.0 by construction; validated
+    against :func:`cosine_topk` (pinned threshold in tests)."""
     e_sig = hyperplane_signature(embeddings, planes, vec_col=vec_col)
     q_sig = hyperplane_signature(queries, planes, vec_col=vec_col)
-    q = F.broadcast(q_sig.select(
-        F.col(query_id_col), F.col(vec_col).alias("q_vec"), "sig"))
+    masks = probe_masks(len(planes), multiprobe)
+    marr = "array(" + ",".join(f"{m}L" for m in masks) + ")"
+    q = F.broadcast(
+        q_sig.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+                     F.explode(F.expr(marr)).alias("_mask"), "sig")
+        .select(query_id_col, "q_vec",
+                F.expr("sig ^ _mask").alias("sig")))
     cand = (e_sig.select(F.col(id_col), F.col(vec_col).alias("e_vec"), "sig")
             .join(q, "sig")
             .withColumn("cos_sim",

@@ -47,14 +47,21 @@ def make_polygons(spark, rows) -> DataFrame:
     return spark.createDataFrame(data, POLYGONS_DDL)
 
 
-def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE) -> DataFrame:
-    """(cell, poly_id) for every grid cell whose bbox-row/col range
-    intersects the polygon's bbox. Runs distributed via sequence-explode;
-    result is small (cells-per-polygon) and meant for broadcast."""
+def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
+                  *, tight: bool = True) -> DataFrame:
+    """(cell, poly_id) for every grid cell whose row intersects the
+    polygon — a per-cell-row SCANLINE, not the full bbox: each bbox row
+    keeps only the x-span of ring edges crossing that row's lat band
+    (±1-cell float-safety pad), so large concave/diagonal polygons emit
+    far fewer candidate cells for the exact refine. ``tight=False``
+    restores the plain bbox cover. Runs distributed via sequence-explode;
+    result is small (cells-per-polygon) and meant for broadcast.
+
+    x never wraps here: antimeridian-crossing polygons are a documented
+    unsupported case."""
     n = 1 << res
-    x_expr, y_expr = grid_xy_sql("b.lat_nano", "b.lon_nano", res, "spark")
     bounds = polygons.select(
-        "poly_id",
+        "poly_id", "ring",
         F.expr("aggregate(ring, struct(CAST(9223372036854775807 AS BIGINT) "
                "AS min_lat, CAST(-9223372036854775808 AS BIGINT) AS max_lat, "
                "CAST(9223372036854775807 AS BIGINT) AS min_lon, "
@@ -63,10 +70,8 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE) -> DataFrame:
                "GREATEST(acc.max_lat, v.lat_nano), "
                "LEAST(acc.min_lon, v.lon_nano), "
                "GREATEST(acc.max_lon, v.lon_nano)))").alias("b"))
-    # bbox corner cells (x can wrap only for antimeridian-crossing polygons,
-    # which this cover does not support — documented limitation)
     xy = bounds.select(
-        "poly_id",
+        "poly_id", "ring",
         F.expr(grid_xy_sql("b.min_lat", "b.min_lon", res, "spark")[0])
         .alias("x0"),
         F.expr(grid_xy_sql("b.max_lat", "b.max_lon", res, "spark")[0])
@@ -75,13 +80,58 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE) -> DataFrame:
         .alias("y0"),
         F.expr(grid_xy_sql("b.max_lat", "b.max_lon", res, "spark")[1])
         .alias("y1"))
-    from ..functions.grid import RES_SHIFT, Y_SHIFT
-    return (xy
-            .select("poly_id",
-                    F.explode(F.expr("sequence(x0, x1)")).alias("cx"),
-                    F.col("y0"), F.col("y1"))
-            .select("poly_id", "cx",
-                    F.explode(F.expr("sequence(y0, y1)")).alias("cy"))
+    from ..functions.grid import NANO_180, NANO_360, RES_SHIFT, Y_SHIFT
+    rows = xy.select("poly_id", "ring", "x0", "x1",
+                     F.explode(F.expr("sequence(y0, y1)")).alias("cy"))
+    if tight:
+        band_h = NANO_360 / 2 / n   # lat height of one cell row (double)
+        # pre-shape ring into edges once, then per row: keep edges whose
+        # lat range meets the band, interpolate their lon extent clipped
+        # to the band, min/max-aggregate (tiny arrays: polygons × rows —
+        # HOF interpretation cost is irrelevant at this cardinality)
+        edges = ("zip_with(slice(ring, 1, size(ring) - 1), "
+                 "slice(ring, 2, size(ring) - 1), (a, b) -> struct("
+                 "CAST(LEAST(a.lat_nano, b.lat_nano) AS DOUBLE) AS lo, "
+                 "CAST(GREATEST(a.lat_nano, b.lat_nano) AS DOUBLE) AS hi, "
+                 "CAST(a.lat_nano AS DOUBLE) AS la1, "
+                 "CAST(a.lon_nano AS DOUBLE) AS lo1, "
+                 "CAST(b.lat_nano AS DOUBLE) AS la2, "
+                 "CAST(b.lon_nano AS DOUBLE) AS lo2))")
+        blo = f"(cy * CAST({band_h!r} AS DOUBLE) - {90_000_000_000}D - 1.0D)"
+        bhi = (f"((cy + 1) * CAST({band_h!r} AS DOUBLE) "
+               f"- {90_000_000_000}D + 1.0D)")
+        # lon of edge e at clamped lat t (flat edges span their endpoints)
+        def lon_at(t):
+            return (f"(e.lo1 + (e.lo2 - e.lo1) * "
+                    f"(GREATEST(LEAST({t}, e.hi), e.lo) - e.la1) "
+                    f"/ (e.la2 - e.la1))")
+        span = rows.withColumn("sp", F.expr(f"""
+            aggregate(
+              filter({edges}, e -> e.lo <= {bhi} AND e.hi >= {blo}),
+              struct(CAST(1e308 AS DOUBLE) AS mn, CAST(-1e308 AS DOUBLE) AS mx),
+              (acc, e) -> struct(
+                LEAST(acc.mn, CASE WHEN e.la1 = e.la2
+                   THEN LEAST(e.lo1, e.lo2)
+                   ELSE LEAST({lon_at(blo)}, {lon_at(bhi)}) END),
+                GREATEST(acc.mx, CASE WHEN e.la1 = e.la2
+                   THEN GREATEST(e.lo1, e.lo2)
+                   ELSE GREATEST({lon_at(blo)}, {lon_at(bhi)}) END)))
+        """))
+        # double→cell x with a ±1-cell pad; empty edge set ⇒ full bbox row
+        xf = (f"CAST(floor((sp.{{m}} + {180_000_000_000}D) * {n} "
+              f"/ {360_000_000_000}D) AS BIGINT)")
+        rows = span.select(
+            "poly_id", "cy",
+            F.expr(f"CASE WHEN sp.mn > sp.mx THEN x0 ELSE "
+                   f"GREATEST(x0, {xf.format(m='mn')} - 1) END").alias("rx0"),
+            F.expr(f"CASE WHEN sp.mn > sp.mx THEN x1 ELSE "
+                   f"LEAST(x1, {xf.format(m='mx')} + 1) END").alias("rx1"))
+    else:
+        rows = rows.select("poly_id", "cy", F.col("x0").alias("rx0"),
+                           F.col("x1").alias("rx1"))
+    return (rows
+            .select("poly_id", "cy",
+                    F.explode(F.expr("sequence(rx0, rx1)")).alias("cx"))
             .select("poly_id",
                     (F.lit(res).cast("long") * F.lit(RES_SHIFT)
                      + F.col("cx") * F.lit(Y_SHIFT)

@@ -934,14 +934,14 @@ def q_embedding_neardup(spark, sf_dir):
 
 @q("ann_lsh_topk", None)   # recall-bearing approximation → rows-only
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path of knn_cosine);
-    approximate by construction, validated against the exact baseline in
-    tests — rows-only check here."""
+    """LSH-bucketed approximate top-k (scale path of knn_cosine) with
+    1-bit multi-probe; approximate by construction, recall validated
+    against the exact baseline in tests — rows-only check here."""
     from .operators.knn import lsh_cosine_topk
     emb = _load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return lsh_cosine_topk(emb, queries, 3, _PLANES)
+    return lsh_cosine_topk(emb, queries, 3, _PLANES, multiprobe=1)
 
 
 def all_queries():

@@ -104,3 +104,41 @@ def test_ring_offsets(spark):
     r2 = ring_offsets(spark, 2).collect()
     assert len(r2) == 16                      # ring k has 8k cells
     assert all(max(abs(r["dx"]), abs(r["dy"])) == 2 for r in r2)
+
+
+def test_lsh_multiprobe_recall_monotone_and_pinned(spark):
+    # multi-probe flips query signature bits: recall@k must be monotone
+    # in probe depth and hit a pinned floor at 2-bit probing with these
+    # fixed planes (VERDICT r1 #6)
+    dims = 16
+    rng = random.Random(99)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dims)]) for i in range(400)]
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(i, vecs[i][1]) for i in range(12)],
+        "query_id long, embedding array<double>")
+    planes = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(6)]
+    exact_map = {}
+    for r in cosine_topk(edf, qdf, 5).collect():
+        exact_map.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(mp):
+        got = {}
+        for r in lsh_cosine_topk(edf, qdf, 5, planes,
+                                 multiprobe=mp).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hit = sum(len(got.get(q, set()) & exact_map[q])
+                  for q in exact_map)
+        return hit / sum(len(v) for v in exact_map.values())
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2, (r0, r1, r2)
+    # measured with these fixed planes: 0.33 / 0.50 / 0.77 — pin the
+    # floor and that the probe lever more than doubles bucket-only recall
+    assert r2 >= 0.70, (r0, r1, r2)
+    assert r2 >= 2 * r0, (r0, r1, r2)
+    # each (query, vector) pair appears at most once even with 2-bit probes
+    dup = (lsh_cosine_topk(edf, qdf, 1000, planes, multiprobe=2)
+           .groupBy("query_id", "vec_id").count().filter("count > 1")
+           .count())
+    assert dup == 0

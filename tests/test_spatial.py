@@ -201,3 +201,35 @@ def test_cosine_topk_deterministic(spark):
     assert top[0]["vec_id"] == 7           # self-match first
     assert abs(top[0]["cos_sim"] - 1.0) < 1e-12
     assert [r["rn"] for r in sorted(top, key=lambda r: r["rn"])] == [1, 2, 3]
+
+
+def test_tight_cover_shrinks_for_L_shape_and_keeps_pip_exact(spark):
+    # scanline cover must be a strict subset of the bbox cover for an
+    # L-shaped polygon (VERDICT r1 #8) while pip_join results are
+    # unchanged (the refine is exact either way)
+    B = 1_000_000_000
+    from osmpbf_spark.operators.pip import polygon_cover
+    L = [(0, 0), (10 * B, 0), (10 * B, 2 * B), (2 * B, 2 * B),
+         (2 * B, 10 * B), (0, 10 * B), (0, 0)]
+    polys = make_polygons(spark, [("L", L)])
+    res = 8
+    tight = polygon_cover(polys, res).count()
+    bbox = polygon_cover(polys, res, tight=False).count()
+    assert tight < bbox * 0.55, (tight, bbox)   # L fills 36% of its bbox
+    # identical pip results on a point grid straddling the polygon
+    pts = [(i * 57 + j, i * B // 2 - B, j * B // 2 - B)
+           for i in range(26) for j in range(26)]
+    pdf = with_grid_cells(spark.createDataFrame(
+        pts, "id long, lat_nano long, lon_nano long"), res=res)
+    got_t = {r["id"] for r in pip_join(pdf, polys, res=res).collect()}
+    cover_b = F.broadcast(polygon_cover(polys, res, tight=False))
+    cand = pdf.join(cover_b, pdf["cell"] == cover_b["cell"]).drop(
+        cover_b["cell"])
+    from osmpbf_spark.operators.pip import point_in_ring_expr
+    got_b = {r["id"] for r in
+             cand.join(F.broadcast(polys), "poly_id")
+             .filter(point_in_ring_expr("lon_nano", "lat_nano")).collect()}
+    want = {i for (i, la, lo) in pts
+            if (0 <= la < 2 * B and 0 <= lo < 10 * B)
+            or (0 <= la < 10 * B and 0 <= lo < 2 * B)}
+    assert got_t == got_b == want
