@@ -51,6 +51,17 @@ class Engine:
         return cls(spark, docs, media)
 
     @classmethod
+    def from_pbf_path(cls, spark: SparkSession, path: str,
+                      **kwargs) -> "Engine":
+        """Distributed, bounded-memory ingest of a raw *.osm.pbf file of
+        any size (chunked frame scan + mmap payload fetch; see
+        sources/ingest.py). This is the production path for planet-scale
+        files; from_pbf_bytes remains for in-memory fixtures."""
+        from .sources.ingest import read_pbf_documents
+        docs, media = read_pbf_documents(spark, path, **kwargs)
+        return cls(spark, docs, media)
+
+    @classmethod
     def from_tables(cls, spark: SparkSession, documents_path: str,
                     media_path: str) -> "Engine":
         return cls(spark, spark.read.parquet(documents_path),

@@ -81,6 +81,78 @@ ELEMENT_SCHEMA = pa.schema([
 # File framing (ingest-time: raw *.osm.pbf byte stream → blob records)
 # ---------------------------------------------------------------------------
 
+def try_parse_frame_at(buf, pos: int):
+    """If a plausible fileblock frame starts at ``pos``, return
+    (blob_type, header_size, datasize), else None.
+
+    A frame is ``[u32 BE len][BlobHeader][Blob]`` (fileformat.proto:58-67).
+    Plausibility = length within the 64 KiB header limit, BlobHeader
+    parses with a known type string and a datasize within the 32 MiB
+    body limit (the reference's own guards, src/blob.rs:189-295). Used
+    by the chunked scanner to RESYNC inside an arbitrary byte range;
+    false positives are eliminated by the caller's whole-file contiguity
+    check, not here."""
+    n = len(buf)
+    if pos + 4 > n:
+        return None
+    header_size = struct.unpack_from(">I", buf, pos)[0]
+    if not 0 < header_size <= MAX_BLOB_HEADER_SIZE:
+        return None
+    if pos + 4 + header_size > n:
+        return None
+    blob_type = None
+    datasize = None
+    try:
+        for field_no, wt, value in scan_fields(buf[pos + 4:
+                                                   pos + 4 + header_size]):
+            if field_no == 1 and wt == WT_LEN:
+                blob_type = bytes(value).decode("utf-8")
+            elif field_no == 3 and wt == WT_VARINT:
+                datasize = value
+    except Exception:
+        return None
+    if blob_type not in ("OSMData", "OSMHeader"):
+        return None
+    if datasize is None or not 0 <= datasize <= MAX_BLOB_MESSAGE_SIZE:
+        return None
+    if pos + 4 + header_size + datasize > n:
+        return None
+    return blob_type, header_size, datasize
+
+
+def scan_chunk_frames(buf, start: int, end: int):
+    """Frame headers whose START lies in ``[start, end)`` of ``buf`` (a
+    bytes-like with random access, e.g. an mmap — bounded memory via OS
+    paging). Resyncs at ``start``: scans forward for the first offset
+    where a frame parses AND chains to a second valid frame (or EOF).
+    Yields (offset, blob_type, header_size, datasize); payload bytes are
+    NOT materialized — callers slice them on demand (header-only pass).
+    """
+    pos = start
+    synced = start == 0
+    while pos < end:
+        f = try_parse_frame_at(buf, pos)
+        if f is None:
+            # includes losing sync mid-stream (corruption/garbage): keep
+            # scanning — the gap surfaces as a precise ValueError in the
+            # driver's contiguity gate rather than a worker stack trace
+            synced = False
+            pos += 1
+            continue
+        if not synced:
+            # chain check: the candidate's successor must also parse (or
+            # be exactly EOF) — a zlib byte soup rarely fakes one valid
+            # header, practically never two in a row; any residual false
+            # sync is caught by the driver's contiguity validation
+            nxt = pos + 4 + f[1] + f[2]
+            if nxt != len(buf) and try_parse_frame_at(buf, nxt) is None:
+                pos += 1
+                continue
+            synced = True
+        yield (pos, *f)
+        pos += 4 + f[1] + f[2]
+
+
 def split_fileblocks(data: bytes):
     """Walk ``[u32 BE len][BlobHeader][Blob]`` records; yields dicts with
     (blob_no, blob_type, offset, datasize, blob_bytes).

@@ -1,0 +1,104 @@
+"""Distributed chunked PBF ingest: resync, contiguity gate, parity with
+the single-node path, bounded chunk sizes smaller than one frame."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmpbf_spark.api import Engine
+from osmpbf_spark.pbf.decode import split_fileblocks
+from osmpbf_spark.pbf.encode import (
+    Node,
+    encode_blob,
+    encode_primitive_block,
+    frame_fileblock,
+)
+from osmpbf_spark.sources.fixtures import fixture_file_bytes
+from osmpbf_spark.sources.ingest import pbf_frame_index, read_pbf_documents
+
+
+def _make_file(tmp_path, *, copies=40, big_block_nodes=60000):
+    """Framed PBF: header + many small blocks + one frame much larger
+    than the test chunk size (forces ranges wholly inside one frame)."""
+    base = fixture_file_bytes("zlib_dense")
+    big = frame_fileblock("OSMData", encode_blob(encode_primitive_block(
+        [[Node(id=1_000_000 + i, lat_raw=i, lon_raw=-i)
+          for i in range(big_block_nodes)]], dense=True), compress=False))
+    small = frame_fileblock("OSMData", encode_blob(encode_primitive_block(
+        [[Node(id=5_000_000, lat_raw=7, lon_raw=9)]]), compress=True))
+    data = base * copies + big + small * 5
+    p = tmp_path / "synthetic.osm.pbf"
+    p.write_bytes(data)
+    return str(p), data
+
+
+def test_frame_index_matches_split_fileblocks(spark, tmp_path):
+    path, data = _make_file(tmp_path)
+    want = [(b["offset"], b["blob_type"], b["datasize"])
+            for b in split_fileblocks(data)]
+    idx = pbf_frame_index(spark, path, chunk_bytes=64 * 1024)
+    got = [(off, bt, ds) for off, bt, hs, ds in idx]
+    assert got == want
+    assert len(got) > 50  # many chunk boundaries were crossed
+
+
+def test_chunk_smaller_than_one_frame(spark, tmp_path):
+    # several ranges fall entirely INSIDE the big frame → those tasks
+    # yield nothing, the frame is owned by the range holding its start
+    path, data = _make_file(tmp_path, copies=2)
+    big_frame = max(b["datasize"] for b in split_fileblocks(data))
+    chunk = 32 * 1024
+    assert big_frame > 4 * chunk
+    idx = pbf_frame_index(spark, path, chunk_bytes=chunk)
+    assert [(o, t, d) for o, t, h, d in idx] == \
+        [(b["offset"], b["blob_type"], b["datasize"])
+         for b in split_fileblocks(data)]
+
+
+def test_distributed_ingest_decodes_identically(spark, tmp_path):
+    path, data = _make_file(tmp_path, copies=6, big_block_nodes=5000)
+    eng_d = Engine.from_pbf_path(spark, path, chunk_bytes=48 * 1024)
+    eng_b = Engine.from_pbf_bytes(spark, "synthetic.osm.pbf", data)
+    a = (eng_d.elements().groupBy("element_type")
+         .agg(F.count("*").alias("cnt"),
+              F.sum("id").alias("sid"),
+              F.sum("lat_nano").alias("slat")).collect())
+    b = (eng_b.elements().groupBy("element_type")
+         .agg(F.count("*").alias("cnt"),
+              F.sum("id").alias("sid"),
+              F.sum("lat_nano").alias("slat")).collect())
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # blob_no parity: same numbering as the single-node walk
+    meta_d = sorted(tuple(r) for r in eng_d.blob_metadata()
+                    .select("blob_no", "blob_type", "datasize").collect())
+    meta_b = sorted(tuple(r) for r in eng_b.blob_metadata()
+                    .select("blob_no", "blob_type", "datasize").collect())
+    assert meta_d == meta_b
+
+
+def test_interframe_garbage_fails_contiguity(spark, tmp_path):
+    path, data = _make_file(tmp_path, copies=3, big_block_nodes=1000)
+    blocks = list(split_fileblocks(data))
+    cut = blocks[2]["offset"]
+    bad = data[:cut] + b"\x00garbage\xff" + data[cut:]
+    p = tmp_path / "garbage.osm.pbf"
+    p.write_bytes(bad)
+    with pytest.raises(ValueError, match="contiguous"):
+        pbf_frame_index(spark, str(p), chunk_bytes=64 * 1024)
+
+
+def test_truncated_tail_fails(spark, tmp_path):
+    path, data = _make_file(tmp_path, copies=2, big_block_nodes=1000)
+    p = tmp_path / "trunc.osm.pbf"
+    p.write_bytes(data[:-37])
+    with pytest.raises(ValueError, match="contiguous|trailing"):
+        pbf_frame_index(spark, str(p), chunk_bytes=64 * 1024)
+
+
+def test_payloads_never_pass_driver_and_never_shuffle(spark, tmp_path):
+    path, _ = _make_file(tmp_path, copies=3, big_block_nodes=1000)
+    from osmpbf_spark.plans.audit import exchanges_carrying
+    from osmpbf_spark.sources.documents import read_elements
+    docs, media = read_pbf_documents(spark, path, chunk_bytes=64 * 1024)
+    el = read_elements(docs, media)
+    assert exchanges_carrying(el, "payload") == []
+    assert el.filter("element_type = 'node'").count() > 0
