@@ -70,6 +70,16 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
     dist2 = _dlat * _dlat + _dlon * _dlon
     win = Window.partitionBy(query_id_col).orderBy("dist2", id_col)
 
+    import os
+    import time as _time
+    _dbg = bool(os.environ.get("OSMPBF_KNN_DEBUG"))
+    _t0 = _time.time()
+
+    def _log(msg):
+        if _dbg:
+            print(f"[grid_knn +{_time.time() - _t0:6.2f}s] {msg}",
+                  flush=True)
+
     spark = points.sparkSession
     pts_pinned = False
     if not broadcast_candidates:
@@ -80,6 +90,7 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # outputs are eagerly checkpointed, so nothing recomputes).
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         pts = pts.repartition(n_shuffle, "p_cell").persist()
+        _log("pts repartition declared")
         pts_pinned = True
     remaining = q
     remaining_n = None                 # unknown until first checkpoint
@@ -113,9 +124,17 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                        and remaining_n * min(area, 1024) <= 2_000_000)
         left = (F.broadcast(cand_cells)
                 if broadcast_candidates or small_round else cand_cells)
+        # guard pre-filter BEFORE the window: a candidate at dist ≥
+        # disk*cell_h can never be in a PASSING query's top-k (the pass
+        # condition is dk < guard), and failing queries retry at the next
+        # disk anyway — so dropping it map-side is result-identical while
+        # cutting ~⅔ of the window shuffle+sort volume (circle/square
+        # area ratio): the scalable-path lever for the kNN-join regime.
+        guard = F.lit(float(disk * cell_h)) ** 2
         cand = (left
                 .join(pts, cand_cells["jcell"] == pts["p_cell"])
                 .withColumn("dist2", dist2)
+                .filter(F.col("dist2") < guard)
                 .withColumn("rn", F.row_number().over(win))
                 .filter(F.col("rn") <= k))
         # the round's completeness check and its output both consume cand —
@@ -125,15 +144,14 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         cand = cand.persist()
         # guarantee: k-th distance inside searched square of half-width
         # disk*cell_h (cells are 2:1 — lon cells are wider, so cell_h is
-        # the binding, conservative bound)
-        guard = (F.lit(float(disk * cell_h)) ** 2)
-        stats = (cand.groupBy(query_id_col)
-                 .agg(F.count("*").alias("n_found"),
-                      F.max("dist2").alias("dk")))
-        # strict <: a point exactly AT the guaranteed radius outside the
-        # searched square could still win the (dist2, id) tiebreak
-        ok_ids = stats.filter((F.col("n_found") >= k) & (F.col("dk") < guard)) \
-            .select(query_id_col)
+        # the binding, conservative bound). The strict `dist2 < guard`
+        # pre-filter above already enforces the radius (a point exactly
+        # AT the radius outside the searched square could still win the
+        # (dist2, id) tiebreak), so the pass condition reduces to having
+        # k in-guard candidates.
+        stats = cand.groupBy(query_id_col).agg(
+            F.count("*").alias("n_found"))
+        ok_ids = stats.filter(F.col("n_found") >= k).select(query_id_col)
         # materialize the round's small outputs eagerly (≤ k rows per
         # finished query / one row per open query) so lineage is truncated
         # each round — without this, `remaining` accumulates one left_anti
@@ -142,11 +160,13 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         done = (cand.join(ok_ids, query_id_col, "left_semi")
                 .select(query_id_col, F.col(id_col), "dist2", "rn")
                 .localCheckpoint(eager=True))
+        _log(f"disk={disk}: done checkpointed")
         done_parts.append(done)
         remaining = (remaining.join(ok_ids, query_id_col, "left_anti")
                      .localCheckpoint(eager=True))
         cand.unpersist()
         remaining_n = remaining.count()   # cheap: checkpointed
+        _log(f"disk={disk}: remaining={remaining_n}")
         if remaining_n == 0:
             break
         disk *= 2

@@ -70,16 +70,76 @@ spark.stop()
 """
 
 
+KNN_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from osmpbf_spark.session import get_spark
+from osmpbf_spark.sources.documents import read_node_points
+from osmpbf_spark.functions.grid import with_grid_cells
+from osmpbf_spark.operators.knn import grid_knn
+
+cpus = int(sys.argv[1])
+base = sys.argv[2]
+n_elements = int(sys.argv[3])
+spark = get_spark(f"scaling-knn-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=max(cpus, 8),
+                  extra_conf={{"spark.sql.files.maxPartitionBytes":
+                               str(16 * 1024 * 1024)}})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(base + "/documents.parquet")
+media = spark.read.parquet(base + "/media.parquet")
+_B = 1_000_000_000
+RES = 14
+N_Q = int(os.environ.get("KNN_QUERIES", "1000000"))
+
+# decode+index once OUTSIDE the timer (decode scaling is evidenced by the
+# pip workload / BENCH_SCALING.md); the measured job is the kNN JOIN
+# itself in the co-partitioned (non-broadcast) regime
+nodes = with_grid_cells(read_node_points(docs, media), res=RES).persist()
+nodes.count()
+qdf = with_grid_cells(
+    spark.range(N_Q).select(
+        F.col("id").alias("query_id"),
+        (F.lit(40 * _B) + F.pmod(F.xxhash64("id"), F.lit(10 * _B)))
+        .alias("lat_nano"),
+        (F.lit(5 * _B) + F.pmod(F.xxhash64("id", F.lit(1)),
+                                F.lit(10 * _B))).alias("lon_nano")),
+    res=RES)
+
+def job():
+    out = grid_knn(nodes, qdf, 5, res=RES, broadcast_candidates=False)
+    return out.count()
+
+job()
+best = float("inf")
+rows = 0
+for _ in range(2):
+    t0 = time.time()
+    rows = job()
+    best = min(best, time.time() - t0)
+print(json.dumps({{"cpus": cpus, "sec": round(best, 3),
+                   "elements_per_sec": round(N_Q / best, 1),
+                   "pip_matches": rows}}))
+spark.stop()
+"""
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=4_000_000)
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.md"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", default="8,32")
+    ap.add_argument("--workload", default="pip", choices=["pip", "knn"])
     ap.add_argument("--trials", type=int, default=3,
                     help="outer trials per cpu level (best kept) — the "
                     "shared host's available CPU drifts run-to-run, so a "
                     "single trial under-reports capability")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = os.path.join(
+            REPO, "BENCH_SCALING.md" if args.workload == "pip"
+            else "BENCH_SCALING_KNN.md")
 
     base = f"/tmp/spark_graft_scaling_{args.nodes}"
     if not os.path.exists(base + "/documents.parquet"):
@@ -99,7 +159,8 @@ def main():
         exp = json.load(f)
     n_elements = exp["node"] + exp["way"] + exp["relation"]
 
-    runner = RUNNER.format(repo=REPO)
+    runner = (RUNNER if args.workload == "pip"
+              else KNN_RUNNER).format(repo=REPO)
     results = {}
     cpu_list = [int(c) for c in args.cpus.split(",")]
     for cpus in cpu_list:
@@ -127,8 +188,11 @@ def main():
     thr_lo = results[lo]["elements_per_sec"]
     thr_hi = results[hi]["elements_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    wname = ("decode+grid-index+PIP join (north-star)"
+             if args.workload == "pip" else
+             "decode+grid-index+kNN JOIN, 100k queries, non-broadcast")
     summary = {
-        "workload": "decode+grid-index+PIP join (north-star)",
+        "workload": wname,
         "input_elements": n_elements,
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
@@ -138,14 +202,16 @@ def main():
     }
     print(json.dumps(summary))
 
+    unit = "elements/sec" if args.workload == "pip" else "queries/sec"
+    count_col = "PIP matches" if args.workload == "pip" else "result rows"
     with open(args.out, "w") as f:
         f.write(f"""# BENCH_SCALING — two-cluster-size evidence (north_rule)
 
 Same byte-identical parquet input ({n_elements:,} elements,
-{args.nodes:,} nodes, seed=42), same decode+grid-index+PIP-join job, two
+{args.nodes:,} nodes, seed=42), same {wname} job, two
 parallelism levels in fresh JVMs (steady-state best-of-2 after warm-up):
 
-| parallelism | wall s | elements/sec | PIP matches |
+| parallelism | wall s | {unit} | {count_col} |
 |---|---|---|---|
 | local[{lo}] | {results[lo]['sec']} | {thr_lo:,.0f} | {results[lo]['pip_matches']:,} |
 | local[{hi}] | {results[hi]['sec']} | {thr_hi:,.0f} | {results[hi]['pip_matches']:,} |
@@ -153,7 +219,7 @@ parallelism levels in fresh JVMs (steady-state best-of-2 after warm-up):
 **Scaling efficiency ({lo}→{hi} cores) = (T_{hi}/T_{lo})/{hi // lo} =
 {eff:.3f}** (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 
-PIP match counts are identical at both parallelism levels (bit-for-bit
+Output row counts are identical at both parallelism levels (bit-for-bit
 join-output determinism).
 """)
     print(f"wrote {args.out}")
