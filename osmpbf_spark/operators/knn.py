@@ -102,6 +102,9 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # poles); clamping instead would map several dy values to the
         # same cell and duplicate candidate rows, occupying multiple
         # top-k ranks with one point. x wraps (antimeridian).
+        # NOTE: _x/_y deliberately NOT selected — they'd ride the big
+        # query×offsets shuffle for nothing (remaining keeps them for the
+        # next round's recompute)
         cand_cells = (remaining.join(offs)
                       .filter((F.col("_y") + F.col("dy") >= 0)
                               & (F.col("_y") + F.col("dy") <= n - 1))
@@ -109,8 +112,7 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                               (F.lit(res).cast("long") * F.lit(RES_SHIFT)
                                + F.pmod(F.col("_x") + F.col("dx"), F.lit(n))
                                * F.lit(Y_SHIFT)
-                               + (F.col("_y") + F.col("dy"))).alias("jcell"),
-                              "_x", "_y"))
+                               + (F.col("_y") + F.col("dy"))).alias("jcell")))
         # with a small query set (the common case) broadcast queries ×
         # offsets so the (big) point side never shuffles; for a kNN JOIN
         # with a large query side (EDBT-2012 regime) pass

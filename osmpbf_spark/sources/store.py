@@ -22,10 +22,18 @@ from pyspark.sql import functions as F
 
 def write_elements(elements: DataFrame, path: str, *,
                    sort_partitions: int | None = None) -> None:
-    """Write partitioned by element_type, sorted by id within files."""
+    """Write partitioned by element_type, sorted by id within files.
+
+    ``sort_partitions`` uses RANGE partitioning on (element_type, id) —
+    NOT hash on element_type, which has only 3 distinct values and would
+    collapse the write to one serial task per type (measured: a 33.8M-
+    element store wrote ONE 1.3 GB node file). Range partitioning gives
+    N writers AND makes every file a disjoint id range, so id-range
+    scans prune whole FILES via parquet footer stats, not just
+    row-groups — the true zone-map layout (src/indexed.rs:175-222)."""
     df = elements
     if sort_partitions:
-        df = df.repartition(sort_partitions, "element_type")
+        df = df.repartitionByRange(sort_partitions, "element_type", "id")
     (df.sortWithinPartitions("element_type", "id")
        .write.mode("overwrite")
        .partitionBy("element_type")

@@ -43,6 +43,8 @@ def main():
         write_elements,
     )
 
+    ap_skip_write = os.path.exists(args.store) and \
+        os.environ.get("STORE_BENCH_REUSE")
     base = f"/tmp/spark_graft_scaling_{args.nodes}"
     if not os.path.exists(base + "/documents.parquet"):
         raise SystemExit(f"input {base} missing — run tools/scaling_bench.py "
@@ -57,32 +59,39 @@ def main():
     docs = spark.read.parquet(base + "/documents.parquet")
     media = spark.read.parquet(base + "/media.parquet")
 
-    t0 = time.time()
-    el = read_elements(docs, media, decode_partitions=args.cpus * 2)
-    write_elements(el, args.store, sort_partitions=args.cpus * 2)
-    t_write = time.time() - t0
+    if ap_skip_write:
+        t_write = float("nan")
+    else:
+        t0 = time.time()
+        el = read_elements(docs, media, decode_partitions=args.cpus * 2)
+        write_elements(el, args.store, sort_partitions=args.cpus * 2)
+        t_write = time.time() - t0
 
     n_files, n_bytes = dir_stats(args.store)
     node_files, node_bytes = dir_stats(
         os.path.join(args.store, "element_type=node"))
 
     store = read_store(spark, args.store)
+    # force real column reads (count(*) would be served by parquet
+    # footers alone and hide the pruning effect)
     t0 = time.time()
     full = store.filter("element_type = 'node'") \
-        .agg(F.count("*")).collect()[0][0]
+        .agg(F.count("*"), F.sum("lat_nano")).collect()[0][0]
     t_full = time.time() - t0
 
     lo, hi = 1_000_000, 1_100_000
     q = nodes_in_id_range(store, lo, hi)
     info = scan_is_pruned(q)
     t0 = time.time()
-    pruned = q.agg(F.count("*")).collect()[0][0]
+    pruned = q.agg(F.count("*"), F.sum("lat_nano")).collect()[0][0]
     t_pruned = time.time() - t0
 
+    import math
     out = {
         "input_elements": n_elements,
-        "write_sec": round(t_write, 1),
-        "write_elements_per_sec": round(n_elements / t_write, 1),
+        "write_sec": None if math.isnan(t_write) else round(t_write, 1),
+        "write_elements_per_sec": None if math.isnan(t_write)
+        else round(n_elements / t_write, 1),
         "store_files": n_files,
         "store_mb": round(n_bytes / 1e6, 1),
         "node_partition_files": node_files,
