@@ -81,6 +81,19 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                   flush=True)
 
     spark = points.sparkSession
+
+    def _ckpt(df):
+        """Eager per-round materialization. localCheckpoint stores blocks
+        in executor storage ONLY — losing an executor after the source
+        lineage is truncated fails the job. On a real cluster set
+        sparkContext.setCheckpointDir(...) and rounds persist reliably
+        (HDFS/object store) instead; local mode keeps the cheap path."""
+        if spark.sparkContext._jsc.sc().checkpointDir().isDefined():
+            df = df.checkpoint(eager=True)
+        else:
+            df = df.localCheckpoint(eager=True)
+        return df
+
     pts_pinned = False
     if not broadcast_candidates:
         # kNN-JOIN regime: the point side participates in a shuffle join
@@ -123,7 +136,7 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # ranking is deterministic on (dist2, id)).
         area = (2 * disk + 1) ** 2
         small_round = (remaining_n is not None
-                       and remaining_n * min(area, 1024) <= 2_000_000)
+                       and remaining_n * area <= 2_000_000)
         left = (F.broadcast(cand_cells)
                 if broadcast_candidates or small_round else cand_cells)
         # guard pre-filter BEFORE the window: a candidate at dist ≥
@@ -159,13 +172,12 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # each round — without this, `remaining` accumulates one left_anti
         # join per doubling and the final union recomputes every round's
         # join+window after cand is gone
-        done = (cand.join(ok_ids, query_id_col, "left_semi")
-                .select(query_id_col, F.col(id_col), "dist2", "rn")
-                .localCheckpoint(eager=True))
+        done = _ckpt(cand.join(ok_ids, query_id_col, "left_semi")
+                     .select(query_id_col, F.col(id_col), "dist2", "rn"))
         _log(f"disk={disk}: done checkpointed")
         done_parts.append(done)
-        remaining = (remaining.join(ok_ids, query_id_col, "left_anti")
-                     .localCheckpoint(eager=True))
+        remaining = _ckpt(
+            remaining.join(ok_ids, query_id_col, "left_anti"))
         cand.unpersist()
         remaining_n = remaining.count()   # cheap: checkpointed
         _log(f"disk={disk}: remaining={remaining_n}")
@@ -180,7 +192,7 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                  .filter(F.col("rn") <= k)
                  .select(query_id_col, F.col(id_col), "dist2", "rn"))
         if pts_pinned:
-            brute = brute.localCheckpoint(eager=True)
+            brute = _ckpt(brute)
         done_parts.append(brute)
 
     out = done_parts[0]

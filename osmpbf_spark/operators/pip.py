@@ -85,47 +85,50 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
                      F.explode(F.expr("sequence(y0, y1)")).alias("cy"))
     if tight:
         band_h = NANO_360 / 2 / n   # lat height of one cell row (double)
-        # pre-shape ring into edges once, then per row: keep edges whose
-        # lat range meets the band, interpolate their lon extent clipped
-        # to the band, min/max-aggregate (tiny arrays: polygons × rows —
-        # HOF interpretation cost is irrelevant at this cardinality)
-        edges = ("zip_with(slice(ring, 1, size(ring) - 1), "
-                 "slice(ring, 2, size(ring) - 1), (a, b) -> struct("
-                 "CAST(LEAST(a.lat_nano, b.lat_nano) AS DOUBLE) AS lo, "
-                 "CAST(GREATEST(a.lat_nano, b.lat_nano) AS DOUBLE) AS hi, "
-                 "CAST(a.lat_nano AS DOUBLE) AS la1, "
-                 "CAST(a.lon_nano AS DOUBLE) AS lo1, "
-                 "CAST(b.lat_nano AS DOUBLE) AS la2, "
-                 "CAST(b.lon_nano AS DOUBLE) AS lo2))")
-        blo = f"(cy * CAST({band_h!r} AS DOUBLE) - {90_000_000_000}D - 1.0D)"
-        bhi = (f"((cy + 1) * CAST({band_h!r} AS DOUBLE) "
-               f"- {90_000_000_000}D + 1.0D)")
-        # lon of edge e at clamped lat t (flat edges span their endpoints)
+        # EDGES AS ROWS, not a per-row HOF: higher-order lambdas are
+        # interpreted in Spark, and inlining the edge array into each
+        # exploded row would re-evaluate it O(edges × rows) times. One
+        # explode per polygon, then a codegen'd band join + hash
+        # aggregate does the same scanline.
+        edges = (polygons
+                 .select("poly_id", F.explode(F.expr(
+                     "zip_with(slice(ring, 1, size(ring) - 1), "
+                     "slice(ring, 2, size(ring) - 1), (a, b) -> struct("
+                     "CAST(LEAST(a.lat_nano, b.lat_nano) AS DOUBLE) AS lo, "
+                     "CAST(GREATEST(a.lat_nano, b.lat_nano) AS DOUBLE) AS hi, "
+                     "CAST(a.lat_nano AS DOUBLE) AS la1, "
+                     "CAST(a.lon_nano AS DOUBLE) AS lo1, "
+                     "CAST(b.lat_nano AS DOUBLE) AS la2, "
+                     "CAST(b.lon_nano AS DOUBLE) AS lo2))")).alias("e"))
+                 .select("poly_id", "e.*"))
+        blo = F.col("cy") * F.lit(band_h) - F.lit(9e10) - F.lit(1.0)
+        bhi = ((F.col("cy") + 1) * F.lit(band_h) - F.lit(9e10)
+               + F.lit(1.0))
+
         def lon_at(t):
-            return (f"(e.lo1 + (e.lo2 - e.lo1) * "
-                    f"(GREATEST(LEAST({t}, e.hi), e.lo) - e.la1) "
-                    f"/ (e.la2 - e.la1))")
-        span = rows.withColumn("sp", F.expr(f"""
-            aggregate(
-              filter({edges}, e -> e.lo <= {bhi} AND e.hi >= {blo}),
-              struct(CAST(1e308 AS DOUBLE) AS mn, CAST(-1e308 AS DOUBLE) AS mx),
-              (acc, e) -> struct(
-                LEAST(acc.mn, CASE WHEN e.la1 = e.la2
-                   THEN LEAST(e.lo1, e.lo2)
-                   ELSE LEAST({lon_at(blo)}, {lon_at(bhi)}) END),
-                GREATEST(acc.mx, CASE WHEN e.la1 = e.la2
-                   THEN GREATEST(e.lo1, e.lo2)
-                   ELSE GREATEST({lon_at(blo)}, {lon_at(bhi)}) END)))
-        """))
-        # double→cell x with a ±1-cell pad; empty edge set ⇒ full bbox row
-        xf = (f"CAST(floor((sp.{{m}} + {180_000_000_000}D) * {n} "
+            # lon of the edge at lat t clamped into the edge's lat range
+            return (F.col("lo1") + (F.col("lo2") - F.col("lo1"))
+                    * (F.greatest(F.least(t, F.col("hi")), F.col("lo"))
+                       - F.col("la1")) / (F.col("la2") - F.col("la1")))
+        flat = F.col("la1") == F.col("la2")
+        l0, l1 = lon_at(blo), lon_at(bhi)
+        hit = (rows.join(F.broadcast(edges), "poly_id")
+               .filter((F.col("lo") <= bhi) & (F.col("hi") >= blo))
+               .select("poly_id", "cy", "x0", "x1",
+                       F.when(flat, F.least("lo1", "lo2"))
+                       .otherwise(F.least(l0, l1)).alias("lmn"),
+                       F.when(flat, F.greatest("lo1", "lo2"))
+                       .otherwise(F.greatest(l0, l1)).alias("lmx")))
+        span = hit.groupBy("poly_id", "cy", "x0", "x1").agg(
+            F.min("lmn").alias("mn"), F.max("lmx").alias("mx"))
+        # double→cell x with a ±1-cell pad (every bbox row of a closed
+        # ring meets ≥1 edge, so the groupBy loses no rows)
+        xf = (f"CAST(floor(({{m}} + {180_000_000_000}D) * {n} "
               f"/ {360_000_000_000}D) AS BIGINT)")
         rows = span.select(
             "poly_id", "cy",
-            F.expr(f"CASE WHEN sp.mn > sp.mx THEN x0 ELSE "
-                   f"GREATEST(x0, {xf.format(m='mn')} - 1) END").alias("rx0"),
-            F.expr(f"CASE WHEN sp.mn > sp.mx THEN x1 ELSE "
-                   f"LEAST(x1, {xf.format(m='mx')} + 1) END").alias("rx1"))
+            F.expr(f"GREATEST(x0, {xf.format(m='mn')} - 1)").alias("rx0"),
+            F.expr(f"LEAST(x1, {xf.format(m='mx')} + 1)").alias("rx1"))
     else:
         rows = rows.select("poly_id", "cy", F.col("x0").alias("rx0"),
                            F.col("x1").alias("rx1"))

@@ -87,11 +87,14 @@ def try_parse_frame_at(buf, pos: int):
 
     A frame is ``[u32 BE len][BlobHeader][Blob]`` (fileformat.proto:58-67).
     Plausibility = length within the 64 KiB header limit, BlobHeader
-    parses with a known type string and a datasize within the 32 MiB
-    body limit (the reference's own guards, src/blob.rs:189-295). Used
-    by the chunked scanner to RESYNC inside an arbitrary byte range;
-    false positives are eliminated by the caller's whole-file contiguity
-    check, not here."""
+    parses with a printable-ASCII type string and a datasize within the
+    32 MiB body limit (the reference's own guards, src/blob.rs:189-295).
+    Unknown blob TYPES are spec-legal and must index (the reference
+    models them as BlobType::Unknown, src/blob.rs:22-29, and drops them
+    at decode, not at framing) — so the type check is shape-based, not
+    a whitelist. Used by the chunked scanner to RESYNC inside an
+    arbitrary byte range; residual false positives are eliminated by
+    the chain check plus the caller's whole-file contiguity gate."""
     n = len(buf)
     if pos + 4 > n:
         return None
@@ -111,7 +114,8 @@ def try_parse_frame_at(buf, pos: int):
                 datasize = value
     except Exception:
         return None
-    if blob_type not in ("OSMData", "OSMHeader"):
+    if (blob_type is None or not 0 < len(blob_type) <= 64
+            or not all(0x20 <= ord(c) <= 0x7e for c in blob_type)):
         return None
     if datasize is None or not 0 <= datasize <= MAX_BLOB_MESSAGE_SIZE:
         return None
@@ -472,8 +476,15 @@ def _parse_dense(buf, table: np.ndarray, granularity: int, lat_offset: int,
         chunk.milli_ts = ts_raw * date_granularity
         chunk.changeset, chunk.chg_mask = _full(3, True)
         chunk.uid, chunk.uid_mask = _full(4, True)
-        user_sid, _ = _full(5, True)
+        # user: absent/short sid column ⇒ NULL (parity with the plain-
+        # Info path); an explicit sid (incl. 0 → "") stays a string —
+        # DenseInfo's parallel arrays cannot express per-element absence,
+        # which is a wire-format limit, not an engine choice
+        user_sid, user_present = _full(5, True)
         chunk.user = _table_take(table, user_sid)
+        if not user_present.all():
+            chunk.user = chunk.user.copy()
+            chunk.user[~user_present] = None
         vis_buf = fields.get(6)
         if vis_buf is None:
             chunk.visible = np.ones(n, dtype=bool)

@@ -58,6 +58,8 @@ def fileblocks_to_rows(name: str, fileblocks) -> tuple[list, list]:
     offset) — the information the reference's header-only skip scan exposes
     (src/blob.rs:406-428) — so metadata queries never touch payload bytes.
     """
+    from ..pbf.encode import len_field, varint_field
+
     doc_rows = []
     media_rows = []
     offset = 0
@@ -74,7 +76,13 @@ def fileblocks_to_rows(name: str, fileblocks) -> tuple[list, list]:
         ]
         doc_rows.append((doc_id, spans))
         media_rows.append((media_ref, bytearray(blob_bytes)))
-        offset += len(blob_bytes) + 4
+        # TRUE framed offset: 4-byte length prefix + the BlobHeader these
+        # (type, datasize) would frame to + the body — keeps `offset`
+        # identical across from_pbf_bytes / from_pbf_path / a file
+        # written by write_pbf (the seek-analogue column must agree)
+        header_len = len(len_field(1, blob_type.encode())
+                         + varint_field(3, len(blob_bytes)))
+        offset += 4 + header_len + len(blob_bytes)
     return doc_rows, media_rows
 
 

@@ -67,11 +67,13 @@ def test_distributed_ingest_decodes_identically(spark, tmp_path):
               F.sum("id").alias("sid"),
               F.sum("lat_nano").alias("slat")).collect())
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
-    # blob_no parity: same numbering as the single-node walk
-    meta_d = sorted(tuple(r) for r in eng_d.blob_metadata()
-                    .select("blob_no", "blob_type", "datasize").collect())
-    meta_b = sorted(tuple(r) for r in eng_b.blob_metadata()
-                    .select("blob_no", "blob_type", "datasize").collect())
+    # blob_no AND offset parity: same numbering and the same seek-
+    # analogue byte offsets as the single-node walk
+    cols = ["blob_no", "blob_type", "datasize", "offset"]
+    meta_d = sorted(tuple(r) for r in
+                    eng_d.blob_metadata().select(cols).collect())
+    meta_b = sorted(tuple(r) for r in
+                    eng_b.blob_metadata().select(cols).collect())
     assert meta_d == meta_b
 
 
@@ -102,3 +104,20 @@ def test_payloads_never_pass_driver_and_never_shuffle(spark, tmp_path):
     el = read_elements(docs, media)
     assert exchanges_carrying(el, "payload") == []
     assert el.filter("element_type = 'node'").count() > 0
+
+
+def test_unknown_blob_types_index_and_skip(spark, tmp_path):
+    # spec-legal unknown blob types must INDEX (contiguity holds) and be
+    # dropped at decode, matching the reference's BlobType::Unknown
+    # (src/blob.rs:22-29) — not fail the frame scan
+    base = fixture_file_bytes("zlib_dense")
+    unknown = frame_fileblock("FancyFutureType", b"\x7f" * 333)
+    p = tmp_path / "mixed.osm.pbf"
+    p.write_bytes(base + unknown + base)
+    idx = pbf_frame_index(spark, str(p), chunk_bytes=256)
+    assert [t for _, t, _, _ in idx] == \
+        ["OSMHeader", "OSMData", "FancyFutureType", "OSMHeader", "OSMData"]
+    eng = Engine.from_pbf_path(spark, str(p), chunk_bytes=256)
+    counts = {r[0]: r[1] for r in eng.elements()
+              .groupBy("element_type").count().collect()}
+    assert counts == {"node": 6, "way": 2, "relation": 2}

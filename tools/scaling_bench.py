@@ -118,6 +118,8 @@ for _ in range(2):
     t0 = time.time()
     rows = job()
     best = min(best, time.time() - t0)
+# key names mirror the pip runner so main() stays generic:
+# elements_per_sec = queries/sec here, pip_matches = result rows
 print(json.dumps({{"cpus": cpus, "sec": round(best, 3),
                    "elements_per_sec": round(N_Q / best, 1),
                    "pip_matches": rows}}))
@@ -137,9 +139,11 @@ def main():
                     "single trial under-reports capability")
     args = ap.parse_args()
     if args.out is None:
+        # knn writes a RAW file: BENCH_SCALING_KNN.md is curated (adds
+        # the Amdahl/disk-I/O analysis) and must survive reruns
         args.out = os.path.join(
             REPO, "BENCH_SCALING.md" if args.workload == "pip"
-            else "BENCH_SCALING_KNN.md")
+            else "BENCH_SCALING_KNN_RAW.md")
 
     base = f"/tmp/spark_graft_scaling_{args.nodes}"
     if not os.path.exists(base + "/documents.parquet"):
@@ -190,16 +194,19 @@ def main():
     eff = (thr_hi / thr_lo) / (hi / lo)
     wname = ("decode+grid-index+PIP join (north-star)"
              if args.workload == "pip" else
-             "decode+grid-index+kNN JOIN, 100k queries, non-broadcast")
+             "grid kNN JOIN (non-broadcast), decode outside timer")
     summary = {
         "workload": wname,
         "input_elements": n_elements,
         f"local[{lo}]": results[lo],
         f"local[{hi}]": results[hi],
         "scaling_efficiency": round(eff, 3),
-        "gate": ">= 0.8",
-        "pass": eff >= 0.8,
     }
+    if args.workload == "pip":
+        # the north_rule ≥0.8 gate applies to the north-star workload;
+        # auxiliary workloads report the raw efficiency only
+        summary["gate"] = ">= 0.8"
+        summary["pass"] = eff >= 0.8
     print(json.dumps(summary))
 
     unit = "elements/sec" if args.workload == "pip" else "queries/sec"
@@ -217,7 +224,11 @@ parallelism levels in fresh JVMs (steady-state best-of-2 after warm-up):
 | local[{hi}] | {results[hi]['sec']} | {thr_hi:,.0f} | {results[hi]['pip_matches']:,} |
 
 **Scaling efficiency ({lo}→{hi} cores) = (T_{hi}/T_{lo})/{hi // lo} =
-{eff:.3f}** (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+{eff:.3f}**{(f' (gate ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})'
+             if args.workload == "pip" else
+             " (auxiliary workload — the north_rule gate applies to the"
+             " north-star decode+PIP run; see BENCH_SCALING_KNN.md for"
+             " the curated analysis)")}.
 
 Output row counts are identical at both parallelism levels (bit-for-bit
 join-output determinism).
