@@ -262,6 +262,70 @@ def hyperplane_signature(df: DataFrame, planes: list[list[float]], *,
     return df.withColumn(out_col, sig)
 
 
+def _dist2_arrays(a: str, b: str):
+    """Σ(x−y)² over two array columns, JVM-side, left-fold in index
+    order (bit-replicable by any engine folding in the same order)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1, *,
+               vec_col: str = "embedding", id_col: str = "vec_id"
+               ) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids
+    (id, cid, crank). Centroids (cid, cvec) are a small broadcast
+    dimension — deterministic constants supplied by the caller (e.g. a
+    fixed sample, or offline k-means output), so assignments are
+    parallelism-independent. Ties break on cid."""
+    c = F.broadcast(centroids.select(F.col("cid"),
+                                     F.col("cvec")))
+    win = Window.partitionBy(id_col).orderBy("cdist2", "cid")
+    return (vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
+            .join(c)
+            .withColumn("cdist2", _dist2_arrays("_v", "cvec"))
+            .withColumn("crank", F.row_number().over(win))
+            .filter(F.col("crank") <= nprobe)
+            .select(id_col, "cid", "crank"))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+             centroids: DataFrame, *, nprobe: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF ANN (inverted-file, coarse-quantizer buckets): embeddings are
+    assigned to their nearest centroid ONCE (at 100 TB this is the
+    at-rest layout — the table bucketed/partitioned by cid, built
+    offline); each query probes its ``nprobe`` nearest centroids'
+    buckets only and refines by exact cosine. The other classic ANN
+    scale path next to hyperplane LSH (:func:`lsh_cosine_topk`) — probe
+    breadth trades recall for candidates scanned.
+
+    Returns (query_id, vec_id, cos_sim, rn); fully deterministic given
+    fixed centroids (assignment and ranking tie-break on ids)."""
+    e_assign = ivf_assign(embeddings, centroids, 1,
+                          vec_col=vec_col, id_col=id_col)
+    e_bucketed = (embeddings.select(F.col(id_col),
+                                    F.col(vec_col).alias("e_vec"))
+                  .join(e_assign.select(id_col, "cid"), id_col))
+    q_assign = ivf_assign(queries, centroids, nprobe,
+                          vec_col=vec_col, id_col=query_id_col)
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+        .join(q_assign.select(query_id_col, "cid"), query_id_col))
+    cand = (e_bucketed.join(q, "cid")
+            .withColumn("cos_sim",
+                        _dot("q_vec", "e_vec")
+                        / (_norm("q_vec") * _norm("e_vec"))))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col))
+    return (cand.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cos_sim", "rn"))
+
+
 def probe_masks(n_planes: int, multiprobe: int) -> list[int]:
     """XOR masks for multi-probe LSH: the exact bucket, every 1-bit flip,
     and (multiprobe ≥ 2) every 2-bit flip — the standard multi-probe

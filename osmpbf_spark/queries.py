@@ -932,6 +932,114 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb, _PLANES, threshold=0.3)
 
 
+def _media_golden_oracle():
+    import hashlib
+
+    from .sources.fixtures import fixture_fileblocks
+    rows = []
+    for blob_no, (bt, bb) in enumerate(fixture_fileblocks("zlib_dense")):
+        rows.append(f"('planet#{blob_no}', '{bt}', {len(bb)}, "
+                    f"'{hashlib.sha256(bb).hexdigest()}')")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(doc_id, blob_type, payload_len, payload_sha256)")
+
+
+@q("media_golden", _media_golden_oracle())
+def q_media_golden(spark, sf_dir):
+    """Binary media-payload transport golden: payload bytes must survive
+    createDataFrame → blob-metadata join → JVM byte-for-byte (length +
+    sha256 vs hashlib-computed constants). Exercises the opaque-binary
+    multimodal column path end-to-end (BASELINE.json input_hint:
+    media spans reference binary payloads)."""
+    from .sources.documents import blob_metadata, join_payloads
+    docs, media = make_documents(
+        spark, *fileblocks_to_rows("planet", fixture_fileblocks(
+            "zlib_dense")))
+    meta = blob_metadata(docs)
+    joined = join_payloads(meta, media,
+                           columns=("doc_id", "blob_type", "payload"))
+    return joined.select(
+        "doc_id", "blob_type",
+        F.length("payload").cast("int").alias("payload_len"),
+        F.lower(F.sha2("payload", 256)).alias("payload_sha256"))
+
+
+def _duck_dist2(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+            f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            f"FOR x IN list_zip({a}, {b})]), (acc, v) -> acc + v)")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    def sq(v):
+        return (f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"[CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN {v}]), "
+                f"(acc, v) -> acc + v))")
+    return (f"ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) "
+            f"FOR x IN list_zip({a}, {b})]), (acc, v) -> acc + v) "
+            f"/ ({sq(a)} * {sq(b)}), 4)")
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id >= 10 AND vec_id < 13),
+ea AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {_duck_dist2('e.embedding', 'c.cvec')}, c.cid) AS crank
+  FROM embeddings e, cent c),
+eb AS (SELECT vec_id, cid FROM ea WHERE crank = 1),
+qa AS (
+  SELECT query_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY {_duck_dist2('qs.qv', 'c.cvec')}, c.cid) AS crank
+  FROM qs, cent c),
+cand AS (
+  SELECT qa.query_id, eb.vec_id,
+         {_duck_cos('q2.qv', 'e.embedding')} AS cs
+  FROM qa
+  JOIN eb ON eb.cid = qa.cid
+  JOIN qs q2 ON q2.query_id = qa.query_id
+  JOIN embeddings e ON e.vec_id = eb.vec_id
+  WHERE qa.crank <= 2),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, vec_id) AS rn
+  FROM cand)
+SELECT query_id, vec_id, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@q("ann_ivf_topk", _IVF_ORACLE)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse-quantizer buckets, operators/knn.py ivf_topk):
+    deterministic centroids = the first 8 embedding vectors, nprobe=2,
+    exact-cosine refine re-ranked on ROUND(cs,4) for cross-engine float
+    stability — the full pipeline (assignment, probing, refine) is
+    mirrored step-for-step by the DuckDB CTE oracle."""
+    from .operators.knn import ivf_topk
+    emb = _load(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    queries = (emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 13))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    scored = ivf_topk(emb, queries, 1_000_000, cent, nprobe=2)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_sim", 4)), F.col("vec_id"))
+    return (scored.withColumn("rn2", F.row_number().over(w))
+            .filter(F.col("rn2") <= 3)
+            .select("query_id", "vec_id",
+                    F.col("rn2").cast("long").alias("rn")))
+
+
 @q("ann_lsh_topk", None)   # recall-bearing approximation → rows-only
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of knn_cosine) with

@@ -142,3 +142,39 @@ def test_lsh_multiprobe_recall_monotone_and_pinned(spark):
            .groupBy("query_id", "vec_id").count().filter("count > 1")
            .count())
     assert dup == 0
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from osmpbf_spark.operators.knn import ivf_topk
+    dims = 16
+    rng = random.Random(5)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dims)]) for i in range(400)]
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(i, vecs[i][1]) for i in range(10)],
+        "query_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(c, vecs[c * 33][1]) for c in range(12)],
+        "cid long, cvec array<double>")
+    exact_map = {}
+    for r in cosine_topk(edf, qdf, 5).collect():
+        exact_map.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf_topk(edf, qdf, 5, cent, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        # the self-vector shares its own bucket → always found
+        assert all(q in got.get(q, set()) for q in exact_map)
+        hit = sum(len(got.get(q, set()) & exact_map[q]) for q in exact_map)
+        return hit / sum(len(v) for v in exact_map.values())
+
+    r1, r3 = recall(1), recall(3)
+    assert r1 <= r3, (r1, r3)
+    assert r3 >= 0.6, (r1, r3)   # measured with this fixed layout
+    # determinism: two runs, identical row sets
+    a = {tuple(r) for r in
+         ivf_topk(edf, qdf, 5, cent, nprobe=2).collect()}
+    b = {tuple(r) for r in
+         ivf_topk(edf, qdf, 5, cent, nprobe=2).collect()}
+    assert a == b
