@@ -883,6 +883,43 @@ def q_stream_windows(spark, sf_dir):
     return spark.table(name)
 
 
+@q("stream_pbf_decode", """
+SELECT * FROM (VALUES
+  ('node', CAST(105 AS BIGINT), 52122403100, 11628401700),
+  ('node', CAST(106 AS BIGINT), 52119923500, 11625644600),
+  ('node', CAST(108 AS BIGINT), 52119899100, 11631019200),
+  ('way', CAST(107 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT)),
+  ('relation', CAST(120 AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT)))
+ AS t(element_type, id, lat_nano, lon_nano)
+""")
+def q_stream_pbf_decode(spark, sf_dir):
+    """REAL streaming run of the raw-PBF file source (streaming/ops.py
+    stream_pbf_files): a framed *.osm.pbf landing in a watched directory
+    is decoded live; output checked against the golden nano-exact
+    constants (the reference's own fixture values,
+    tests/read.rs:105-204)."""
+    import os
+    import uuid
+
+    from .sources.fixtures import fixture_file_bytes
+    from .streaming.ops import stream_pbf_files
+    d = "/tmp/stream_pbf_src"
+    os.makedirs(d, exist_ok=True)
+    f = os.path.join(d, "planet.osm.pbf")
+    if not os.path.exists(f):
+        with open(f, "wb") as fh:
+            fh.write(fixture_file_bytes("zlib_dense"))
+    el = stream_pbf_files(spark, d).select(
+        "element_type", "id", "lat_nano", "lon_nano")
+    name = "stream_pbf_" + uuid.uuid4().hex[:8]
+    qh = (el.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    qh.awaitTermination(300)
+    return spark.table(name)
+
+
 # deterministic hyperplanes for the embedding near-dup oracle (constants
 # rendered into both engines)
 _PLANES = [[(((i * 13 + jj * 7) % 11) - 5) / 5.0 for jj in range(64)]

@@ -79,3 +79,47 @@ def test_media_metadata_and_features(spark):
     again = extract_media_features(media, dim=16).collect()
     assert sorted((f["media_ref"], tuple(f["feature"])) for f in feats) == \
         sorted((f["media_ref"], tuple(f["feature"])) for f in again)
+
+
+def test_stream_pbf_files_incremental(spark, tmp_path):
+    # files landing in the watched dir decode incrementally; a second
+    # availableNow run with the SAME checkpoint picks up only new files
+    import shutil
+
+    from osmpbf_spark.pbf.encode import (
+        Node,
+        encode_blob,
+        encode_primitive_block,
+        frame_fileblock,
+    )
+    from osmpbf_spark.sources.fixtures import fixture_file_bytes
+    from osmpbf_spark.streaming.ops import stream_pbf_files
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.osm.pbf").write_bytes(fixture_file_bytes("zlib_dense"))
+
+    def run_once():
+        el = stream_pbf_files(spark, str(src))
+        q = (el.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 5
+    ids = {r["id"] for r in first.select("id").collect()}
+    assert {105, 106, 107, 108, 120} <= ids
+    # a diff file lands; resume processes ONLY it
+    diff = frame_fileblock("OSMData", encode_blob(encode_primitive_block(
+        [[Node(id=999, lat_raw=123, lon_raw=-456)]], dense=True)))
+    (src / "b.osm.pbf").write_bytes(diff)
+    run_once()
+    second = spark.read.parquet(out)
+    assert second.count() == 6
+    row = second.filter("id = 999").collect()[0]
+    assert row["doc_id"] == "b.osm.pbf#0"
+    assert row["lat_nano"] == 12300 and row["lon_nano"] == -45600
+    shutil.rmtree(str(src))
