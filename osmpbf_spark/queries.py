@@ -1001,6 +1001,39 @@ def q_media_golden(spark, sf_dir):
         F.lower(F.sha2("payload", 256)).alias("payload_sha256"))
 
 
+def _span_seq_oracle():
+    rows = []
+    doc_rows, _ = fileblocks_to_rows("planet", fixture_fileblocks(
+        "zlib_dense"))
+    for doc_id, spans in doc_rows:
+        for seq, (kind, text, media_ref, off) in enumerate(spans):
+            def lit(v):
+                return ("CAST(NULL AS VARCHAR)" if v is None
+                        else "'" + v.replace("'", "''") + "'")
+            rows.append(f"('{doc_id}', {seq}, {lit(kind)}, {lit(text)}, "
+                        f"{lit(media_ref)}, {off})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(doc_id, seq, kind, text, media_ref, off)")
+
+
+@q("span_seq_golden", _span_seq_oracle())
+def q_span_seq_golden(spark, sf_dir):
+    """The graft's per-row invariant (BASELINE.json input_hint):
+    span-sequence equality — (kind, text, media_ref, order) must survive
+    the documents table round-trip exactly, position included
+    (posexplode vs constant expected sequence)."""
+    docs, _ = make_documents(
+        spark, *fileblocks_to_rows("planet", fixture_fileblocks(
+            "zlib_dense")))
+    return (docs.select("doc_id", F.posexplode("spans"))
+            .select("doc_id",
+                    F.col("pos").cast("int").alias("seq"),
+                    F.col("col.kind").alias("kind"),
+                    F.col("col.text").alias("text"),
+                    F.col("col.media_ref").alias("media_ref"),
+                    F.col("col.offset").alias("off")))
+
+
 def _duck_dist2(a: str, b: str) -> str:
     return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"[(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
