@@ -119,15 +119,9 @@ def main():
         .filter("element_type = 'node'")
         .select("id", "lat_nano", "lon_nano"), res=res_knn).persist()
     nodes.count()                      # decode outside the timer
+    from osmpbf_spark.sources.synth import synth_query_points
     n_queries = 100_000
-    qdf = with_grid_cells(
-        spark.range(n_queries).select(
-            F.col("id").alias("query_id"),
-            (F.lit(40 * _B) + F.pmod(F.xxhash64("id"), F.lit(10 * _B)))
-            .alias("lat_nano"),
-            (F.lit(5 * _B) + F.pmod(F.xxhash64("id", F.lit(1)),
-                                    F.lit(10 * _B))).alias("lon_nano")),
-        res=res_knn)
+    qdf = synth_query_points(spark, n_queries, res=res_knn)
     t_knn = float("inf")
     knn_rows = 0
     for _ in range(2):

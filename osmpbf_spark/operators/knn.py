@@ -16,6 +16,9 @@ LSH-bucketed variant (random-hyperplane signatures) as the scale path.
 
 from __future__ import annotations
 
+import os
+import time as _time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,8 +73,6 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
     dist2 = _dlat * _dlat + _dlon * _dlon
     win = Window.partitionBy(query_id_col).orderBy("dist2", id_col)
 
-    import os
-    import time as _time
     _dbg = bool(os.environ.get("OSMPBF_KNN_DEBUG"))
     _t0 = _time.time()
 
@@ -88,7 +89,7 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         lineage is truncated fails the job. On a real cluster set
         sparkContext.setCheckpointDir(...) and rounds persist reliably
         (HDFS/object store) instead; local mode keeps the cheap path."""
-        if spark.sparkContext._jsc.sc().checkpointDir().isDefined():
+        if spark.sparkContext.getCheckpointDir() is not None:
             df = df.checkpoint(eager=True)
         else:
             df = df.localCheckpoint(eager=True)

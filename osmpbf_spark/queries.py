@@ -768,20 +768,30 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
     return ngram_jaccard_pairs(docs, cand, n=3)
 
 
-@q("knn_cosine", """
+def _duck_dist2(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+            f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+            f"FOR x IN list_zip({a}, {b})]), (acc, v) -> acc + v)")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    def sq(v):
+        return (f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"[CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN {v}]), "
+                f"(acc, v) -> acc + v))")
+    return (f"ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"[CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) "
+            f"FOR x IN list_zip({a}, {b})]), (acc, v) -> acc + v) "
+            f"/ ({sq(a)} * {sq(b)}), 4)")
+
+
+@q("knn_cosine", f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < 3),
 scored AS (
   SELECT query_id, e.vec_id,
-         ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-            [CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
-             FOR x IN list_zip(qv, e.embedding)]), (acc, v) -> acc + v)
-         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              [CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN qv]),
-              (acc, v) -> acc + v))
-          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              [CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN e.embedding]),
-              (acc, v) -> acc + v))), 4) AS cs
+         {_duck_cos('qv', 'e.embedding')} AS cs
   FROM q, embeddings e),
 ranked AS (
   SELECT query_id, vec_id,
@@ -1032,24 +1042,6 @@ def q_span_seq_golden(spark, sf_dir):
                     F.col("col.text").alias("text"),
                     F.col("col.media_ref").alias("media_ref"),
                     F.col("col.offset").alias("off")))
-
-
-def _duck_dist2(a: str, b: str) -> str:
-    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"[(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
-            f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
-            f"FOR x IN list_zip({a}, {b})]), (acc, v) -> acc + v)")
-
-
-def _duck_cos(a: str, b: str) -> str:
-    def sq(v):
-        return (f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-                f"[CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN {v}]), "
-                f"(acc, v) -> acc + v))")
-    return (f"ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"[CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) "
-            f"FOR x IN list_zip({a}, {b})]), (acc, v) -> acc + v) "
-            f"/ ({sq(a)} * {sq(b)}), 4)")
 
 
 _IVF_ORACLE = f"""

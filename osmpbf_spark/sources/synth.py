@@ -139,3 +139,25 @@ def synth_documents(spark, n_nodes: int, *, seed: int = 42,
     docs, media = make_documents(spark, doc_rows, media_rows,
                                  num_partitions=num_partitions)
     return docs, media, expected
+
+
+def synth_query_points(spark, n: int, *, res: int,
+                       lat0_nano: int = 40_000_000_000,
+                       lon0_nano: int = 5_000_000_000,
+                       span_nano: int = 10_000_000_000):
+    """Deterministic pseudo-random query points over the synth region
+    (xxhash64 arithmetic — no driver-side row list), grid-indexed at
+    ``res``. Shared by bench.py and tools/scaling_bench.py so both
+    measure the identical kNN-join workload."""
+    from pyspark.sql import functions as F
+
+    from ..functions.grid import with_grid_cells
+    return with_grid_cells(
+        spark.range(n).select(
+            F.col("id").alias("query_id"),
+            (F.lit(lat0_nano) + F.pmod(F.xxhash64("id"), F.lit(span_nano)))
+            .alias("lat_nano"),
+            (F.lit(lon0_nano) + F.pmod(F.xxhash64("id", F.lit(1)),
+                                       F.lit(span_nano)))
+            .alias("lon_nano")),
+        res=res)

@@ -78,6 +78,7 @@ from osmpbf_spark.session import get_spark
 from osmpbf_spark.sources.documents import read_node_points
 from osmpbf_spark.functions.grid import with_grid_cells
 from osmpbf_spark.operators.knn import grid_knn
+from osmpbf_spark.sources.synth import synth_query_points
 
 cpus = int(sys.argv[1])
 base = sys.argv[2]
@@ -89,7 +90,6 @@ spark = get_spark(f"scaling-knn-{{cpus}}", master=f"local[{{cpus}}]",
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(base + "/documents.parquet")
 media = spark.read.parquet(base + "/media.parquet")
-_B = 1_000_000_000
 RES = 14
 N_Q = int(os.environ.get("KNN_QUERIES", "1000000"))
 
@@ -98,14 +98,7 @@ N_Q = int(os.environ.get("KNN_QUERIES", "1000000"))
 # itself in the co-partitioned (non-broadcast) regime
 nodes = with_grid_cells(read_node_points(docs, media), res=RES).persist()
 nodes.count()
-qdf = with_grid_cells(
-    spark.range(N_Q).select(
-        F.col("id").alias("query_id"),
-        (F.lit(40 * _B) + F.pmod(F.xxhash64("id"), F.lit(10 * _B)))
-        .alias("lat_nano"),
-        (F.lit(5 * _B) + F.pmod(F.xxhash64("id", F.lit(1)),
-                                F.lit(10 * _B))).alias("lon_nano")),
-    res=RES)
+qdf = synth_query_points(spark, N_Q, res=RES)
 
 def job():
     out = grid_knn(nodes, qdf, 5, res=RES, broadcast_candidates=False)

@@ -43,7 +43,7 @@ def main():
         write_elements,
     )
 
-    ap_skip_write = os.path.exists(args.store) and \
+    skip_write = os.path.exists(args.store) and \
         os.environ.get("STORE_BENCH_REUSE")
     base = f"/tmp/spark_graft_scaling_{args.nodes}"
     if not os.path.exists(base + "/documents.parquet"):
@@ -59,7 +59,7 @@ def main():
     docs = spark.read.parquet(base + "/documents.parquet")
     media = spark.read.parquet(base + "/media.parquet")
 
-    if ap_skip_write:
+    if skip_write:
         t_write = float("nan")
     else:
         t0 = time.time()
