@@ -90,18 +90,36 @@ def pbf_frame_index(spark: SparkSession, path: str, *,
 
     rows = sorted(tuple(r) for r in
                   rdf.mapInArrow(scan, FRAME_DDL).collect())
-    # contiguity gate: frames must tile [0, size) exactly
+    return validate_frame_index(rows, size)
+
+
+def validate_frame_index(rows: list[tuple], size: int) -> list[tuple]:
+    """Contiguity gate with embedded-fake cleanup (pure function).
+
+    A blob BODY may contain byte sequences that parse as valid frames
+    (e.g. a raw blob carrying a nested PBF); a chunk boundary landing
+    inside that body makes its scanner yield the embedded fake alongside
+    the real frames. The true frames tile [0, size) exactly, so walk
+    entries in offset order, accept exactly those at the expected
+    position, and DROP entries that fall strictly inside the last
+    accepted frame's extent. Any remaining gap is real corruption →
+    fail loud."""
+    accepted = []
     pos = 0
-    for off, bt, hs, ds in rows:
-        if off != pos:
+    for off, bt, hs, ds in sorted(rows):
+        if off == pos:
+            accepted.append((off, bt, hs, ds))
+            pos = off + 4 + hs + ds
+        elif off < pos:
+            continue  # embedded fake inside the accepted frame's body
+        else:
             raise ValueError(
                 f"frame index not contiguous at byte {pos}: next frame at "
                 f"{off} (corrupt file, inter-frame garbage, or false "
                 f"resync)")
-        pos = off + 4 + hs + ds
     if pos != size:
         raise ValueError(f"trailing {size - pos} bytes after last frame")
-    return rows
+    return accepted
 
 
 def read_pbf_documents(spark: SparkSession, path: str, *,

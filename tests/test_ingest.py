@@ -121,3 +121,61 @@ def test_unknown_blob_types_index_and_skip(spark, tmp_path):
     counts = {r[0]: r[1] for r in eng.elements()
               .groupBy("element_type").count().collect()}
     assert counts == {"node": 6, "way": 2, "relation": 2}
+
+
+def test_embedded_fake_frames_are_cleaned(spark, tmp_path):
+    # an UNCOMPRESSED blob whose body embeds a valid chained frame pair:
+    # a chunk boundary inside that body makes the scanner sync onto the
+    # fake; the driver's cleanup must drop it (it lies inside the real
+    # frame's extent) and keep the true tiling
+    inner = frame_fileblock("OSMData", encode_blob(encode_primitive_block(
+        [[Node(id=7, lat_raw=1, lon_raw=1)]]), compress=True)) * 2
+    # raw Blob message of an UNKNOWN type carrying the nested frames
+    # verbatim (decode skips unknown types; framing must not false-sync)
+    from osmpbf_spark.pbf.wire import len_field
+    carrier = frame_fileblock("BinaryAttachment", len_field(1, inner))
+    base = fixture_file_bytes("zlib_dense")
+    data = base + carrier + base
+    p = tmp_path / "embedded.osm.pbf"
+    p.write_bytes(data)
+    # chunk size small enough that several boundaries land inside carrier
+    idx = pbf_frame_index(spark, str(p), chunk_bytes=64)
+    assert [(o, t, d) for o, t, h, d in idx] == \
+        [(b["offset"], b["blob_type"], b["datasize"])
+         for b in split_fileblocks(data)]
+    # and the file decodes end-to-end (carrier dropped at decode)
+    eng = Engine.from_pbf_path(spark, str(p), chunk_bytes=64)
+    counts = {r[0]: r[1] for r in eng.elements()
+              .groupBy("element_type").count().collect()}
+    assert counts == {"node": 6, "way": 2, "relation": 2}
+
+
+def test_frame_scan_property_random_framings():
+    # pure-python property test: ANY frame sequence + ANY chunking must
+    # reproduce the whole-file walk after index cleanup
+    import random as _random
+
+    from osmpbf_spark.pbf.decode import scan_chunk_frames
+    from osmpbf_spark.pbf.encode import frame_fileblock
+    from osmpbf_spark.sources.ingest import validate_frame_index
+    rng = _random.Random(123)
+    for trial in range(25):
+        frames = []
+        for _ in range(rng.randrange(1, 12)):
+            t = rng.choice(["OSMData", "OSMHeader", "Weird.Type-9"])
+            body = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(0, 300)))
+            frames.append(frame_fileblock(t, body))
+        data = b"".join(frames)
+        want = []
+        pos = 0
+        for f in frames:
+            want.append(pos)
+            pos += len(f)
+        chunk = rng.randrange(7, max(8, len(data)))
+        rows = []
+        for s in range(0, len(data), chunk):
+            rows.extend(scan_chunk_frames(data, s,
+                                          min(s + chunk, len(data))))
+        got = validate_frame_index(rows, len(data))
+        assert [o for o, *_ in got] == want, f"trial {trial}"
