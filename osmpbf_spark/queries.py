@@ -768,6 +768,59 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
     return ngram_jaccard_pairs(docs, cand, n=3)
 
 
+def _multimodal_payloads():
+    """Deterministic media assets: a 6×4 P6 image, a 2000-sample stereo
+    PCM WAV, an opaque blob."""
+    import numpy as np
+
+    from .operators.multimodal import encode_netpbm, encode_wav
+    img = (np.arange(6 * 4 * 3, dtype=np.uint8) * 7 % 251).reshape(4, 6, 3)
+    wave = ((np.arange(2000) % 50 < 25).astype(np.int16) * 8000 - 4000)
+    samples = np.stack([wave, -wave], axis=1)
+    return [("m://img", encode_netpbm(img)),
+            ("m://snd", encode_wav(samples, 8000)),
+            ("m://blob", b"\x01opaque")]
+
+
+def _multimodal_oracle():
+    import hashlib
+    rows = []
+    for ref, p in _multimodal_payloads():
+        from .operators.multimodal import sniff_media_type
+        t = sniff_media_type(p)
+        if t.startswith("image"):
+            w, h, sr, ch, dur = 6, 4, None, None, None
+        elif t == "audio/wav":
+            w, h, sr, ch, dur = None, None, 8000, 2, 250
+        else:
+            w = h = sr = ch = dur = None
+
+        def lit(v, typ):
+            return f"CAST({'NULL' if v is None else v} AS {typ})"
+        rows.append(
+            f"('{ref}', '{t}', {lit(w, 'INTEGER')}, {lit(h, 'INTEGER')}, "
+            f"{lit(sr, 'INTEGER')}, {lit(ch, 'INTEGER')}, "
+            f"{lit(dur, 'BIGINT')}, CAST({len(p)} AS BIGINT), "
+            f"'{hashlib.sha256(p).hexdigest()}')")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(media_ref, "
+            "media_type, width, height, sample_rate, n_channels, "
+            "duration_ms, n_bytes, content_digest)")
+
+
+@q("multimodal_golden", _multimodal_oracle())
+def q_multimodal_golden(spark, sf_dir):
+    """REAL multimodal decode (pure-numpy netpbm + PCM WAV codecs,
+    operators/multimodal.py) through the full Spark mapInArrow path:
+    typed metadata for an image, an audio clip, and an opaque blob vs
+    constant expected values (dimensions/sample-rate/duration verified
+    by construction of the payloads)."""
+    from .operators.multimodal import extract_media_metadata
+    media = spark.createDataFrame(
+        [(r, bytearray(p)) for r, p in _multimodal_payloads()],
+        "media_ref string, payload binary")
+    return extract_media_metadata(media)
+
+
 def _duck_dist2(a: str, b: str) -> str:
     return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"[(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
