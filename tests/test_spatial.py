@@ -233,3 +233,35 @@ def test_tight_cover_shrinks_for_L_shape_and_keeps_pip_exact(spark):
             if (0 <= la < 2 * B and 0 <= lo < 10 * B)
             or (0 <= la < 10 * B and 0 <= lo < 2 * B)}
     assert got_t == got_b == want
+
+
+def test_grid_knn_join_skewed_hot_cell(spark):
+    # megacity skew: one cell holds ~90% of all points (hot join key on
+    # the cell equi-join). The join regime must stay correct — AQE skew
+    # splitting + the guard pre-filter keep the hot partition bounded.
+    B = 100_000_000
+    res = 10
+    # hot cluster: 40k points inside one ~350µdeg cell; 4k spread wide
+    hot = [(i, 50_000_000 + RNG.randrange(0, 300_000),
+            50_000_000 + RNG.randrange(0, 300_000)) for i in range(40000)]
+    cold = [(100_000 + i, RNG.randrange(0, B), RNG.randrange(0, B))
+            for i in range(4000)]
+    pts = hot + cold
+    qs = ([(500_000 + j, 50_000_000 + RNG.randrange(0, 300_000),
+            50_000_000 + RNG.randrange(0, 300_000)) for j in range(60)]
+          + [(600_000 + j, RNG.randrange(0, B), RNG.randrange(0, B))
+             for j in range(60)])
+    pdf = with_grid_cells(spark.createDataFrame(
+        pts, "id long, lat_nano long, lon_nano long"), res=res)
+    qdf = with_grid_cells(spark.createDataFrame(
+        qs, "query_id long, lat_nano long, lon_nano long"), res=res)
+    got = {}
+    for r in grid_knn(pdf, qdf, 5, res=res,
+                      broadcast_candidates=False).collect():
+        got.setdefault(r["query_id"], []).append((r["rn"], r["id"]))
+    assert len(got) == len(qs)
+    for qid, qla, qlo in qs[:20] + qs[60:80]:
+        dists = sorted(((la - qla) ** 2 + (lo - qlo) ** 2, i)
+                       for i, la, lo in pts)
+        want = [i for _, i in dists[:5]]
+        assert [i for _, i in sorted(got[qid])] == want, f"query {qid}"
