@@ -3,12 +3,14 @@
 Media payloads are opaque ``binary`` columns with typed metadata, exactly
 the shape of the interleaved-documents media spans. Two tiers of codec:
 
-* **Real, in-repo, pure numpy** — binary netpbm images (P5/P6) and PCM
-  WAV audio decode fully here: header parse, pixel/sample arrays,
-  nearest-neighbour resize, luminance-histogram / FFT-band feature
-  extraction. No external libraries needed, so these paths are REAL and
-  tested end-to-end (decode → resize → features → Arrow batch).
-* **Container-absent formats** (PNG/JPEG/…): the type is sniffed from
+* **Real, in-repo, pure numpy** — binary netpbm images (P5/P6),
+  8-bit PNG (stdlib zlib inflate + all five scanline filters, palette
+  included) and PCM WAV audio decode fully here: header parse,
+  pixel/sample arrays, nearest-neighbour resize, luminance-histogram /
+  FFT-band feature extraction. No external libraries needed, so these
+  paths are REAL and tested end-to-end (decode → resize → features →
+  Arrow batch).
+* **Container-absent formats** (JPEG/…): the type is sniffed from
   magic bytes, but decode falls back to a deterministic digest-derived
   stand-in (no PIL/torchaudio in this container). ``_HAS_CODECS`` guards
   the swap-in point; the Spark-side plumbing is identical either way.
@@ -144,6 +146,96 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(p: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, c) uint8, pure stdlib+numpy
+    (zlib inflate + per-row unfiltering of the five standard filters;
+    palette images resolve through PLTE). Covers PNG as written by
+    virtually every encoder's default settings."""
+    import zlib
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(p):
+        (clen,) = struct.unpack_from(">I", p, pos)
+        ctype = p[pos + 4:pos + 8]
+        body = p[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None or (color_type == 3 and palette is None):
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    for y in range(h):   # row-sequential by spec (Up/Paeth depend on prior)
+        f = filters[y]
+        cur = data[y].copy()
+        up = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            row = cur
+        elif f == 2:     # Up — vectorizable
+            row = (cur + up) & 0xFF
+        else:            # Sub/Average/Paeth need the left neighbour
+            row = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                ul = up[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up[x]) // 2
+                elif f == 4:
+                    pp = left + up[x] - ul
+                    pa, pb, pc = abs(pp - left), abs(pp - up[x]), abs(pp - ul)
+                    pred = left if pa <= pb and pa <= pc else \
+                        (up[x] if pb <= pc else ul)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                row[x] = (cur[x] + pred) & 0xFF
+        out[y] = row
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if color_type == 3:
+        img = palette[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, c) uint8 → PNG bytes (filter 0 rows; test/synth helper)."""
+    import zlib
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for formats whose codec isn't in the
     container: pretend dimensions derived from a stable digest."""
@@ -173,6 +265,9 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                 w = h = sr = ch = dur = None
                 if t.startswith("image/x-portable"):
                     img = decode_netpbm(p)
+                    h, w = int(img.shape[0]), int(img.shape[1])
+                elif t == "image/png":
+                    img = decode_png(p)
                     h, w = int(img.shape[0]), int(img.shape[1])
                 elif t == "audio/wav":
                     samples, sr = decode_wav(p)
@@ -211,7 +306,8 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
 def _image_feature(p: bytes, dim: int) -> tuple[np.ndarray, int]:
     """dim-bin luminance histogram of the 32×32 nearest-resized image —
     REAL decode+resize+feature path (normalized to sum 1)."""
-    img = resize_nearest(decode_netpbm(p), 32, 32)
+    dec = decode_png if p[:8] == b"\x89PNG\r\n\x1a\n" else decode_netpbm
+    img = resize_nearest(dec(p), 32, 32)
     lum = img.mean(axis=2).ravel()
     hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
     return (hist / np.float32(lum.size)).astype(np.float32), 1
@@ -253,7 +349,7 @@ def extract_media_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
             for i, pl in enumerate(payloads):
                 p = bytes(pl)
                 t = sniff_media_type(p)
-                if t.startswith("image/x-portable"):
+                if t.startswith("image/x-portable") or t == "image/png":
                     feats[i], frames[i] = _image_feature(p, dim)
                 elif t == "audio/wav":
                     feats[i], frames[i] = _audio_feature(p, dim)

@@ -773,11 +773,13 @@ def _multimodal_payloads():
     PCM WAV, an opaque blob."""
     import numpy as np
 
-    from .operators.multimodal import encode_netpbm, encode_wav
+    from .operators.multimodal import encode_netpbm, encode_png, encode_wav
     img = (np.arange(6 * 4 * 3, dtype=np.uint8) * 7 % 251).reshape(4, 6, 3)
+    png = (np.arange(5 * 8 * 3, dtype=np.uint8) * 11 % 253).reshape(5, 8, 3)
     wave = ((np.arange(2000) % 50 < 25).astype(np.int16) * 8000 - 4000)
     samples = np.stack([wave, -wave], axis=1)
     return [("m://img", encode_netpbm(img)),
+            ("m://png", encode_png(png)),
             ("m://snd", encode_wav(samples, 8000)),
             ("m://blob", b"\x01opaque")]
 
@@ -788,7 +790,9 @@ def _multimodal_oracle():
     for ref, p in _multimodal_payloads():
         from .operators.multimodal import sniff_media_type
         t = sniff_media_type(p)
-        if t.startswith("image"):
+        if t == "image/png":
+            w, h, sr, ch, dur = 8, 5, None, None, None
+        elif t.startswith("image"):
             w, h, sr, ch, dur = 6, 4, None, None, None
         elif t == "audio/wav":
             w, h, sr, ch, dur = None, None, 8000, 2, 250

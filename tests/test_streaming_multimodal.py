@@ -180,3 +180,59 @@ def test_real_netpbm_and_wav_codecs(spark):
     af = feats["snd"]["feature"]
     assert af.index(max(af)) == 0 or af[0] > 0.12
     assert feats["snd"]["n_frames"] == 8  # ceil(8000/1024)
+
+
+def test_png_decode_all_filters():
+    # pure stdlib+numpy PNG: round-trip via our encoder (filter 0), then
+    # hand-filter rows with each of the five standard filters and check
+    # the decoder unfilters all of them; palette + grayscale too
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from osmpbf_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(8)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (9, 11, c), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all(), f"channels {c}"
+
+    img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    rows = img.reshape(h, w * ch).astype(np.int64)
+
+    def paeth(a, b, cc):
+        pp = a + b - cc
+        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        raw.append(f)
+        up = rows[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            left = rows[y][x - ch] if x >= ch else 0
+            ul = up[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: left, 2: up[x],
+                    3: (left + up[x]) // 2,
+                    4: paeth(left, up[x], ul)}[f]
+            raw.append(int((rows[y][x] - pred) % 256))
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert (decode_png(png) == img).all()
+
+    # palette (color type 3)
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (4, 7, 1), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 7, 4, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte.tobytes())
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(png) == plte[idx[:, :, 0]]).all()
