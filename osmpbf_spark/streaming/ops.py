@@ -106,3 +106,68 @@ def stream_pbf_files(spark, dir_path: str, *,
 
     from ..sources.documents import ELEMENTS_DDL
     return with_coordinate_columns(raw.mapInArrow(batches, ELEMENTS_DDL))
+
+
+SESSION_OUT_DDL = ("user_id long, session_start timestamp, "
+                   "session_end timestamp, n_events long")
+_SESSION_STATE_DDL = "start long, last long, n long"
+
+
+def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
+                      ts_col: str = "ts",
+                      key_col: str = "user_id") -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    gap-based sessionization over an unbounded event stream — the
+    streaming twin of the batch ``sessionize`` query. Per-key state is
+    (session_start, last_event, n_events) in epoch-millis; a session
+    EMITS when a later event arrives past the gap, or when the
+    event-time watermark passes last_event+gap (timeout) — so state is
+    bounded and late data beyond the watermark cannot reopen a session.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = gap_minutes * 60_000
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        done = []
+
+        def emit(start, last, n):
+            done.append({"user_id": uid,
+                         "session_start": pd.Timestamp(start, unit="ms"),
+                         "session_end": pd.Timestamp(last, unit="ms"),
+                         "n_events": n})
+        if state.hasTimedOut:
+            start, last, n = state.get
+            emit(start, last, n)
+            state.remove()
+        else:
+            ts = []
+            for pdf in pdfs:
+                ts.extend(int(t.value // 1_000_000)
+                          for t in pd.to_datetime(pdf[ts_col]))
+            ts.sort()
+            start, last, n = state.get if state.exists else (None, None, 0)
+            for t in ts:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_ms:
+                    emit(start, last, n)
+                    start, last, n = t, t, 1
+                else:
+                    last = max(last, t)
+                    n += 1
+            if start is not None:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last + gap_ms)
+        if done:
+            yield pd.DataFrame(done)
+
+    return (events
+            .withWatermark(ts_col, f"{gap_minutes} minutes")
+            .groupBy(key_col)
+            .applyInPandasWithState(fn, SESSION_OUT_DDL,
+                                    _SESSION_STATE_DDL, "append",
+                                    GroupStateTimeout.EventTimeTimeout))

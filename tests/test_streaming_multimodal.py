@@ -236,3 +236,48 @@ def test_png_decode_all_filters():
            + chunk(b"PLTE", plte.tobytes())
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     assert (decode_png(png) == plte[idx[:, :, 0]]).all()
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    # applyInPandasWithState gap sessionization: in-batch closed sessions
+    # emit immediately; dangling sessions emit when the event-time
+    # watermark passes last_event+gap (timeout); open sessions stay in
+    # bounded per-key state
+    from osmpbf_spark.streaming.ops import stream_sessionize
+    base = str(tmp_path)
+    rows1 = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+             (1, "2024-01-01 01:00:00"), (2, "2024-01-01 00:05:00")]
+    (spark.createDataFrame(rows1, "user_id long, ts_s string")
+     .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+     .write.mode("overwrite").parquet(base + "/in/f1"))
+    collected = []
+
+    def run():
+        got = []
+        st = spark.readStream.schema("user_id long, ts timestamp") \
+            .parquet(base + "/in/*")
+        q = (stream_sessionize(st, gap_minutes=30).writeStream
+             .foreachBatch(lambda b, i: got.extend(
+                 (r["user_id"], str(r["session_start"]),
+                  str(r["session_end"]), r["n_events"])
+                 for r in b.collect()))
+             .option("checkpointLocation", base + "/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        collected.extend(got)
+        return got
+
+    first = run()
+    assert first == [(1, "2024-01-01 00:00:00",
+                      "2024-01-01 00:10:00", 2)]
+    # a far-future file advances the watermark; dangling sessions close
+    rows2 = [(1, "2024-01-01 03:00:00"), (2, "2024-01-01 03:00:00")]
+    (spark.createDataFrame(rows2, "user_id long, ts_s string")
+     .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+     .write.mode("overwrite").parquet(base + "/in/f2"))
+    second = run()
+    assert sorted(second) == [
+        (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1)]
+    # the 03:00 sessions remain open (state, not output)
+    assert len(collected) == 3
