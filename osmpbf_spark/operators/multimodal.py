@@ -62,10 +62,10 @@ def sniff_media_type(p: bytes) -> str:
     return "application/octet-stream"
 
 
-def decode_netpbm(p: bytes) -> np.ndarray:
-    """Binary netpbm (P5 gray / P6 rgb, maxval ≤ 255) → (h, w, c) uint8.
-    Full header grammar: tokens separated by whitespace, ``#`` comments
-    allowed anywhere between tokens."""
+def netpbm_header(p: bytes) -> tuple[int, int, int, int]:
+    """Binary netpbm header → (width, height, channels, raster_offset).
+    Full grammar: whitespace-separated tokens, ``#`` comments allowed
+    anywhere between tokens. Header-only — no raster read."""
     if p[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary netpbm payload")
     channels = 3 if p[:2] == b"P6" else 1
@@ -86,8 +86,14 @@ def decode_netpbm(p: bytes) -> np.ndarray:
     w, h, maxval = vals
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
-    need = w * h * channels
-    raster = np.frombuffer(p, dtype=np.uint8, count=need, offset=pos)
+    return w, h, channels, pos
+
+
+def decode_netpbm(p: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 rgb, maxval ≤ 255) → (h, w, c) uint8."""
+    w, h, channels, pos = netpbm_header(p)
+    raster = np.frombuffer(p, dtype=np.uint8, count=w * h * channels,
+                           offset=pos)
     return raster.reshape(h, w, channels)
 
 
@@ -107,10 +113,9 @@ def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
-def decode_wav(p: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV → ((n_samples, n_channels) int16, sample_rate). Walks
-    RIFF chunks properly (fmt may be followed by LIST/fact before data).
-    """
+def _wav_chunks(p: bytes) -> tuple[tuple, bytes]:
+    """RIFF walk → (fmt tuple, data bytes). fmt may be followed by
+    LIST/fact before data; chunks are word-aligned."""
     if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
@@ -124,12 +129,29 @@ def decode_wav(p: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
-        pos += 8 + clen + (clen & 1)   # chunks are word-aligned
+        pos += 8 + clen + (clen & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    audio_format, _, _, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError("only 16-bit PCM WAV supported")
+    return fmt, data
+
+
+def wav_header(p: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_channels, duration_ms) from the fmt chunk + data
+    length alone — no sample-array materialization (the metadata pass
+    must not pay a full decode per asset at 100 TB)."""
+    fmt, data = _wav_chunks(p)
+    _, n_channels, sample_rate, _, _, _ = fmt
+    n_samples = len(data) // (2 * n_channels)
+    return sample_rate, n_channels, int(n_samples * 1000 // sample_rate)
+
+
+def decode_wav(p: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → ((n_samples, n_channels) int16, sample_rate)."""
+    fmt, data = _wav_chunks(p)
+    _, n_channels, sample_rate, _, _, _ = fmt
     samples = np.frombuffer(data, dtype="<i2")
     samples = samples[:len(samples) - len(samples) % n_channels]
     return samples.reshape(-1, n_channels), sample_rate
@@ -149,17 +171,11 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(p: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → (h, w, c) uint8, pure stdlib+numpy
-    (zlib inflate + per-row unfiltering of the five standard filters;
-    palette images resolve through PLTE). Covers PNG as written by
-    virtually every encoder's default settings."""
-    import zlib
+def _png_chunks(p: bytes, *, header_only: bool = False):
     if p[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos = 8
-    w = h = None
-    bit_depth = color_type = interlace = None
+    ihdr = None
     palette = None
     idat = bytearray()
     while pos + 8 <= len(p):
@@ -167,8 +183,9 @@ def decode_png(p: bytes) -> np.ndarray:
         ctype = p[pos + 4:pos + 8]
         body = p[pos + 8:pos + 8 + clen]
         if ctype == b"IHDR":
-            w, h, bit_depth, color_type, _, _, interlace = \
-                struct.unpack(">IIBBBBB", body)
+            ihdr = struct.unpack(">IIBBBBB", body)
+            if header_only:
+                break
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -176,8 +193,29 @@ def decode_png(p: bytes) -> np.ndarray:
         elif ctype == b"IEND":
             break
         pos += 12 + clen  # len + type + crc
-    if w is None:
+    if ihdr is None:
         raise ValueError("PNG missing IHDR")
+    return ihdr, palette, idat
+
+
+def png_header(p: bytes) -> tuple[int, int]:
+    """(width, height) from IHDR alone — no inflate (the metadata pass
+    must not pay a full decode per asset at 100 TB)."""
+    (w, h, *_), _, _ = _png_chunks(p, header_only=True)
+    return w, h
+
+
+def decode_png(p: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → (h, w, c) uint8, pure stdlib+numpy
+    (zlib inflate + per-row unfiltering of the five standard filters;
+    palette images resolve through PLTE). Covers PNG as written by
+    virtually every encoder's default settings. None/Up/Sub rows are
+    fully vectorized; Average/Paeth loop per PIXEL (channels
+    vectorized) — the left-neighbour dependency is sequential by spec.
+    """
+    import zlib
+    (w, h, bit_depth, color_type, _, _, interlace), palette, idat = \
+        _png_chunks(p)
     if bit_depth != 8 or interlace != 0:
         raise ValueError("only 8-bit non-interlaced PNG supported")
     ch = _PNG_CHANNELS.get(color_type)
@@ -191,29 +229,34 @@ def decode_png(p: bytes) -> np.ndarray:
     out = np.zeros((h, stride), dtype=np.int64)
     for y in range(h):   # row-sequential by spec (Up/Paeth depend on prior)
         f = filters[y]
-        cur = data[y].copy()
+        cur = data[y]
         up = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
         if f == 0:
             row = cur
-        elif f == 2:     # Up — vectorizable
+        elif f == 2:     # Up
             row = (cur + up) & 0xFF
-        else:            # Sub/Average/Paeth need the left neighbour
+        elif f == 1:     # Sub = per-channel prefix sum mod 256
+            row = np.cumsum(cur.reshape(w, ch), axis=0).ravel() & 0xFF
+        elif f in (3, 4):
             row = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                ul = up[x - ch] if x >= ch else 0
-                if f == 1:
-                    pred = left
-                elif f == 3:
-                    pred = (left + up[x]) // 2
-                elif f == 4:
-                    pp = left + up[x] - ul
-                    pa, pb, pc = abs(pp - left), abs(pp - up[x]), abs(pp - ul)
-                    pred = left if pa <= pb and pa <= pc else \
-                        (up[x] if pb <= pc else ul)
+            zero = np.zeros(ch, dtype=np.int64)
+            for x in range(w):   # per PIXEL; channel math vectorized
+                i = x * ch
+                left = row[i - ch:i] if x else zero
+                u = up[i:i + ch]
+                if f == 3:
+                    pred = (left + u) // 2
                 else:
-                    raise ValueError(f"bad PNG filter {f}")
-                row[x] = (cur[x] + pred) & 0xFF
+                    ul = up[i - ch:i] if x else zero
+                    pp = left + u - ul
+                    pa = np.abs(pp - left)
+                    pb = np.abs(pp - u)
+                    pc = np.abs(pp - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, u, ul))
+                row[i:i + ch] = (cur[i:i + ch] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
         out[y] = row
     img = out.astype(np.uint8).reshape(h, w, ch)
     if color_type == 3:
@@ -263,21 +306,27 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                 p = bytes(pl)
                 t = sniff_media_type(p)
                 w = h = sr = ch = dur = None
-                if t.startswith("image/x-portable"):
-                    img = decode_netpbm(p)
-                    h, w = int(img.shape[0]), int(img.shape[1])
-                elif t == "image/png":
-                    img = decode_png(p)
-                    h, w = int(img.shape[0]), int(img.shape[1])
-                elif t == "audio/wav":
-                    samples, sr = decode_wav(p)
-                    ch = int(samples.shape[1])
-                    dur = int(samples.shape[0] * 1000 // sr)
-                elif t != "application/octet-stream":
-                    if _HAS_CODECS:
-                        raise NotImplementedError(
-                            "wire a real codec here (PIL.Image.open)")
+                # HEADER-ONLY parses (no raster inflate / sample read) —
+                # the metadata pass over 100 TB of media must not pay a
+                # full decode per asset. A malformed or unsupported
+                # VARIANT (24-bit WAV, interlaced PNG, truncated bytes)
+                # must profile, not fail the job: fall back to the
+                # digest stand-in dimensions, keeping the sniffed type.
+                try:
+                    if t.startswith("image/x-portable"):
+                        w, h, _, _ = netpbm_header(p)
+                    elif t == "image/png":
+                        w, h = png_header(p)
+                    elif t == "audio/wav":
+                        sr, ch, dur = wav_header(p)
+                    elif t != "application/octet-stream":
+                        if _HAS_CODECS:
+                            raise NotImplementedError(
+                                "wire a real codec here (PIL.Image.open)")
+                        w, h = _fake_decode(p)
+                except (ValueError, struct.error):
                     w, h = _fake_decode(p)
+                    sr = ch = dur = None
                 rows["media_ref"].append(r)
                 rows["media_type"].append(t)
                 rows["width"].append(w)
@@ -349,11 +398,17 @@ def extract_media_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
             for i, pl in enumerate(payloads):
                 p = bytes(pl)
                 t = sniff_media_type(p)
-                if t.startswith("image/x-portable") or t == "image/png":
-                    feats[i], frames[i] = _image_feature(p, dim)
-                elif t == "audio/wav":
-                    feats[i], frames[i] = _audio_feature(p, dim)
-                else:
+                # unsupported variants fall back to the stand-in rather
+                # than failing the job (same contract as the metadata op)
+                try:
+                    if t.startswith("image/x-portable") or \
+                            t == "image/png":
+                        feats[i], frames[i] = _image_feature(p, dim)
+                    elif t == "audio/wav":
+                        feats[i], frames[i] = _audio_feature(p, dim)
+                    else:
+                        feats[i], frames[i] = _fake_feature(p, dim)
+                except (ValueError, struct.error):
                     feats[i], frames[i] = _fake_feature(p, dim)
             yield pa.RecordBatch.from_arrays([
                 pa.array(refs, pa.string()),

@@ -975,9 +975,10 @@ def q_stream_pbf_decode(spark, sf_dir):
     d = "/tmp/stream_pbf_src"
     os.makedirs(d, exist_ok=True)
     f = os.path.join(d, "planet.osm.pbf")
-    if not os.path.exists(f):
-        with open(f, "wb") as fh:
-            fh.write(fixture_file_bytes("zlib_dense"))
+    # write unconditionally: a truncated leftover from a killed earlier
+    # run would otherwise poison every later oracle run
+    with open(f, "wb") as fh:
+        fh.write(fixture_file_bytes("zlib_dense"))
     el = stream_pbf_files(spark, d).select(
         "element_type", "id", "lat_nano", "lon_nano")
     name = "stream_pbf_" + uuid.uuid4().hex[:8]

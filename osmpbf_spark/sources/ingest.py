@@ -103,7 +103,15 @@ def validate_frame_index(rows: list[tuple], size: int) -> list[tuple]:
     entries in offset order, accept exactly those at the expected
     position, and DROP entries that fall strictly inside the last
     accepted frame's extent. Any remaining gap is real corruption →
-    fail loud."""
+    fail loud.
+
+    Residual blind spot (accepted): a corrupted datasize that still
+    parses AND extends exactly to a later frame boundary would swallow
+    the frames in between silently — but such an OSMData frame then
+    fails decompression loudly downstream, and for an adversary who can
+    rewrite headers the file content is arbitrary anyway (this gate is
+    a correctness check against false RESYNC, not a security boundary).
+    """
     accepted = []
     pos = 0
     for off, bt, hs, ds in sorted(rows):

@@ -153,6 +153,17 @@ def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
             for t in ts:
                 if start is None:
                     start, last, n = t, t, 1
+                elif t < start:
+                    # late-but-within-watermark event BEFORE the stored
+                    # session: extend backward if within the gap, else
+                    # it is its own earlier session (emit immediately —
+                    # anything that could still extend it is already
+                    # behind the watermark)
+                    if start - t <= gap_ms:
+                        start = t
+                        n += 1
+                    else:
+                        emit(t, t, 1)
                 elif t - last > gap_ms:
                     emit(start, last, n)
                     start, last, n = t, t, 1

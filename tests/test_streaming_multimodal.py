@@ -281,3 +281,69 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1)]
     # the 03:00 sessions remain open (state, not output)
     assert len(collected) == 3
+
+
+def test_unsupported_media_variants_profile_not_crash(spark):
+    # 24-bit WAV / interlaced PNG / truncated netpbm must yield a
+    # metadata row (sniffed type + stand-in dims), never fail the job
+    import struct
+
+    import numpy as np
+
+    from osmpbf_spark.operators.multimodal import encode_wav
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav24 = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+             + struct.pack("<I", len(fmt24)) + fmt24
+             + b"data" + struct.pack("<I", 6) + b"\x00" * 6)
+    trunc_ppm = b"P6\n100 100\n255\n" + b"\x01" * 10   # raster too short
+    good = encode_wav(np.zeros((80, 1), dtype=np.int16), 8000)
+    media = spark.createDataFrame(
+        [("w24", bytearray(wav24)), ("tp", bytearray(trunc_ppm)),
+         ("ok", bytearray(good))],
+        "media_ref string, payload binary")
+    meta = {m["media_ref"]: m for m in
+            extract_media_metadata(media).collect()}
+    assert meta["w24"]["media_type"] == "audio/wav"
+    assert meta["w24"]["sample_rate"] is None   # stand-in path
+    assert meta["w24"]["width"] is not None
+    assert meta["tp"]["media_type"] == "image/x-portable-pixmap"
+    assert meta["ok"]["sample_rate"] == 8000 and \
+        meta["ok"]["duration_ms"] == 10
+    feats = extract_media_features(media, dim=4).collect()
+    assert len(feats) == 3 and all(len(f["feature"]) == 4 for f in feats)
+
+
+def test_stream_sessionize_late_event_extends_backward(spark, tmp_path):
+    # a within-watermark late event BEFORE the stored session start must
+    # move session_start back (parity with the batch sessionize)
+    from osmpbf_spark.streaming.ops import stream_sessionize
+    base = str(tmp_path)
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, "user_id long, ts_s string")
+         .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+         .write.mode("overwrite").parquet(f"{base}/in/{name}"))
+
+    def run():
+        got = []
+        st = spark.readStream.schema("user_id long, ts timestamp") \
+            .parquet(base + "/in/*")
+        q = (stream_sessionize(st, gap_minutes=30).writeStream
+             .foreachBatch(lambda b, i: got.extend(
+                 (r["user_id"], str(r["session_start"]),
+                  str(r["session_end"]), r["n_events"])
+                 for r in b.collect()))
+             .option("checkpointLocation", base + "/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        return got
+
+    write([(1, "2024-01-01 01:00:00")], "f1")
+    assert run() == []                         # session open in state
+    # watermark after f1 = 00:30; a 00:45 late event is within watermark
+    # and within the gap of the 01:00 start → extends backward
+    write([(1, "2024-01-01 00:45:00")], "f2")
+    run()
+    write([(1, "2024-01-01 05:00:00")], "f3")  # closes via timeout
+    got = run()
+    assert (1, "2024-01-01 00:45:00", "2024-01-01 01:00:00", 2) in got
