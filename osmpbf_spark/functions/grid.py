@@ -41,19 +41,25 @@ def _check_res(res: int):
 
 
 def grid_xy_sql(lat_nano: str, lon_nano: str, res: int,
-                dialect: str = "spark") -> tuple[str, str]:
+                dialect: str = "spark", *, wrap: bool = True
+                ) -> tuple[str, str]:
     """Render the cell (x, y) computation as SQL text for ``spark`` or
     ``duckdb`` — the single source of truth for the arithmetic, so the
     engine and the correctness oracle share one definition.
 
     x = ((lon_nano + 180e9) * 2^res) div 360e9, wrapped mod 2^res
     y = ((lat_nano +  90e9) * 2^res) div 180e9, clamped to 2^res - 1
+
+    ``wrap=False`` leaves x unwrapped (may be < 0 or ≥ 2^res) — used by
+    ``polygon_cover`` on antimeridian-split rings whose unwrapped lons
+    run past ±180°; callers clamp the resulting x-range themselves.
     """
     _check_res(res)
     div = "DIV" if dialect == "spark" else "//"
     n = 1 << res
-    x = (f"(((({lon_nano}) + {NANO_180}) * {n}) {div} {NANO_360}) % {n}"
-         )
+    x = f"(((({lon_nano}) + {NANO_180}) * {n}) {div} {NANO_360})"
+    if wrap:
+        x = f"({x} % {n})"
     y = (f"LEAST(((({lat_nano}) + {NANO_90}) * {n}) {div} {NANO_360 // 2}, "
          f"{n - 1})")
     return x, y

@@ -48,7 +48,7 @@ def make_polygons(spark, rows) -> DataFrame:
 
 
 def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
-                  *, tight: bool = True) -> DataFrame:
+                  *, tight: bool | str = "auto") -> DataFrame:
     """(cell, poly_id) for every grid cell whose row intersects the
     polygon — a per-cell-row SCANLINE, not the full bbox: each bbox row
     keeps only the x-span of ring edges crossing that row's lat band
@@ -57,8 +57,22 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
     restores the plain bbox cover. Runs distributed via sequence-explode;
     result is small (cells-per-polygon) and meant for broadcast.
 
-    x never wraps here: antimeridian-crossing polygons are a documented
-    unsupported case."""
+    ``tight="auto"`` (default, VERDICT r2 #1): the scanline adds three
+    fixed stages (edge explode → broadcast band join → groupBy).  A ring
+    with ≤ 4 edges is a (possibly degenerate) quadrilateral whose per-row
+    x-span wastes at most ~half the bbox row, so the refine — exact and
+    codegen'd either way — never sees enough extra candidates to repay
+    those stages; concavity needs ≥ 5 edges.  Auto therefore engages the
+    scanline only when some ring has > 4 edges, decided by one scalar
+    aggregate on the polygons side (broadcast-small by contract — the
+    same tiny-metadata job class as ``plans/audit.py``).
+
+    Antimeridian-crossing rings (max-lon − min-lon > 180°) are handled by
+    :func:`split_antimeridian` — call it first (``pip_join`` does);
+    ``polygon_cover`` itself still assumes x does not wrap."""
+    if tight == "auto":
+        m = polygons.agg(F.max(F.size("ring")).alias("m")).first()["m"]
+        tight = (m or 0) > 5          # closed ring: 5 verts == 4 edges
     n = 1 << res
     bounds = polygons.select(
         "poly_id", "ring",
@@ -70,17 +84,26 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
                "GREATEST(acc.max_lat, v.lat_nano), "
                "LEAST(acc.min_lon, v.lon_nano), "
                "GREATEST(acc.max_lon, v.lon_nano)))").alias("b"))
+    # x stays UNWRAPPED (wrap=False) then clamps to [0, n-1]: an
+    # antimeridian-split ring copy has lons past ±180°, whose in-range
+    # slice is exactly the clamped x-range (the other side comes from the
+    # ∓360°-shifted copy); fully out-of-range copies are filtered out.
     xy = bounds.select(
         "poly_id", "ring",
-        F.expr(grid_xy_sql("b.min_lat", "b.min_lon", res, "spark")[0])
-        .alias("x0"),
-        F.expr(grid_xy_sql("b.max_lat", "b.max_lon", res, "spark")[0])
-        .alias("x1"),
+        F.expr(grid_xy_sql("b.min_lat", "b.min_lon", res, "spark",
+                           wrap=False)[0]).alias("x0r"),
+        F.expr(grid_xy_sql("b.max_lat", "b.max_lon", res, "spark",
+                           wrap=False)[0]).alias("x1r"),
         F.expr(grid_xy_sql("b.min_lat", "b.min_lon", res, "spark")[1])
         .alias("y0"),
         F.expr(grid_xy_sql("b.max_lat", "b.max_lon", res, "spark")[1])
         .alias("y1"))
     from ..functions.grid import NANO_180, NANO_360, RES_SHIFT, Y_SHIFT
+    xy = (xy.filter((F.col("x1r") >= 0) & (F.col("x0r") <= n - 1))
+          .select("poly_id", "ring",
+                  F.greatest(F.col("x0r"), F.lit(0)).alias("x0"),
+                  F.least(F.col("x1r"), F.lit(n - 1)).alias("x1"),
+                  "y0", "y1"))
     rows = xy.select("poly_id", "ring", "x0", "x1",
                      F.explode(F.expr("sequence(y0, y1)")).alias("cy"))
     if tight:
@@ -141,6 +164,33 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
                      + F.col("cy")).alias("cell")))
 
 
+def split_antimeridian(polygons: DataFrame) -> DataFrame:
+    """Handle rings crossing ±180° (VERDICT r2 #8). Contract: a crossing
+    ring is given with UNWRAPPED lons — contiguous values running past
+    ±180e9 (e.g. 175e9 … 185e9) — so it stays simple in lon space. Each
+    crossing ring gains a ∓360°-shifted copy; between the two copies the
+    full in-range [-180°, 180°) extent is covered, and a point can be
+    inside at most one copy (their in-range lon slices are disjoint), so
+    the refine union is exact with no duplicates. Non-crossing rings pass
+    through as a single row. Per-polygon HOFs only — the polygons side is
+    broadcast-small by contract."""
+    from ..functions.grid import NANO_180, NANO_360
+    shifts = F.expr(
+        f"CASE WHEN aggregate(ring, CAST(-{NANO_360} AS BIGINT), "
+        f"(a, v) -> GREATEST(a, v.lon_nano)) > {NANO_180} "
+        f"THEN array(0L, CAST(-{NANO_360} AS BIGINT)) "
+        f"WHEN aggregate(ring, CAST({NANO_360} AS BIGINT), "
+        f"(a, v) -> LEAST(a, v.lon_nano)) < -{NANO_180} "
+        f"THEN array(0L, CAST({NANO_360} AS BIGINT)) "
+        f"ELSE array(0L) END")
+    return (polygons
+            .withColumn("_sh", F.explode(shifts))
+            .withColumn("ring", F.expr(
+                "transform(ring, v -> struct(v.lat_nano AS lat_nano, "
+                "v.lon_nano + _sh AS lon_nano))"))
+            .drop("_sh"))
+
+
 # Exact even-odd ray cast as a Catalyst expression. px/py are point
 # lon/lat nanodegrees; ring is array<struct<lat_nano,lon_nano>>.
 # Cross product in DECIMAL(38,0): |values| < 4e11, products < 1.6e23 —
@@ -183,7 +233,8 @@ def point_in_ring_expr(px: str, py: str):
 
 def pip_join(points: DataFrame, polygons: DataFrame, *,
              res: int = GRID_RES_FINE, cell_col: str = "cell",
-             salt_n: int | None = None) -> DataFrame:
+             salt_n: int | None = None, tight: bool | str = "auto",
+             cover: DataFrame | None = None) -> DataFrame:
     """points (with ``cell``, ``lat_nano``, ``lon_nano``) ⋈ polygons →
     rows of points inside each polygon (point columns + poly_id).
 
@@ -191,15 +242,22 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
     broadcast hash join on poly_id (ring fetch) → codegen'd refine filter.
     The big side never shuffles. ``salt_n`` spreads hot cells before the
     join when a megacity cell dominates (north_rule skew handling).
+    Antimeridian-crossing rings (unwrapped lons) are split transparently.
+
+    Pass ``cover=`` to reuse one precomputed :func:`polygon_cover` across
+    several joins against the same polygon set (VERDICT r2 #1) — it must
+    have been built from ``split_antimeridian(polygons)`` at this ``res``.
     """
-    cover = polygon_cover(polygons, res)
+    polys = split_antimeridian(polygons)
+    if cover is None:
+        cover = polygon_cover(polys, res, tight=tight)
     pts = points
     if salt_n:
         from ..functions.grid import salted_repartition
         pts = salted_repartition(pts, cell_col, salt_n)
     cand = pts.join(F.broadcast(cover),
                     pts[cell_col] == cover["cell"]).drop(cover["cell"])
-    withring = cand.join(F.broadcast(polygons), "poly_id")
+    withring = cand.join(F.broadcast(polys), "poly_id")
     return (withring
             .filter(point_in_ring_expr("lon_nano", "lat_nano"))
             .drop("ring"))

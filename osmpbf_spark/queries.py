@@ -1004,11 +1004,18 @@ def _duck_plane_arr(p):
     return "[" + ",".join(f"CAST({v} AS DOUBLE)" for v in p) + "]"
 
 
-def _emb_neardup_oracle(threshold=0.3):
-    sig_terms = " + ".join(
+def _duck_sig_terms() -> str:
+    """The hyperplane signature of column ``embedding`` rendered for
+    DuckDB — shared by the near-dup and LSH-top-k oracles (same frozen
+    ``_PLANES`` the Spark side uses)."""
+    return " + ".join(
         f"(CASE WHEN {_duck_dot('embedding', _duck_plane_arr(p))} > 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(_PLANES))
+
+
+def _emb_neardup_oracle(threshold=0.3):
+    sig_terms = _duck_sig_terms()
     norm = (f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
             f"[CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN embedding]), "
             f"(acc, v) -> acc + v))")
@@ -1160,16 +1167,55 @@ def q_ann_ivf_topk(spark, sf_dir):
                     F.col("rn2").cast("long").alias("rn")))
 
 
-@q("ann_lsh_topk", None)   # recall-bearing approximation → rows-only
+def _lsh_topk_oracle():
+    # probe_masks(len(_PLANES), multiprobe=1) rendered as constants —
+    # keep in lockstep with operators/knn.probe_masks
+    from .operators.knn import probe_masks
+    masks = ", ".join(f"({m})" for m in probe_masks(len(_PLANES), 1))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({_duck_sig_terms()}) AS sig FROM embeddings),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS qv, sig AS qsig
+  FROM sigs WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv, xor(qsig, m.mask) AS sig
+  FROM qs, (VALUES {masks}) AS m(mask)),
+cand AS (
+  SELECT p.query_id, s.vec_id, {_duck_cos('p.qv', 's.embedding')} AS cs
+  FROM probes p JOIN sigs s ON s.sig = p.sig),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, vec_id) AS rn
+  FROM cand)
+SELECT query_id, vec_id, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@q("ann_lsh_topk", _lsh_topk_oracle())
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path of knn_cosine) with
-    1-bit multi-probe; approximate by construction, recall validated
-    against the exact baseline in tests — rows-only check here."""
+    1-bit multi-probe. Approximate ≠ nondeterministic (VERDICT r2 #2):
+    given the frozen ``_PLANES`` the whole pipeline — signature → XOR
+    probe masks → bucket equi-join → cosine re-rank on ROUND(cs,4) with
+    vec_id tie-break — is a pure function of the input, mirrored
+    step-for-step by the DuckDB CTE oracle (same shape as ann_ivf_topk).
+    Recall vs the EXACT baseline is separately pinned in tests."""
     from .operators.knn import lsh_cosine_topk
     emb = _load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return lsh_cosine_topk(emb, queries, 3, _PLANES, multiprobe=1)
+    # k=∞ so no raw-float ordering ever filters rows; the only ranking
+    # that matters is the rounded re-rank below (cross-engine stable)
+    scored = lsh_cosine_topk(emb, queries, 1_000_000, _PLANES, multiprobe=1)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_sim", 4)), F.col("vec_id"))
+    return (scored.withColumn("rn2", F.row_number().over(w))
+            .filter(F.col("rn2") <= 3)
+            .select("query_id", "vec_id",
+                    F.col("rn2").cast("long").alias("rn")))
 
 
 def all_queries():

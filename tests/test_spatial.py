@@ -265,3 +265,48 @@ def test_grid_knn_join_skewed_hot_cell(spark):
                        for i, la, lo in pts)
         want = [i for _, i in dists[:5]]
         assert [i for _, i in sorted(got[qid])] == want, f"query {qid}"
+
+
+def test_antimeridian_polygon_pip(spark):
+    # dateline-crossing rectangle, lon 175°..185° unwrapped (VERDICT r2
+    # #8): points on BOTH sides of ±180° must match; just-outside points
+    # must not. Verified on the auto, scanline, and bbox cover paths.
+    B = 1_000_000_000
+    ring = [(-5 * B, 175 * B), (-5 * B, 185 * B), (5 * B, 185 * B),
+            (5 * B, 175 * B), (-5 * B, 175 * B)]
+    polys = make_polygons(spark, [("dl", [(la, lo) for la, lo in ring])])
+    pts = [
+        (1, 0, 178 * B),            # east side, inside
+        (2, 0, -178 * B),           # west of the dateline, inside
+        (3, 4 * B, 179_900_000_000),   # hugging +180, inside
+        (4, 0, 170 * B),            # east, outside
+        (5, 0, -170 * B),           # west, outside
+        (6, 7 * B, 178 * B),        # north of the ring, outside
+    ]
+    res = 8
+    pdf = with_grid_cells(spark.createDataFrame(
+        pts, "id long, lat_nano long, lon_nano long"), res=res)
+    want = {1, 2, 3}
+    for tight in ("auto", True, False):
+        got = {r["id"] for r in
+               pip_join(pdf, polys, res=res, tight=tight).collect()}
+        assert got == want, (tight, got)
+
+
+def test_auto_cover_is_bbox_for_quadrilaterals(spark):
+    # tight="auto" must take the cheap bbox path for a ≤4-edge ring
+    # (VERDICT r2 #1: the pip_diamond bench regression) and the scanline
+    # for anything with more edges (the L-shape test covers that side).
+    from osmpbf_spark.operators.pip import polygon_cover
+    B = 1_000_000_000
+    diamond = [(0, -10 * B), (10 * B, 0), (0, 10 * B), (-10 * B, 0),
+               (0, -10 * B)]
+    polys = make_polygons(spark, [("d", diamond)])
+    res = 8
+    auto = polygon_cover(polys, res).count()
+    bbox = polygon_cover(polys, res, tight=False).count()
+    scan = polygon_cover(polys, res, tight=True).count()
+    assert auto == bbox            # 4 edges → bbox path
+    assert scan < bbox             # the scanline does shrink a diamond…
+    # …but the exact refine makes all three agree on results (covered by
+    # test_antimeridian_polygon_pip's three-way loop above).
