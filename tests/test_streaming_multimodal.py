@@ -239,10 +239,11 @@ def test_png_decode_all_filters():
 
 
 def test_stream_sessionize_stateful(spark, tmp_path):
-    # applyInPandasWithState gap sessionization: in-batch closed sessions
-    # emit immediately; dangling sessions emit when the event-time
-    # watermark passes last_event+gap (timeout); open sessions stay in
-    # bounded per-key state
+    # applyInPandasWithState gap sessionization: a session finalizes
+    # ONLY once the event-time watermark passes last_event+gap (ADVICE
+    # r2 — any earlier emission could still be extended/bridged by an
+    # in-watermark late event); open sessions stay in bounded per-key
+    # state
     from osmpbf_spark.streaming.ops import stream_sessionize
     base = str(tmp_path)
     rows1 = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
@@ -268,15 +269,17 @@ def test_stream_sessionize_stateful(spark, tmp_path):
         return got
 
     first = run()
-    assert first == [(1, "2024-01-01 00:00:00",
-                      "2024-01-01 00:10:00", 2)]
-    # a far-future file advances the watermark; dangling sessions close
+    # watermark is still at epoch during the first batch → nothing can
+    # finalize yet (watermark-gated emission; closed sessions wait)
+    assert first == []
+    # a far-future file advances the watermark; all closed sessions emit
     rows2 = [(1, "2024-01-01 03:00:00"), (2, "2024-01-01 03:00:00")]
     (spark.createDataFrame(rows2, "user_id long, ts_s string")
      .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
      .write.mode("overwrite").parquet(base + "/in/f2"))
     second = run()
     assert sorted(second) == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2),
         (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
         (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1)]
     # the 03:00 sessions remain open (state, not output)
@@ -347,3 +350,87 @@ def test_stream_sessionize_late_event_extends_backward(spark, tmp_path):
     write([(1, "2024-01-01 05:00:00")], "f3")  # closes via timeout
     got = run()
     assert (1, "2024-01-01 00:45:00", "2024-01-01 01:00:00", 2) in got
+
+
+def test_corrupt_media_payloads_profile_not_crash(spark):
+    # ADVICE r2: the fallback contract must also absorb zlib.error
+    # (corrupt IDAT), ZeroDivisionError (zeroed WAV fmt fields) and
+    # IndexError (zero-dimension rasters) — one bad asset must never
+    # fail the job
+    import struct
+
+    import numpy as np
+
+    from osmpbf_spark.operators.multimodal import encode_png
+
+    good_png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    idat_at = good_png.index(b"IDAT")
+    corrupt_idat = (good_png[:idat_at + 4]
+                    + b"\xde\xad\xbe\xef" * 4
+                    + good_png[idat_at + 20:])          # garbage DEFLATE
+    fmt0 = struct.pack("<HHIIHH", 1, 0, 0, 0, 0, 16)    # 0 ch, 0 rate
+    wav0 = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+            + struct.pack("<I", len(fmt0)) + fmt0
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    zero_ppm = b"P6\n0 0\n255\n"                        # 0×0 raster
+    media = spark.createDataFrame(
+        [("ci", bytearray(corrupt_idat)), ("w0", bytearray(wav0)),
+         ("z", bytearray(zero_ppm))],
+        "media_ref string, payload binary")
+    meta = {m["media_ref"]: m for m in
+            extract_media_metadata(media).collect()}
+    assert meta["ci"]["media_type"] == "image/png"
+    assert meta["w0"]["media_type"] == "audio/wav"
+    assert meta["w0"]["sample_rate"] is None            # stand-in path
+    assert meta["z"]["width"] is not None               # stand-in dims
+    feats = extract_media_features(media, dim=4).collect()
+    assert len(feats) == 3 and all(len(f["feature"]) == 4 for f in feats)
+
+
+def test_stream_sessionize_late_event_bridges_sessions(spark, tmp_path):
+    # ADVICE r2 regression: with eager gap-exceeded emission, a session
+    # could emit and THEN an in-watermark late event lands within gap of
+    # both the emitted end and the next session's start — the three
+    # should have been ONE merged session. Watermark-gated finalization
+    # must produce exactly one (01:00 → 01:31, n=3).
+    from osmpbf_spark.streaming.ops import stream_sessionize
+    base = str(tmp_path)
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, "user_id long, ts_s string")
+         .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+         .write.mode("overwrite").parquet(f"{base}/in/{name}"))
+
+    collected = []
+
+    def run():
+        got = []
+        st = spark.readStream.schema("user_id long, ts timestamp") \
+            .parquet(base + "/in/*")
+        q = (stream_sessionize(st, gap_minutes=30).writeStream
+             .foreachBatch(lambda b, i: got.extend(
+                 (r["user_id"], str(r["session_start"]),
+                  str(r["session_end"]), r["n_events"])
+                 for r in b.collect()))
+             .option("checkpointLocation", base + "/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        collected.extend(got)
+        return got
+
+    write([(1, "2024-01-01 01:00:00")], "f1")
+    run()
+    # 31 min later: a NEW open session (gap exceeded), but 01:00 must NOT
+    # finalize yet — the watermark (01:01 after this file) still admits
+    # events that can bridge the two
+    write([(1, "2024-01-01 01:31:00")], "f2")
+    run()
+    # the bridge: within watermark, within gap of both neighbours
+    write([(1, "2024-01-01 01:10:00")], "f3")
+    run()
+    write([(1, "2024-01-01 08:00:00")], "f4")  # watermark → 07:30
+    got = run()
+    assert (1, "2024-01-01 01:00:00", "2024-01-01 01:31:00", 3) in got
+    # exactly one finalized session so far (08:00 still open in state)
+    assert collected == [(1, "2024-01-01 01:00:00",
+                          "2024-01-01 01:31:00", 3)]
