@@ -59,6 +59,41 @@ def _materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _median_time(fn, *, trials: int = 3, warmup: int = 1) -> float:
+    """Per-query median of ``trials`` steady-state runs after ``warmup``
+    discarded runs (VERDICT r2 #5: this host drifts 1.4× run-to-run —
+    single unpinned runs are not evidence and masked the r2 regression)."""
+    import statistics
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(trials):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def _prev_bench():
+    """Latest driver-recorded BENCH_r*.json → its per-query seconds."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return {}
+    try:
+        with open(best) as f:
+            rec = json.load(f)
+        return rec.get("parsed", rec).get("queries", {}) or {}
+    except Exception:
+        return {}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -76,9 +111,8 @@ def main():
     queries = {}
     for name in BENCH_QUERIES:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        _materialize(fn(spark, sf_dir))
-        queries[name] = round(time.time() - t0, 3)
+        queries[name] = round(_median_time(
+            lambda: _materialize(fn(spark, sf_dir))), 3)
 
     # --- north-star: decode throughput and decode+PIP elements/sec ------
     docs, media, expected = synth_documents(
@@ -88,24 +122,20 @@ def main():
     docs.count(), media.count()   # warm the input (setup, not measured)
     n_elements = expected["node"] + expected["way"] + expected["relation"]
 
-    # steady-state: best of 2 (first run pays shuffle-file writes and JIT)
-    t_decode = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        elements = read_elements(docs, media, decode_partitions=cpus * 2)
-        _materialize(elements)
-        t_decode = min(t_decode, time.time() - t0)
+    # steady-state medians (first run pays shuffle-file writes and JIT)
+    t_decode = _median_time(lambda: _materialize(
+        read_elements(docs, media, decode_partitions=cpus * 2)))
 
-    t_pip = float("inf")
     n_inside = 0
-    for _ in range(2):
-        t0 = time.time()
+
+    def pip_run():
+        nonlocal n_inside
         elements = read_elements(docs, media, decode_partitions=cpus * 2)
         nodes = with_grid_cells(elements.filter("element_type = 'node'"),
                                 res=GRID_RES_FINE)
         joined = pip_join(nodes, _synth_polygons(spark), res=GRID_RES_FINE)
         n_inside = joined.count()
-        t_pip = min(t_pip, time.time() - t0)
+    t_pip = _median_time(pip_run)
 
     queries["osm_decode"] = round(t_decode, 3)
     queries["osm_decode_pip"] = round(t_pip, 3)
@@ -122,14 +152,14 @@ def main():
     from osmpbf_spark.sources.synth import synth_query_points
     n_queries = 100_000
     qdf = synth_query_points(spark, n_queries, res=res_knn)
-    t_knn = float("inf")
     knn_rows = 0
-    for _ in range(2):
-        t0 = time.time()
+
+    def knn_run():
+        nonlocal knn_rows
         out = grid_knn(nodes, qdf, 5, res=res_knn,
                        broadcast_candidates=False)
         knn_rows = out.count()
-        t_knn = min(t_knn, time.time() - t0)
+    t_knn = _median_time(knn_run)
     nodes.unpersist()
     queries["knn_join_100k"] = round(t_knn, 3)
 
@@ -150,12 +180,17 @@ def main():
                            "elements_per_sec": int(t.replace(",", ""))}
                            for c, s, t in rows}}
 
+    prev = _prev_bench()
+    vs_prev = {k: round(v / prev[k], 2) for k, v in queries.items()
+               if prev.get(k)}
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "decode_pip_elements_per_sec",
         "value": round(n_elements / t_pip, 1),
         "unit": "sec",
         "queries": queries,
+        "method": "median of 3 steady-state runs per query (1 warm-up)",
+        "vs_prev": vs_prev,
         "sf": sf_dir,
         "cpus": cpus,
         "total_sec": total,

