@@ -191,6 +191,10 @@ def main():
         "queries": queries,
         "method": "median of 3 steady-state runs per query (1 warm-up)",
         "vs_prev": vs_prev,
+        "vs_prev_note": ("ratio vs the last recorded BENCH_r*.json; "
+                         "records before r3 used single/best-of-2 runs, "
+                         "which read low under host drift — compare "
+                         "medians-to-medians from r3 on"),
         "sf": sf_dir,
         "cpus": cpus,
         "total_sec": total,

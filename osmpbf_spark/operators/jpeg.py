@@ -247,12 +247,21 @@ def decode_jpeg(p: bytes) -> np.ndarray:
     by_id = {c["id"]: c for c in comps}
     order = []                                  # scan-ordered components
     for cid, td, ta in scan:
-        c = by_id[cid]
+        c = by_id.get(cid)
+        if c is None:
+            raise ValueError(f"JPEG scan references unknown component "
+                             f"{cid}")
         c["dc"] = huff.get((0, td))
         c["ac"] = huff.get((1, ta))
         if c["dc"] is None or c["ac"] is None:
             raise ValueError("JPEG scan references missing Huffman table")
         order.append(c)
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG component references missing quant "
+                             f"table {c['tq']}")
+        if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+            raise ValueError("bad JPEG sampling factors")
 
     # split entropy data at RST markers, unstuff 0xFF00
     tail = p[pos_after_sos:]

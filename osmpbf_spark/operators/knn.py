@@ -236,16 +236,28 @@ def _cosine_pandas():
     @F.pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
-        A = np.array(a.tolist(), dtype=np.float64)
-        B = np.array(b.tolist(), dtype=np.float64)
-        dot = np.zeros(len(A))
-        na = np.zeros(len(A))
-        nb = np.zeros(len(A))
-        for j in range(A.shape[1]):
-            dot += A[:, j] * B[:, j]
-            na += A[:, j] * A[:, j]
-            nb += B[:, j] * B[:, j]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        # NULL rows propagate NULL (NaN→null through Arrow), matching
+        # the HOF form; present vectors must share one fixed dim —
+        # embeddings tables do, and ragged input fails loud here where
+        # the HOF would yield NULLs row-wise
+        mask = a.notna() & b.notna()
+        out = np.full(len(a), np.nan)
+        if mask.any():
+            A = np.array(a[mask].tolist(), dtype=np.float64)
+            B = np.array(b[mask].tolist(), dtype=np.float64)
+            if A.ndim != 2 or B.shape != A.shape:
+                raise ValueError(
+                    "cosine_score(use_pandas=True) needs equal "
+                    "fixed-length vectors; ragged input detected")
+            dot = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for j in range(A.shape[1]):
+                dot += A[:, j] * B[:, j]
+                na += A[:, j] * A[:, j]
+                nb += B[:, j] * B[:, j]
+            out[mask.to_numpy()] = dot / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(out)
     return cos
 
 

@@ -74,8 +74,13 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
         m = polygons.agg(F.max(F.size("ring")).alias("m")).first()["m"]
         tight = (m or 0) > 5          # closed ring: 5 verts == 4 edges
     n = 1 << res
+    # ring-content key: antimeridian-split copies share poly_id but must
+    # NOT pool their edges in the scanline band join (pooled min/max
+    # degenerates the span to the full bbox row); identical rings
+    # colliding is harmless (min/max unaffected)
+    polygons = polygons.withColumn("_ck", F.xxhash64("ring"))
     bounds = polygons.select(
-        "poly_id", "ring",
+        "poly_id", "_ck", "ring",
         F.expr("aggregate(ring, struct(CAST(9223372036854775807 AS BIGINT) "
                "AS min_lat, CAST(-9223372036854775808 AS BIGINT) AS max_lat, "
                "CAST(9223372036854775807 AS BIGINT) AS min_lon, "
@@ -89,7 +94,7 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
     # slice is exactly the clamped x-range (the other side comes from the
     # ∓360°-shifted copy); fully out-of-range copies are filtered out.
     xy = bounds.select(
-        "poly_id", "ring",
+        "poly_id", "_ck", "ring",
         F.expr(grid_xy_sql("b.min_lat", "b.min_lon", res, "spark",
                            wrap=False)[0]).alias("x0r"),
         F.expr(grid_xy_sql("b.max_lat", "b.max_lon", res, "spark",
@@ -100,11 +105,11 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
         .alias("y1"))
     from ..functions.grid import NANO_180, NANO_360, RES_SHIFT, Y_SHIFT
     xy = (xy.filter((F.col("x1r") >= 0) & (F.col("x0r") <= n - 1))
-          .select("poly_id", "ring",
+          .select("poly_id", "_ck", "ring",
                   F.greatest(F.col("x0r"), F.lit(0)).alias("x0"),
                   F.least(F.col("x1r"), F.lit(n - 1)).alias("x1"),
                   "y0", "y1"))
-    rows = xy.select("poly_id", "ring", "x0", "x1",
+    rows = xy.select("poly_id", "_ck", "ring", "x0", "x1",
                      F.explode(F.expr("sequence(y0, y1)")).alias("cy"))
     if tight:
         band_h = NANO_360 / 2 / n   # lat height of one cell row (double)
@@ -114,7 +119,7 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
         # explode per polygon, then a codegen'd band join + hash
         # aggregate does the same scanline.
         edges = (polygons
-                 .select("poly_id", F.explode(F.expr(
+                 .select("poly_id", "_ck", F.explode(F.expr(
                      "zip_with(slice(ring, 1, size(ring) - 1), "
                      "slice(ring, 2, size(ring) - 1), (a, b) -> struct("
                      "CAST(LEAST(a.lat_nano, b.lat_nano) AS DOUBLE) AS lo, "
@@ -123,7 +128,7 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
                      "CAST(a.lon_nano AS DOUBLE) AS lo1, "
                      "CAST(b.lat_nano AS DOUBLE) AS la2, "
                      "CAST(b.lon_nano AS DOUBLE) AS lo2))")).alias("e"))
-                 .select("poly_id", "e.*"))
+                 .select("poly_id", "_ck", "e.*"))
         blo = F.col("cy") * F.lit(band_h) - F.lit(9e10) - F.lit(1.0)
         bhi = ((F.col("cy") + 1) * F.lit(band_h) - F.lit(9e10)
                + F.lit(1.0))
@@ -135,14 +140,14 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
                        - F.col("la1")) / (F.col("la2") - F.col("la1")))
         flat = F.col("la1") == F.col("la2")
         l0, l1 = lon_at(blo), lon_at(bhi)
-        hit = (rows.join(F.broadcast(edges), "poly_id")
+        hit = (rows.join(F.broadcast(edges), ["poly_id", "_ck"])
                .filter((F.col("lo") <= bhi) & (F.col("hi") >= blo))
-               .select("poly_id", "cy", "x0", "x1",
+               .select("poly_id", "_ck", "cy", "x0", "x1",
                        F.when(flat, F.least("lo1", "lo2"))
                        .otherwise(F.least(l0, l1)).alias("lmn"),
                        F.when(flat, F.greatest("lo1", "lo2"))
                        .otherwise(F.greatest(l0, l1)).alias("lmx")))
-        span = hit.groupBy("poly_id", "cy", "x0", "x1").agg(
+        span = hit.groupBy("poly_id", "_ck", "cy", "x0", "x1").agg(
             F.min("lmn").alias("mn"), F.max("lmx").alias("mx"))
         # double→cell x with a ±1-cell pad (every bbox row of a closed
         # ring meets ≥1 edge, so the groupBy loses no rows)

@@ -836,6 +836,58 @@ def q_multimodal_golden(spark, sf_dir):
     return extract_media_metadata(media)
 
 
+def _media_features_oracle():
+    """Expected feature vectors computed LOCALLY with the same pure
+    codec functions the workers run (same numpy, same machine) — puts
+    the full decode→resize→feature pipeline (netpbm, PNG, baseline
+    JPEG, WAV FFT, digest stand-in) under the driver's hash gate, not
+    just the metadata pass. Quantization is ``FLOOR(v·1e6 + 0.5)`` on
+    BOTH sides: pure IEEE double ops with no rounding-MODE ambiguity
+    (ROUND half-up in Spark vs half-even elsewhere flips exact ties
+    like 0.1328125 — histogram values are dyadic, so ties are common)."""
+    import math
+
+    from .operators.multimodal import (
+        _audio_feature,
+        _fake_feature,
+        _image_feature,
+        sniff_media_type,
+    )
+    rows = []
+    for ref, p in _multimodal_payloads():
+        t = sniff_media_type(p)
+        if t.startswith("image/"):
+            f, n = _image_feature(p, 8)
+        elif t == "audio/wav":
+            f, n = _audio_feature(p, 8)
+        else:
+            f, n = _fake_feature(p, 8)
+        vals = ", ".join(
+            f"CAST({math.floor(float(v) * 1e6 + 0.5)} AS BIGINT)"
+            for v in f)
+        rows.append(f"('{ref}', [{vals}], CAST({n} AS INTEGER))")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(media_ref, feature_q6, n_frames)")
+
+
+@q("media_features_golden", _media_features_oracle())
+def q_media_features_golden(spark, sf_dir):
+    """REAL feature extraction through Spark mapInArrow — luminance
+    histograms for three image codecs (netpbm/PNG/JPEG), FFT band
+    energies for WAV, digest stand-in for the opaque blob — vs
+    locally-computed constants (micro-unit quantization both sides)."""
+    from .operators.multimodal import extract_media_features
+    media = spark.createDataFrame(
+        [(r, bytearray(p)) for r, p in _multimodal_payloads()],
+        "media_ref string, payload binary")
+    return (extract_media_features(media, dim=8)
+            .select("media_ref",
+                    F.expr("transform(feature, v -> CAST(FLOOR("
+                           "CAST(v AS DOUBLE) * 1e6 + 0.5D) AS BIGINT))")
+                    .alias("feature_q6"),
+                    F.col("n_frames").cast("int").alias("n_frames")))
+
+
 def _duck_dist2(a: str, b: str) -> str:
     return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"[(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "

@@ -159,17 +159,23 @@ def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
             else:
                 merged.append(s)
         wm = state.getCurrentWatermarkMs()
+        # STRICT <: an event with ts == watermark is still admitted by
+        # Spark's late filter, and ts == end+gap merges in the batch
+        # twin (split only when the lag EXCEEDS the gap) — so a session
+        # is final only once the watermark moves strictly past end+gap
         done = [{"user_id": uid,
                  "session_start": pd.Timestamp(s, unit="ms"),
                  "session_end": pd.Timestamp(l, unit="ms"),
                  "n_events": n}
-                for s, l, n in merged if l + gap_ms <= wm]
-        open_ = [s for s in merged if s[1] + gap_ms > wm]
+                for s, l, n in merged if l + gap_ms < wm]
+        open_ = [s for s in merged if s[1] + gap_ms >= wm]
         if open_:
             state.update(([s[0] for s in open_], [s[1] for s in open_],
                           [s[2] for s in open_]))
-            # earliest closeable open session; > wm by construction
-            state.setTimeoutTimestamp(min(s[1] for s in open_) + gap_ms)
+            # earliest closeable open session — clamped above the
+            # watermark (end+gap may equal it exactly now)
+            state.setTimeoutTimestamp(
+                max(min(s[1] for s in open_) + gap_ms, wm + 1))
         else:
             state.remove()
         if done:

@@ -94,3 +94,20 @@ def test_jpeg_through_media_operators(spark):
     (f2,) = extract_media_features(media, dim=8).collect()
     assert abs(sum(f1["feature"]) - 1.0) < 1e-5   # real histogram
     assert list(f1["feature"]) == list(f2["feature"])
+
+
+def test_jpeg_unknown_component_and_missing_dqt_raise_value_error():
+    # code-review r3: KeyError must not escape the media fallback
+    # contract — malformed cross-references raise ValueError instead
+    img = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    good = encode_jpeg(img)
+    sos_at = good.index(b"\xff\xda")
+    bad_cid = bytearray(good)
+    bad_cid[sos_at + 5] = 99                 # SOS comp id → undeclared
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(bytes(bad_cid))
+    dqt_at = good.index(b"\xff\xdb")
+    bad_tq = bytearray(good)
+    bad_tq[dqt_at + 4] = 7                   # DQT table id ≠ SOF's tq=0
+    with pytest.raises(ValueError, match="missing quant"):
+        decode_jpeg(bytes(bad_tq))

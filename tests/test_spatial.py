@@ -310,3 +310,45 @@ def test_auto_cover_is_bbox_for_quadrilaterals(spark):
     assert scan < bbox             # the scanline does shrink a diamond…
     # …but the exact refine makes all three agree on results (covered by
     # test_antimeridian_polygon_pip's three-way loop above).
+
+
+def test_tight_cover_tightens_each_antimeridian_copy(spark):
+    # code-review r3: the scanline band join must key edges per ring
+    # COPY (poly_id alone pools the split copies' edges and the span
+    # degenerates to the bbox row). A dateline-crossing diamond must
+    # still get a strictly smaller scanline cover than its bbox cover.
+    from osmpbf_spark.operators.pip import polygon_cover, split_antimeridian
+    B = 1_000_000_000
+    diamond = [(0, 170 * B), (10 * B, 180 * B), (0, 190 * B),
+               (-10 * B, 180 * B), (0, 170 * B)]   # unwrapped, crossing
+    polys = split_antimeridian(make_polygons(spark, [("xd", diamond)]))
+    res = 8
+    scan = polygon_cover(polys, res, tight=True).count()
+    bbox = polygon_cover(polys, res, tight=False).count()
+    assert scan < bbox * 0.75, (scan, bbox)
+    # and PIP results agree between the two covers (exact refine)
+    pts = [(i * 41 + j, (i - 6) * B, (174 + j) * B % (360 * B) - 180 * B)
+           for i in range(13) for j in range(13)]
+    pdf = with_grid_cells(spark.createDataFrame(
+        pts, "id long, lat_nano long, lon_nano long"), res=res)
+    got_t = {r["id"] for r in
+             pip_join(pdf, make_polygons(spark, [("xd", diamond)]),
+                      res=res, tight=True).collect()}
+    got_b = {r["id"] for r in
+             pip_join(pdf, make_polygons(spark, [("xd", diamond)]),
+                      res=res, tight=False).collect()}
+    assert got_t == got_b
+
+
+def test_cosine_pandas_null_rows_propagate_null(spark):
+    from osmpbf_spark.operators.knn import cosine_score
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0]), (2, None, [1.0, 1.0]),
+         (3, [1.0, 1.0], None)],
+        "id long, a array<double>, b array<double>")
+    rows = {r["id"]: (r["h"], r["p"]) for r in df.select(
+        "id", cosine_score("a", "b").alias("h"),
+        cosine_score("a", "b", use_pandas=True).alias("p")).collect()}
+    assert rows[1][0] == rows[1][1] and rows[1][0] is not None
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)

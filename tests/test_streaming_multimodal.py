@@ -434,3 +434,54 @@ def test_stream_sessionize_late_event_bridges_sessions(spark, tmp_path):
     # exactly one finalized session so far (08:00 still open in state)
     assert collected == [(1, "2024-01-01 01:00:00",
                           "2024-01-01 01:31:00", 3)]
+
+
+def test_stream_sessionize_boundary_event_at_watermark(spark, tmp_path):
+    # code-review r3: an event with ts EXACTLY equal to end+gap (== the
+    # watermark) is admitted by Spark's late filter and merges in the
+    # batch twin (split only when lag EXCEEDS gap) — finalization must
+    # be strict `<` so the session is still open to receive it.
+    from osmpbf_spark.streaming.ops import stream_sessionize
+    base = str(tmp_path)
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, "user_id long, ts_s string")
+         .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+         .write.mode("overwrite").parquet(f"{base}/in/{name}"))
+
+    collected = []
+
+    def run():
+        got = []
+        st = spark.readStream.schema("user_id long, ts timestamp") \
+            .parquet(base + "/in/*")
+        q = (stream_sessionize(st, gap_minutes=30).writeStream
+             .foreachBatch(lambda b, i: got.extend(
+                 (r["user_id"], str(r["session_start"]),
+                  str(r["session_end"]), r["n_events"])
+                 for r in b.collect()))
+             .option("checkpointLocation", base + "/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        collected.extend(got)
+        return got
+
+    write([(1, "2024-01-01 01:00:00")], "f1")
+    run()
+    # another key drives the watermark to exactly 01:30 = 01:00+gap;
+    # user 1's session must NOT finalize at wm == end+gap
+    write([(2, "2024-01-01 02:00:00")], "f2")
+    run()
+    write([(1, "2024-01-01 01:45:00")], "f3")
+    run()
+    write([(1, "2024-01-01 01:30:00")], "f4")   # ts == watermark bridge
+    run()
+    write([(1, "2024-01-01 09:00:00"), (2, "2024-01-01 09:00:00")], "f5")
+    got = run()
+    u1 = [g for g in collected if g[0] == 1]
+    # if Spark admitted the 01:30 boundary event: ONE bridged session;
+    # if its late filter dropped it: two sessions but NEVER an early
+    # (01:00,01:00) emission alongside a bridged remainder
+    assert u1 == [(1, "2024-01-01 01:00:00", "2024-01-01 01:45:00", 3)] \
+        or u1 == [(1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
+                  (1, "2024-01-01 01:45:00", "2024-01-01 01:45:00", 1)], u1
