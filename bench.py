@@ -170,15 +170,19 @@ def main():
     if os.path.exists(md):
         import re
         txt = open(md).read()
-        m = re.search(r"=\s*\n?([0-9.]+)\*\*\s*\(gate", txt)
-        rows = re.findall(r"local\[(\d+)\]\s*\|\s*([0-9.]+)\s*\|"
-                          r"\s*([0-9,]+)", txt)
-        if m and rows:
-            scaling = {"efficiency": float(m.group(1)),
-                       "points": {f"local[{c}]": {
-                           "sec": float(s),
-                           "elements_per_sec": int(t.replace(",", ""))}
-                           for c, s, t in rows}}
+        mm = re.search(r"<!-- MACHINE: (\{.*\}) -->", txt)
+        if mm:
+            scaling = json.loads(mm.group(1))
+        else:
+            m = re.search(r"=\s*\n?([0-9.]+)\*\*\s*\(gate", txt)
+            rows = re.findall(r"local\[(\d+)\]\s*\|\s*([0-9.]+)\s*\|"
+                              r"\s*([0-9,]+)", txt)
+            if m and rows:
+                scaling = {"efficiency": float(m.group(1)),
+                           "points": {f"local[{c}]": {
+                               "sec": float(s),
+                               "elements_per_sec": int(t.replace(",", ""))}
+                               for c, s, t in rows}}
 
     prev = _prev_bench()
     vs_prev = {k: round(v / prev[k], 2) for k, v in queries.items()

@@ -216,6 +216,114 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, *,
                         6).alias("jaccard")))
 
 
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", *,
+                         max_iters: int = 30) -> DataFrame:
+    """Connected components over an undirected edge list → (node, label)
+    with label = MIN node id of the component.
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbours' labels (one equi-join + one
+    groupBy-min per round, both on the node key), until a round changes
+    nothing. Converges in O(component diameter) rounds — near-dup
+    clusters are dense (LSH pairs link most members directly), so
+    diameters are tiny in practice; ``max_iters`` bounds pathological
+    chain graphs and raises rather than returning a half-merged
+    labelling. Every round's result is eagerly checkpointed (lineage
+    would otherwise double per round) and the previous generation is
+    released. 100 TB note: rounds shuffle ONLY (node, label) pairs —
+    never document payloads — and the edge list is partitioned once and
+    reused; for graphs with giant high-diameter components swap the
+    round body for the large-star/small-star contraction (same loop
+    skeleton, O(log n) rounds).
+    """
+    spark = edges.sparkSession
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .distinct()
+           .repartition(n_shuffle, "a").persist())
+    labels = _ckpt(sym.select(F.col("a").alias("node"))
+                   .distinct()
+                   .withColumn("label", F.col("node")))
+    for _ in range(max_iters):
+        prop = (sym.join(labels, sym["a"] == labels["node"])
+                .select(F.col("b").alias("node"), "label"))
+        new = _ckpt(labels.unionByName(prop)
+                    .groupBy("node").agg(F.min("label").alias("label")))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            sym.unpersist()
+            return labels
+    sym.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        f"component diameter exceeds the bound; raise max_iters or use a "
+        f"star-contraction variant")
+
+
+def near_dup_clusters(docs: DataFrame, *, k: int = 32, bands: int = 8,
+                      shingle_n: int = 3, threshold: float = 0.5,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH pairs → connected components
+    → canonical keeper per cluster. Returns one row per document that
+    participates in at least one near-dup pair:
+    (doc_id, cluster_id = min doc_id of the cluster, is_keeper).
+
+    This is the step a real training-data pipeline runs after pair
+    generation — "drop everything in a cluster except one" needs the
+    transitive closure, not the raw pairs (A~B, B~C must discard two of
+    three even when A~C was never emitted)."""
+    pairs = minhash_lsh_pairs(docs, k=k, bands=bands, shingle_n=shingle_n,
+                              threshold=threshold, text_col=text_col,
+                              id_col=id_col)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"))
+
+
+def dedup_documents(docs: DataFrame, *, method: str = "exact",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    **kwargs) -> DataFrame:
+    """The end-user dedup step: return ``docs`` with duplicates REMOVED.
+
+    ``method="exact"`` drops every row whose text hash already has a
+    smaller doc_id (one shuffle on the 16-byte hash). ``method="minhash"``
+    drops every non-keeper of each near-dup cluster (transitive closure
+    via :func:`near_dup_clusters` — A~B, B~C removes two of three even
+    when A and C never paired). Extra kwargs flow to the pair generator.
+    Both keep exactly one representative (min doc_id) per group and pass
+    unique documents through untouched; the big side anti-joins against
+    a small drop-list, so document payloads never shuffle."""
+    if method == "exact":
+        groups = exact_dups(docs, text_col=text_col, id_col=id_col)
+        drop = (docs.select(F.md5(F.col(text_col)).alias("content_hash"),
+                            F.col(id_col))
+                .join(groups, "content_hash")
+                .filter(F.col(id_col) != F.col("keeper"))
+                .select(id_col))
+    elif method == "minhash":
+        drop = (near_dup_clusters(docs, text_col=text_col, id_col=id_col,
+                                  **kwargs)
+                .filter(~F.col("is_keeper")).select(id_col))
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+    return docs.join(drop, id_col, "left_anti")
+
+
 def embedding_neardup_pairs(embeddings: DataFrame, planes, *,
                             threshold: float = 0.95,
                             vec_col: str = "embedding",

@@ -722,6 +722,68 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                              threshold=0.5)
 
 
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
+SELECT node AS doc_id, MIN(label) AS cluster_id,
+       (node = MIN(label)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
+@q("near_dup_clusters", _CLUSTERS_ORACLE)
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup clusters = transitive closure of the MinHash-LSH pairs
+    (operators/dedup.py connected_components) with a canonical keeper
+    per cluster — the "keep one per cluster" step after pair generation.
+    Oracle: a recursive CTE computes every label reachable from each
+    node over the undirected pair edges; MIN over that reach set is
+    exactly the component minimum the distributed min-label propagation
+    converges to."""
+    from .operators.dedup import near_dup_clusters
+    return near_dup_clusters(_load(spark, sf_dir, "documents"),
+                             k=_MINHASH_K, bands=_MINHASH_BANDS,
+                             threshold=0.5)
+
+
+_DEDUP_KEEP_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+drop AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> MIN(label))
+SELECT d.doc_id, LENGTH(d.text) AS text_len FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drop)
+"""
+
+
+@q("dedup_keep_minhash", _DEDUP_KEEP_ORACLE)
+def q_dedup_keep_minhash(spark, sf_dir):
+    """The end-user near-dup dedup: documents SURVIVING transitive
+    MinHash-LSH dedup (one keeper per cluster, uniques untouched) —
+    dedup_documents(method="minhash"). Projected to (doc_id, text_len)
+    so the hash gate pins membership without hashing full payloads."""
+    from .operators.dedup import dedup_documents
+    return (dedup_documents(_load(spark, sf_dir, "documents"),
+                            method="minhash", k=_MINHASH_K,
+                            bands=_MINHASH_BANDS, threshold=0.5)
+            .select("doc_id",
+                    F.length("text").cast("long").alias("text_len")))
+
+
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, u.tok FROM (

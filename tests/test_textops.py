@@ -145,3 +145,90 @@ def test_embedding_neardup(spark):
     pairs = embedding_neardup_pairs(df, planes, threshold=0.95).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
     assert pairs[0]["cos_sim"] > 0.999
+
+
+def test_connected_components_golden(spark):
+    # chain a-b-c-d (diameter 3: needs >1 propagation round), triangle
+    # e-f-g, and an isolated pair h-i — labels must be the component min
+    from osmpbf_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"),
+         ("e", "f"), ("f", "g"), ("g", "e"),
+         ("i", "h")],
+        "doc_a string, doc_b string")
+    got = {r["node"]: r["label"]
+           for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "e": "e", "f": "e", "g": "e",
+                   "h": "h", "i": "h"}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    # property: random graph, distributed labels == local union-find
+    import random
+
+    from osmpbf_spark.operators.dedup import connected_components
+    rng = random.Random(7)
+    n = 200
+    edges = [(f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+             for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {r["node"]: r["label"] for r in connected_components(
+        spark.createDataFrame(edges, "doc_a string, doc_b string")
+    ).collect()}
+    assert got == want
+
+
+def test_near_dup_clusters_transitive_keeper(spark):
+    # A~B and B~C by construction (shared shingle windows) but A and C
+    # may never pair directly — the cluster must still be {A,B,C} with
+    # exactly one keeper (the min doc_id)
+    from osmpbf_spark.operators.dedup import near_dup_clusters
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [("a", base + " tail one"),
+         ("b", base + " tail one two"),
+         ("c", base + " tail one two three"),
+         ("z", "completely unrelated text with nothing shared here at all "
+               "zebra yak xylophone")],
+        "doc_id string, text string")
+    rows = near_dup_clusters(docs, k=32, bands=16, threshold=0.4).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) >= {"a", "b", "c"} and "z" not in by_id
+    assert {by_id[d]["cluster_id"] for d in "abc"} == {"a"}
+    assert [d for d in "abc" if by_id[d]["is_keeper"]] == ["a"]
+
+
+def test_dedup_documents_exact_and_minhash(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [("a", base + " tail one"),
+         ("b", base + " tail one"),            # exact dup of a
+         ("c", base + " tail one two three"),  # near-dup of a/b
+         ("z", "completely unrelated text with nothing shared here at all "
+               "zebra yak xylophone")],
+        "doc_id string, text string")
+    from osmpbf_spark.operators.dedup import dedup_documents
+    exact = {r["doc_id"] for r in
+             dedup_documents(docs, method="exact").collect()}
+    assert exact == {"a", "c", "z"}            # b dropped (same text, a<b)
+    near = {r["doc_id"] for r in
+            dedup_documents(docs, method="minhash", k=32, bands=16,
+                            threshold=0.4).collect()}
+    assert near == {"a", "z"}                  # b AND c fold into a
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        dedup_documents(docs, method="nope").collect()

@@ -244,6 +244,12 @@ join-output determinism).
 
 Raw trial walls (s): local[{lo}] {results[lo].get('all_secs')} ·
 local[{hi}] {results[hi].get('all_secs')}
+
+<!-- MACHINE: {json.dumps({"efficiency": round(eff, 3), "points": {
+    f"local[{lo}]": {"sec": results[lo]["sec"],
+                     "elements_per_sec": round(thr_lo)},
+    f"local[{hi}]": {"sec": results[hi]["sec"],
+                     "elements_per_sec": round(thr_hi)}}})} -->
 """)
     print(f"wrote {args.out}")
 
