@@ -784,6 +784,35 @@ def q_dedup_keep_minhash(spark, sf_dir):
                     F.length("text").cast("long").alias("text_len")))
 
 
+@q("events_asof_orders", """
+WITH od AS (
+  SELECT o_custkey, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey,
+         MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, od.o_orderkey, od.o_totalprice
+FROM events e ASOF JOIN od
+  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+""")
+def q_events_asof_orders(spark, sf_dir):
+    """Point-in-time lookup: each event joined to the customer's most
+    recent order at or before the event (operators/asof.py — union-tag
+    + one window carry-forward, a single shuffle). The right side is
+    pre-deduped to one row per (custkey, orderdate) with a MAX_BY tie
+    rule in BOTH engines, because DuckDB's native ASOF JOIN (the
+    oracle) picks an unspecified twin on timestamp ties."""
+    from .operators.asof import asof_join
+    ev = _load(spark, sf_dir, "events")
+    od = (_load(spark, sf_dir, "orders")
+          .groupBy("o_custkey", "o_orderdate")
+          .agg(F.max("o_orderkey").alias("o_orderkey"),
+               F.expr("max_by(o_totalprice, o_orderkey)")
+               .alias("o_totalprice")))
+    out = asof_join(ev, od, on=("user_id", "o_custkey"),
+                    left_ts="ts", right_ts="o_orderdate")
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, u.tok FROM (

@@ -197,3 +197,71 @@ def test_cosine_score_pandas_bit_identical_to_hof(spark):
         cosine_score("a", "b", use_pandas=True).alias("p")) \
         .filter("h != p").count()
     assert diverging == 0
+
+
+def test_asof_join_golden_and_directions(spark):
+    from osmpbf_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 205), (3, "k", 50), (4, "x", 300)],
+        "eid long, k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 100, "a"), ("k", 200, "b"), ("y", 10, "z")],
+        "k string, rts long, tag string")
+    back = {r["eid"]: r["tag"] for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts").collect()}
+    # exact-equal ts matches (eid 1), latest-at-or-before wins (eid 2),
+    # nothing before (eid 3) and wrong key (eid 4) drop under inner
+    assert back == {1: "a", 2: "b"}
+    lhow = {r["eid"]: r["tag"] for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        how="left").collect()}
+    assert lhow == {1: "a", 2: "b", 3: None, 4: None}
+    fwd = {r["eid"]: r["tag"] for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        direction="forward").collect()}
+    assert fwd == {1: "a", 2: None, 3: "a"} or fwd == {1: "a", 3: "a"}
+
+
+def test_asof_join_tolerance_and_tie_determinism(spark):
+    from osmpbf_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-10 00:00:00")],
+        "eid long, k string, ts_s string").select(
+        "eid", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", "old"),
+         ("k", "2024-01-01 00:00:00", "older")],   # exact tie on ts
+        "k string, rts_s string, tag string").select(
+        "k", F.col("rts_s").cast("timestamp").alias("rts"), "tag")
+    got = asof_join(left, right, on="k", left_ts="ts",
+                    right_ts="rts").collect()
+    # tie resolves to the greatest payload struct — deterministic
+    assert [r["tag"] for r in got] == ["older"]
+    none = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                     tolerance="INTERVAL 7 DAY").collect()
+    assert none == []                      # 9 days away > tolerance
+    ok = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                   tolerance="INTERVAL 10 DAY").collect()
+    assert [r["tag"] for r in ok] == ["older"]
+
+
+def test_asof_join_random_vs_bruteforce(spark):
+    import random
+    from osmpbf_spark.operators.asof import asof_join
+    rng = random.Random(11)
+    lrows = [(i, f"k{rng.randrange(6)}", rng.randrange(1000))
+             for i in range(120)]
+    rrows = [(f"k{rng.randrange(6)}", rng.randrange(1000), i)
+             for i in range(80)]
+    left = spark.createDataFrame(lrows, "eid long, k string, ts long")
+    right = spark.createDataFrame(rrows, "k string, rts long, rid long")
+    got = {r["eid"]: (r["rts"], r["rid"]) for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts").collect()}
+    want = {}
+    for eid, k, ts in lrows:
+        cands = [(rts, rid) for rk, rts, rid in rrows
+                 if rk == k and rts <= ts]
+        if cands:
+            # operator tie rule: greatest payload struct = max (rts, rid)
+            want[eid] = max(cands)
+    assert got == want
