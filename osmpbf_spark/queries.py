@@ -813,6 +813,40 @@ def q_events_asof_orders(spark, sf_dir):
     return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
 
+@q("events_in_purchase_windows", """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_events
+FROM (SELECT event_id, date_trunc('second', ts) AS ts
+      FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, date_trunc('second', ts) AS ts FROM events) e
+  ON e.ts >= p.ts - INTERVAL 1 HOUR
+ AND e.ts <= p.ts + INTERVAL 1 HOUR
+GROUP BY 1
+""")
+def q_events_in_purchase_windows(spark, sf_dir):
+    """Interval containment at scale: every event inside the ±1-hour
+    window around each purchase, via the bucketed range join
+    (operators/rangejoin.py) — equi-join on a bucket key instead of
+    the BroadcastNestedLoopJoin a naive non-equi join plans.
+    Timestamps go through epoch seconds on the Spark side only (a
+    fixed offset cancels out of containment); the oracle is the plain
+    BETWEEN join."""
+    from .operators.rangejoin import range_join
+    ev = _load(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_id",
+        F.expr("unix_seconds(CAST(ts AS TIMESTAMP))").alias("ts_s"))
+    ivs = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("purchase_id"),
+                   F.expr("unix_seconds(CAST(ts AS TIMESTAMP)) - 3600")
+                   .alias("lo"),
+                   F.expr("unix_seconds(CAST(ts AS TIMESTAMP)) + 3600")
+                   .alias("hi")))
+    return (range_join(vals, ivs, value_col="ts_s", lo_col="lo",
+                       hi_col="hi")
+            .groupBy("purchase_id")
+            .agg(F.count("*").alias("n_events")))
+
+
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, u.tok FROM (

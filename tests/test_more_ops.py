@@ -265,3 +265,34 @@ def test_asof_join_random_vs_bruteforce(spark):
             # operator tie rule: greatest payload struct = max (rts, rid)
             want[eid] = max(cands)
     assert got == want
+
+
+def test_range_join_golden_and_negatives(spark):
+    from osmpbf_spark.operators.rangejoin import range_join
+    vals = spark.createDataFrame(
+        [(1, -7), (2, 0), (3, 5), (4, 100)], "vid long, v long")
+    ivs = spark.createDataFrame(
+        [("a", -10, -5), ("b", -1, 6), ("c", 5, 5), ("d", 7, 3)],
+        "iid string, lo long, hi long")          # d is empty (lo > hi)
+    got = {(r["vid"], r["iid"]) for r in range_join(
+        vals, ivs, value_col="v", lo_col="lo", hi_col="hi",
+        bucket_width=4).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "b"), (3, "c")}
+
+
+def test_range_join_random_vs_bruteforce_all_widths(spark):
+    import random
+    from osmpbf_spark.operators.rangejoin import range_join
+    rng = random.Random(3)
+    vals = [(i, rng.randrange(-500, 500)) for i in range(150)]
+    ivs = [(i, lo := rng.randrange(-500, 500), lo + rng.randrange(0, 60))
+           for i in range(60)]
+    want = {(vid, iid) for vid, v in vals for iid, lo, hi in ivs
+            if lo <= v <= hi}
+    vdf = spark.createDataFrame(vals, "vid long, v long")
+    idf = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    for w in (1, 7, 64, None):                   # None = auto p95
+        got = {(r["vid"], r["iid"]) for r in range_join(
+            vdf, idf, value_col="v", lo_col="lo", hi_col="hi",
+            bucket_width=w).collect()}
+        assert got == want, f"width={w}"
