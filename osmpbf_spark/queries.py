@@ -1138,6 +1138,42 @@ def q_stream_windows(spark, sf_dir):
     return spark.table(name)
 
 
+@q("stream_dedup_events", """
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def q_stream_dedup_events(spark, sf_dir):
+    """Streaming exact dedup (streaming/ops.stream_dedup): a REAL
+    readStream run deduplicating events on (user_id, event_type) with
+    an availableNow trigger, checked against batch DISTINCT — the
+    replay/backfill shape whose state is the distinct-key set. The
+    bounded-memory unbounded-run variant (dropDuplicatesWithinWatermark
+    + state eviction) is pinned by a dedicated streaming test instead:
+    its re-emit-after-horizon semantics are deliberately NOT equal to
+    global DISTINCT. Keys only in the output — which duplicate's
+    payload survives is arrival-order-dependent, the key set is not."""
+    import hashlib
+    import os
+    import uuid
+
+    from .streaming.ops import stream_dedup
+    schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    src = os.path.abspath(_t(sf_dir, "events"))
+    d = os.path.join("/tmp", "stream_src_"
+                     + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = (spark.readStream.schema(schema).parquet(d)
+              .select("user_id", "event_type"))
+    out = stream_dedup(stream, ["user_id", "event_type"])
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    qh = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    qh.awaitTermination(300)
+    return spark.table(name)
+
+
 @q("stream_pbf_decode", """
 SELECT * FROM (VALUES
   ('node', CAST(105 AS BIGINT), 52122403100, 11628401700),

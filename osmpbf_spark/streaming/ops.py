@@ -187,3 +187,28 @@ def stream_sessionize(events: DataFrame, *, gap_minutes: int = 30,
             .applyInPandasWithState(fn, SESSION_OUT_DDL,
                                     _SESSION_STATE_DDL, "append",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_dedup(events: DataFrame, key_cols: list[str], *,
+                 within_watermark: str | None = None,
+                 ts_col: str = "ts") -> DataFrame:
+    """Streaming exact deduplication: emit each distinct ``key_cols``
+    combination once.
+
+    ``within_watermark=None`` is the bounded-input / replay shape:
+    plain ``dropDuplicates`` whose state holds every key seen — exact
+    global dedup, state grows with distinct keys (fine for availableNow
+    backfills; the batch answer is the oracle).
+
+    ``within_watermark="2 hours"`` is the unbounded-run shape:
+    ``dropDuplicatesWithinWatermark`` drops duplicates arriving within
+    the watermark delay of the first sighting and EVICTS key state once
+    the watermark passes it — bounded memory forever, at the documented
+    cost that a duplicate arriving later than the delay re-emits. That
+    trade (exactness within a horizon, bounded state) is the only
+    correct one for infinite streams; pick the horizon from the
+    upstream's max replay lag."""
+    if within_watermark is not None:
+        return (events.withWatermark(ts_col, within_watermark)
+                .dropDuplicatesWithinWatermark(key_cols))
+    return events.dropDuplicates(key_cols)

@@ -485,3 +485,45 @@ def test_stream_sessionize_boundary_event_at_watermark(spark, tmp_path):
     assert u1 == [(1, "2024-01-01 01:00:00", "2024-01-01 01:45:00", 3)] \
         or u1 == [(1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
                   (1, "2024-01-01 01:45:00", "2024-01-01 01:45:00", 1)], u1
+
+
+def test_stream_dedup_within_watermark_drops_near_reemits_far(spark, tmp_path):
+    # the bounded-state dedup shape: a duplicate inside the watermark
+    # horizon is dropped; one arriving after the key's state was
+    # evicted re-emits (the documented trade for bounded memory)
+    from osmpbf_spark.streaming.ops import stream_dedup
+    base = str(tmp_path)
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, "k long, ts_s string")
+         .select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+         .write.mode("overwrite").parquet(f"{base}/in/{name}"))
+
+    collected = []
+
+    def run():
+        st = spark.readStream.schema("k long, ts timestamp") \
+            .parquet(base + "/in/*")
+        q = (stream_dedup(st, ["k"], within_watermark="1 hour")
+             .writeStream
+             .foreachBatch(lambda b, i: collected.extend(
+                 (r["k"], str(r["ts"])) for r in b.collect()))
+             .option("checkpointLocation", base + "/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    write([(1, "2024-01-01 01:00:00")], "f1")
+    run()
+    # in-horizon duplicate + a watermark-advancing other key
+    write([(1, "2024-01-01 01:20:00"), (2, "2024-01-01 02:00:00")], "f2")
+    run()
+    # push the watermark far past key 1's state, then replay key 1
+    write([(3, "2024-01-01 09:00:00")], "f3")
+    run()
+    write([(1, "2024-01-01 09:30:00")], "f4")
+    run()
+    ks = [k for k, _ in collected]
+    assert ks.count(2) == 1 and ks.count(3) == 1
+    ones = sorted(ts for k, ts in collected if k == 1)
+    # first sighting emitted, 01:20 dup dropped, 09:30 re-emitted
+    assert ones == ["2024-01-01 01:00:00", "2024-01-01 09:30:00"]
