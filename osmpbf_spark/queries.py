@@ -847,6 +847,36 @@ def q_events_in_purchase_windows(spark, sf_dir):
             .agg(F.count("*").alias("n_events")))
 
 
+@q("vocab_topk", f"""
+WITH t AS (
+  SELECT u.tok FROM (
+    SELECT {tokens_sql('text', 'duckdb')} AS ts FROM documents),
+  UNNEST(ts) AS u(tok)),
+c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+SELECT tok, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+FROM c QUALIFY rnk <= 100 ORDER BY rnk
+""")
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: global top-100 tokens by frequency — the
+    vocabulary-building step of a tokenizer pipeline. explode → count
+    (map-side partial aggregation shrinks the one shuffle to the
+    distinct-token set) → rank with a deterministic (cnt, token)
+    tie-break. 100 TB note: the global top-k never collects the full
+    vocabulary anywhere — the window's single-partition sort sees only
+    per-token counts, and a tighter bound is a per-partition top-k
+    pre-prune; at this k the count table IS small."""
+    docs = _load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    counts = (docs.select(F.explode(F.expr(tokens_sql("text")))
+                          .alias("tok"))
+              .groupBy("tok").agg(F.count("*").alias("cnt")))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (counts.withColumn(
+        "rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 100))
+
+
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, u.tok FROM (
