@@ -77,6 +77,32 @@ def main():
         "arrays so the estimate needs no second join.",
         fmt(mh, max_lines=70)))
 
+    from osmpbf_spark.operators.asof import asof_join
+    from osmpbf_spark.operators.rangejoin import range_join
+    lt = spark.createDataFrame(
+        [(i, "k%d" % (i % 7), i * 13 % 997) for i in range(200)],
+        "eid long, k string, ts long")
+    rt = spark.createDataFrame(
+        [("k%d" % (i % 7), i * 29 % 997, i) for i in range(60)],
+        "k string, rts long, rid long")
+    sections.append((
+        "as-of join (point-in-time lookup)",
+        "union-tag both sides; ONE Exchange (the window's partition-by-"
+        "key sort) then last(_r, ignorenulls) carry-forward — no range "
+        "join, no nested loop.",
+        fmt(asof_join(lt, rt, on="k", left_ts="ts", right_ts="rts"))))
+    vals = lt.select("eid", F.col("ts").alias("v"))
+    ivs = rt.select("rid", F.col("rts").alias("lo"),
+                    (F.col("rts") + 50).alias("hi"))
+    sections.append((
+        "bucketed interval range join",
+        "interval side explodes to covered buckets; the containment "
+        "join is an EQUI-join on the bucket key (BroadcastHashJoin "
+        "here; sort-merge at scale) + exact refine — never "
+        "BroadcastNestedLoopJoin.",
+        fmt(range_join(vals, ivs, value_col="v", lo_col="lo",
+                       hi_col="hi", bucket_width=50))))
+
     out = ["# PLANS — physical plans of the flagship operators",
            "",
            "Regenerate with `python tools/dump_plans.py`. These are the "
