@@ -66,12 +66,15 @@ def minhash_signatures(docs: DataFrame, *, k: int = 32, shingle_n: int = 3,
     it to docs×k rows (a few hundred bytes per document, far less than
     the input text itself). Documents with no shingles get no signature
     rows and never pair."""
+    # per-document shingle dedup is row-local (array_distinct BEFORE the
+    # explode) — the .distinct() it replaces shuffled the full exploded
+    # doc×shingle set, the widest dataset in the pipeline
     sh = (docs.select(
         F.col(id_col),
-        F.explode_outer(F.expr(shingles_sql(text_col, shingle_n)))
+        F.explode_outer(F.expr(
+            f"array_distinct({shingles_sql(text_col, shingle_n)})"))
         .alias("shingle"))
         .filter(F.col("shingle").isNotNull())
-        .distinct()
         .withColumn("h", F.expr(poly_hash_sql("shingle"))))
     perms = F.broadcast(
         docs.sparkSession.range(k).select(F.col("id").alias("j")))
