@@ -64,3 +64,55 @@ def scan_is_pruned(df: DataFrame) -> dict:
         and "PartitionFilters: []" not in plan,
         "plan": plan,
     }
+
+
+def write_ivf_store(embeddings: DataFrame, centroids: DataFrame,
+                    path: str, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """At-rest IVF layout: the embedding table written partitioned by
+    each vector's nearest centroid — the "built offline" layout
+    ``operators/knn.ivf_topk`` names, made real. A query probing
+    ``nprobe`` centroids then reads ONLY those cid partitions
+    (plan-time partition pruning, same mechanics as the element
+    store's type/id pruning above). Centroids must be the same frozen
+    constants later passed to :func:`read_ivf_topk`."""
+    from ..operators.knn import ivf_assign
+    assign = ivf_assign(embeddings, centroids, 1,
+                        vec_col=vec_col, id_col=id_col)
+    (embeddings.join(assign.select(id_col, "cid"), id_col)
+     .write.mode("overwrite").partitionBy("cid").parquet(path))
+
+
+def read_ivf_topk(spark: SparkSession, path: str, queries: DataFrame,
+                  k: int, centroids: DataFrame, *, nprobe: int = 2,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  query_id_col: str = "query_id") -> DataFrame:
+    """IVF ANN over the at-rest store: identical results to
+    ``ivf_topk`` on the same centroids, but the scan touches only the
+    probed cid partitions. The probed-cid set (≤ queries×nprobe
+    distinct values, bounded by the centroid count) is collected to
+    the driver to become a partition-pruning predicate — the same
+    tiny-metadata job class as the store's id-range pruning."""
+    from ..operators.knn import _dot, _norm, ivf_assign
+    from pyspark.sql import Window
+    q_assign = ivf_assign(queries, centroids, nprobe,
+                          vec_col=vec_col, id_col=query_id_col)
+    probed = [r["cid"] for r in
+              q_assign.select("cid").distinct().collect()]
+    emb = (spark.read.parquet(path)
+           .filter(F.col("cid").isin(probed)))
+    q = F.broadcast(
+        queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("q_vec"))
+        .join(q_assign.select(query_id_col, "cid"), query_id_col))
+    cand = (emb.select(F.col(id_col), F.col(vec_col).alias("e_vec"),
+                       "cid")
+            .join(q, "cid")
+            .withColumn("cos_sim",
+                        _dot("q_vec", "e_vec")
+                        / (_norm("q_vec") * _norm("e_vec"))))
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col))
+    return (cand.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "cos_sim", "rn"))

@@ -217,3 +217,40 @@ def test_quarantine_bisection_isolates_multiple_bad_blobs(spark):
     assert elements.count() == 15          # 3 clean OSMData blobs
     errs = sorted(r["doc_id"] for r in errors.collect())
     assert errs == ["m#2", "m#4"]
+
+
+def test_ivf_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
+    # the at-rest IVF layout must (a) return EXACTLY what the in-memory
+    # ivf_topk returns on the same frozen centroids, and (b) prune the
+    # scan to the probed cid partitions at plan time
+    from osmpbf_spark.operators.knn import ivf_topk
+    from osmpbf_spark.sources.store import read_ivf_topk, write_ivf_store
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    queries = (emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 13))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    path = str(tmp_path / "ivf")
+    write_ivf_store(emb, cent, path)
+    got = read_ivf_topk(spark, path, queries, 5, cent, nprobe=2)
+    want = ivf_topk(emb, queries, 5, cent, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # partition pruning: the scan carries a PartitionFilters predicate
+    # on cid (plan-time pruning — Spark then lists only those
+    # directories; .inputFiles() reports the UNPRUNED relation, so it
+    # can't witness this), and the probed-cid set is a strict subset of
+    # the store's partitions, so the pruning has something to cut
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines()
+                  if "PartitionFilters" in l]
+    assert scan_lines and any("cid" in l for l in scan_lines), plan
+    import os
+    from osmpbf_spark.operators.knn import ivf_assign
+    all_parts = {int(d.split("=")[1]) for d in os.listdir(path)
+                 if d.startswith("cid=")}
+    probed = {r["cid"] for r in
+              ivf_assign(queries, cent, 2, id_col="query_id")
+              .select("cid").distinct().collect()}
+    assert probed < all_parts, (probed, all_parts)

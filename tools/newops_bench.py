@@ -119,8 +119,46 @@ def main():
                  f"(one shuffle: the window sort)"))
     lt.unpersist(), rt.unpersist()
 
+    # IVF at-rest store: probed-partition scan vs full-scan IVF
+    from osmpbf_spark.operators.knn import ivf_topk
+    from osmpbf_spark.sources.store import read_ivf_topk, write_ivf_store
+    nv, dim, nc = 500_000, 16, 64
+    emb = (spark.range(nv)
+           .select(F.col("id").alias("vec_id"),
+                   F.expr("transform(sequence(1, %d), j -> "
+                          "CAST((id * j * 2654435761 %% 1000) AS DOUBLE)"
+                          " / 1000)" % dim).alias("embedding"))
+           .persist())
+    emb.count()
+    cent = (emb.filter(F.col("vec_id") < nc)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")).persist())
+    cent.count()
+    qs = (emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+          .select(F.col("vec_id").alias("query_id"), "embedding")
+          .persist())
+    qs.count()
+    store = "/tmp/newops_ivf_store"
+    write_ivf_store(emb, cent, store)
+    mem_s, _ = timed(lambda: ivf_topk(emb, qs, 10, cent,
+                                      nprobe=2).count(), args.trials)
+    st_s, _ = timed(lambda: read_ivf_topk(spark, store, qs, 10, cent,
+                                          nprobe=2).count(), args.trials)
+    nprobed = (spark.read.parquet(store).select("cid").distinct().count())
+    from osmpbf_spark.operators.knn import ivf_assign
+    hit = (ivf_assign(qs, cent, 2, id_col="query_id")
+           .select("cid").distinct().count())
+    rows.append((f"IVF ANN at rest ({nv:,}×{dim}-dim, {nc} centroids, "
+                 f"16 queries, nprobe=2 → {hit}/{nprobed} partitions "
+                 f"probed)",
+                 f"in-memory full assign+scan: {mem_s:.2f} s · "
+                 f"partition-pruned store scan: {st_s:.2f} s → "
+                 f"**{mem_s / st_s:.1f}× faster** (store build is the "
+                 f"offline one-time cost)"))
+    emb.unpersist(), cent.unpersist(), qs.unpersist()
+
     with open(args.out, "w") as f:
-        f.write("# BENCH_NEWOPS — as-of join & bucketed range join\n\n"
+        f.write("# BENCH_NEWOPS — round-3 operators (as-of, range join, IVF store)\n\n"
                 "local[32], deterministic synthetic inputs, steady-state "
                 f"best-of-2 per trial, median of {args.trials} trials. "
                 "The head-to-head pins WHY the bucketed formulation "
