@@ -64,6 +64,12 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         raise ValueError(f"right payload columns collide with left: "
                          f"{sorted(clash)}; rename before joining")
     rstruct = F.struct(*[F.col(c) for c in rpay])
+    # SQL match semantics: NULL never equals and NULL never orders — a
+    # right row with NULL key/timestamp can match nothing (asc ordering
+    # sorts nulls FIRST, so an unfiltered NULL-_ts right row would be
+    # carried as a fake "predecessor" for every left row), and a left
+    # row with NULL key/timestamp has no match (kept with NULL right
+    # columns under how="left" via the untouched _r=NULL).
     lside = left.select(
         F.col(lkey).alias("_k"), F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
@@ -71,13 +77,21 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         F.lit(None).cast(
             right.select(rstruct.alias("_r")).schema["_r"].dataType
         ).alias("_r"))
-    rside = right.select(
-        F.col(rkey).alias("_k"), F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            left.select(F.struct(*[F.col(c) for c in left.columns])
-                        .alias("_l")).schema["_l"].dataType).alias("_l"),
-        rstruct.alias("_r"))
+    null_left = lside.filter(F.col("_k").isNull()
+                             | F.col("_ts").isNull())
+    lside = lside.filter(F.col("_k").isNotNull()
+                         & F.col("_ts").isNotNull())
+    rside = (right
+             .filter(F.col(rkey).isNotNull()
+                     & F.col(right_ts).isNotNull())
+             .select(
+                 F.col(rkey).alias("_k"), F.col(right_ts).alias("_ts"),
+                 F.lit(0).alias("_side"),
+                 F.lit(None).cast(
+                     left.select(
+                         F.struct(*[F.col(c) for c in left.columns])
+                         .alias("_l")).schema["_l"].dataType).alias("_l"),
+                 rstruct.alias("_r")))
     ts_order = (F.col("_ts").asc() if direction == "backward"
                 else F.col("_ts").desc())
     w = (Window.partitionBy("_k")
@@ -85,7 +99,8 @@ def asof_join(left: DataFrame, right: DataFrame, *,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     picked = (lside.unionByName(rside)
               .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-              .filter(F.col("_side") == 1))
+              .filter(F.col("_side") == 1)
+              .unionByName(null_left.withColumn("_m", F.col("_r"))))
     if tolerance is not None:
         gap_ok = (F.expr(f"_ts - _m.{right_ts} <= {tolerance}")
                   if direction == "backward" else

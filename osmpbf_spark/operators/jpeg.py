@@ -214,6 +214,13 @@ def decode_jpeg(p: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) is baseline-LEGAL, so it
+                # must raise — silently running YCbCr math over the
+                # first 3 channels would corrupt features instead of
+                # engaging the profile fallback
+                raise ValueError(f"unsupported JPEG component count {nc}"
+                                 f" (grayscale/YCbCr only)")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)

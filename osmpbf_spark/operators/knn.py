@@ -263,10 +263,16 @@ def _cosine_pandas():
 
 def cosine_score(a: str, b: str, *, use_pandas: bool = False):
     """Cosine similarity column for two array columns; ``use_pandas``
-    selects the Arrow-batched form (same values bit-for-bit)."""
+    selects the Arrow-batched form (same values bit-for-bit).
+
+    A zero-norm vector yields NULL on BOTH paths (cosine is undefined):
+    the JVM form routes the denominator through NULLIF, and the pandas
+    form's 0/0 NaN becomes NULL through Arrow — without the NULLIF the
+    JVM form would return NaN-as-a-value and the two paths would
+    diverge exactly where the docstring promises equality."""
     if use_pandas:
         return _cosine_pandas()(F.col(a), F.col(b))
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,

@@ -48,6 +48,11 @@ def range_join(values: DataFrame, intervals: DataFrame, *,
     if clash:
         raise ValueError(f"column collision between sides: "
                          f"{sorted(clash)}; rename before joining")
+    if "_b" in values.columns or "_b" in intervals.columns:
+        # withColumn would silently clobber it and the final drop
+        # would delete the caller's data
+        raise ValueError("column name '_b' is reserved by range_join; "
+                         "rename it before joining")
     if bucket_width is None:
         row = (intervals
                .select(F.expr(f"approx_percentile({hi_col} - {lo_col},"

@@ -1155,7 +1155,7 @@ def q_stream_windows(spark, sf_dir):
                      + hashlib.md5(src.encode()).hexdigest()[:8])
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    if not os.path.lexists(link):
         os.symlink(src, link)
     stream = (spark.readStream.schema(schema).parquet(d)
               .withColumn("ts", F.col("ts").cast("timestamp")))
@@ -1164,7 +1164,8 @@ def q_stream_windows(spark, sf_dir):
     name = "stream_windows_" + uuid.uuid4().hex[:8]
     qh = (out.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(availableNow=True).start())
-    qh.awaitTermination(300)
+    if not qh.awaitTermination(300):
+        raise TimeoutError("streaming query did not finish within 300 s")
     return spark.table(name)
 
 
@@ -1192,7 +1193,7 @@ def q_stream_dedup_events(spark, sf_dir):
                      + hashlib.md5(src.encode()).hexdigest()[:8])
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
+    if not os.path.lexists(link):
         os.symlink(src, link)
     stream = (spark.readStream.schema(schema).parquet(d)
               .select("user_id", "event_type"))
@@ -1200,7 +1201,8 @@ def q_stream_dedup_events(spark, sf_dir):
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
     qh = (out.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(availableNow=True).start())
-    qh.awaitTermination(300)
+    if not qh.awaitTermination(300):
+        raise TimeoutError("streaming query did not finish within 300 s")
     return spark.table(name)
 
 
@@ -1238,7 +1240,8 @@ def q_stream_pbf_decode(spark, sf_dir):
     name = "stream_pbf_" + uuid.uuid4().hex[:8]
     qh = (el.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(availableNow=True).start())
-    qh.awaitTermination(300)
+    if not qh.awaitTermination(300):
+        raise TimeoutError("streaming query did not finish within 300 s")
     return spark.table(name)
 
 

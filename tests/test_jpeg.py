@@ -111,3 +111,16 @@ def test_jpeg_unknown_component_and_missing_dqt_raise_value_error():
     bad_tq[dqt_at + 4] = 7                   # DQT table id ≠ SOF's tq=0
     with pytest.raises(ValueError, match="missing quant"):
         decode_jpeg(bytes(bad_tq))
+
+
+def test_jpeg_four_component_cmyk_raises_value_error():
+    # code-review r3: nc=4 (Adobe CMYK) is baseline-legal — it must
+    # raise so the media fallback profiles it, never silently run
+    # YCbCr math over 3 of 4 channels
+    img = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    good = encode_jpeg(img)
+    sof_at = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 9] = 4                    # component count byte
+    with pytest.raises(ValueError, match="component count"):
+        decode_jpeg(bytes(bad))

@@ -296,3 +296,36 @@ def test_range_join_random_vs_bruteforce_all_widths(spark):
             vdf, idf, value_col="v", lo_col="lo", hi_col="hi",
             bucket_width=w).collect()}
         assert got == want, f"width={w}"
+
+
+def test_asof_join_null_timestamps_and_keys(spark):
+    # code-review r3: a NULL-timestamp right row must never be carried
+    # as a match (asc ordering sorts nulls first); NULL-key/ts left
+    # rows have no match — dropped under inner, kept with NULL right
+    # columns under how="left"
+    from osmpbf_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 5), (3, None, 50), (4, "k", None)],
+        "eid long, k string, ts long")
+    right = spark.createDataFrame(
+        [("k", None, "bad"), ("k", 50, "good"), (None, 10, "nullk")],
+        "k string, rts long, tag string")
+    inner = {r["eid"]: r["tag"] for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts").collect()}
+    assert inner == {1: "good"}            # eid 2: nothing at/before 5
+    lhow = {r["eid"]: r["tag"] for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        how="left").collect()}
+    assert lhow == {1: "good", 2: None, 3: None, 4: None}
+
+
+def test_cosine_zero_norm_is_null_on_both_paths(spark):
+    from osmpbf_spark.operators.knn import cosine_score
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 1.0]), (2, [1.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>")
+    rows = {r["id"]: (r["h"], r["p"]) for r in df.select(
+        "id", cosine_score("a", "b").alias("h"),
+        cosine_score("a", "b", use_pandas=True).alias("p")).collect()}
+    assert rows[1] == (None, None)         # undefined, NOT NaN-vs-NULL
+    assert rows[2][0] == rows[2][1] == 1.0

@@ -327,8 +327,8 @@ def test_tight_cover_tightens_each_antimeridian_copy(spark):
     bbox = polygon_cover(polys, res, tight=False).count()
     assert scan < bbox * 0.75, (scan, bbox)
     # and PIP results agree between the two covers (exact refine)
-    pts = [(i * 41 + j, (i - 6) * B, (174 + j) * B % (360 * B) - 180 * B)
-           for i in range(13) for j in range(13)]
+    pts = [(i * 41 + j, (i - 6) * B, ((174 + j + 180) % 360 - 180) * B)
+           for i in range(13) for j in range(13)]   # lons 174°…−174°
     pdf = with_grid_cells(spark.createDataFrame(
         pts, "id long, lat_nano long, lon_nano long"), res=res)
     got_t = {r["id"] for r in
@@ -338,6 +338,7 @@ def test_tight_cover_tightens_each_antimeridian_copy(spark):
              pip_join(pdf, make_polygons(spark, [("xd", diamond)]),
                       res=res, tight=False).collect()}
     assert got_t == got_b
+    assert got_t, "point grid must actually hit the dateline diamond"
 
 
 def test_cosine_pandas_null_rows_propagate_null(spark):

@@ -167,10 +167,12 @@ def main():
         # nominal core count and understate the scaling ratio
         cmd = [sys.executable, "-c", runner, str(cpus), base,
                str(n_elements)]
-        if _sh.which("taskset"):
+        ncpu = os.cpu_count() or cpus
+        if _sh.which("taskset") and ncpu >= cpus:
             # pin to the HIGH core range: cores 0-3 catch the host's
             # interrupt/background load and made 4-core trials drift 2×
-            cmd = ["taskset", "-c", f"{32 - cpus}-31"] + cmd
+            cmd = ["taskset", "-c",
+                   f"{ncpu - cpus}-{ncpu - 1}"] + cmd
         out = subprocess.run(
             cmd, capture_output=True, text=True, timeout=1800)
         line = [ln for ln in out.stdout.splitlines()
