@@ -81,12 +81,21 @@ _AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
 
 
 def _canonical_codes(counts, symbols):
-    """(counts[16], symbols) → {symbol: (code, length)} per T.81 C.2."""
+    """(counts[16], symbols) → {symbol: (code, length)} per T.81 C.2.
+    Validates the table (corrupt DHT counts otherwise escape as
+    StopIteration / nonsense codes instead of the ValueError the media
+    fallback contract catches)."""
+    if len(counts) != 16:
+        raise ValueError("JPEG DHT truncated: need 16 length counts")
+    if sum(counts) != len(symbols):
+        raise ValueError("JPEG DHT counts do not match symbol count")
     out = {}
     it = iter(symbols)
     code = 0
     for ln in range(1, 17):
         for _ in range(counts[ln - 1]):
+            if code >= (1 << ln):
+                raise ValueError("JPEG DHT canonical code overflow")
             out[next(it)] = (code, ln)
             code += 1
         code <<= 1
@@ -240,6 +249,8 @@ def decode_jpeg(p: bytes) -> np.ndarray:
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                    # SOS
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("JPEG SOS header truncated")
             scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                      body[2 + 2 * i] & 15) for i in range(ns)]
             pos_after_sos = nxt
@@ -315,6 +326,12 @@ def decode_jpeg(p: bytes) -> np.ndarray:
                     for bx in range(c["h"]):
                         blk = np.zeros(64, dtype=np.int64)
                         t = _huff_decode(r, c["dc"])
+                        if t > 15:
+                            # T.81 F.1.2.1: DC category ≤ 15 — a corrupt
+                            # table otherwise yields a >15-bit diff that
+                            # overflows the int64 coefficient store
+                            raise ValueError("JPEG DC category "
+                                             f"{t} out of range")
                         diff = _extend(r.bits(t), t)
                         pred[c["id"]] += diff
                         blk[0] = pred[c["id"]]

@@ -124,3 +124,22 @@ def test_jpeg_four_component_cmyk_raises_value_error():
     bad[sof_at + 9] = 4                    # component count byte
     with pytest.raises(ValueError, match="component count"):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_fuzz_bounded_exceptions():
+    # corruption anywhere in the stream must either decode (cosmetic
+    # damage) or raise the bounded set the media fallback catches —
+    # never KeyError/IndexError/etc. escaping to fail a Spark job
+    import struct as _struct
+    rng = np.random.default_rng(123)     # self-seeded: module RNG state
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)   # depends
+    good = bytes(encode_jpeg(img))                  # on test order
+    for _ in range(200):
+        bad = bytearray(good)
+        for _ in range(rng.integers(1, 4)):
+            bad[rng.integers(2, len(bad))] = rng.integers(0, 256)
+        try:
+            out = decode_jpeg(bytes(bad))
+            assert out.ndim == 3
+        except (ValueError, _struct.error):
+            pass        # the bounded, fallback-caught set
