@@ -355,6 +355,14 @@ def decode_jpeg(p: bytes) -> np.ndarray:
             mcu_i += 1
         if mcu_i >= n_mcu:
             break
+    if mcu_i < n_mcu:
+        # ADVICE r3: a truncated stream (or DRI with fewer RST segments
+        # than MCUs) can exhaust `segments` exactly at an interval
+        # boundary without raising inside _BitReader — the undecoded
+        # blocks would silently render flat gray 128, violating the
+        # decode-or-raise contract the media-profile fallback relies on
+        raise ValueError(
+            f"JPEG entropy data ended after {mcu_i}/{n_mcu} MCUs")
 
     planes = []
     for c in comps:

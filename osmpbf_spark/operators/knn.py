@@ -269,10 +269,13 @@ def cosine_score(a: str, b: str, *, use_pandas: bool = False):
     the JVM form routes the denominator through NULLIF, and the pandas
     form's 0/0 NaN becomes NULL through Arrow — without the NULLIF the
     JVM form would return NaN-as-a-value and the two paths would
-    diverge exactly where the docstring promises equality."""
+    diverge exactly where the docstring promises equality. The same
+    Arrow NaN→NULL coercion applies to vectors CONTAINING NaN elements
+    (ADVICE r3), so the JVM form maps its NaN result to NULL too."""
     if use_pandas:
         return _cosine_pandas()(F.col(a), F.col(b))
-    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+    r = _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+    return F.when(F.isnan(r), F.lit(None).cast("double")).otherwise(r)
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,

@@ -143,3 +143,17 @@ def test_jpeg_fuzz_bounded_exceptions():
             assert out.ndim == 3
         except (ValueError, _struct.error):
             pass        # the bounded, fallback-caught set
+
+
+def test_jpeg_truncated_at_restart_boundary_raises():
+    # ADVICE r3: a stream whose entropy data ends EXACTLY at a restart
+    # interval boundary (truncated file / DRI with fewer RST segments
+    # than MCUs) used to exit the segment loop silently with the
+    # remaining blocks flat gray — it must raise instead so the media
+    # profile falls back to the digest stand-in
+    img = RNG.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    jp = encode_jpeg(img, restart_interval=2)
+    last_rst = max(jp.rfind(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    trunc = jp[:last_rst] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="entropy data ended"):
+        decode_jpeg(trunc)

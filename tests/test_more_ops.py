@@ -329,3 +329,37 @@ def test_cosine_zero_norm_is_null_on_both_paths(spark):
         cosine_score("a", "b", use_pandas=True).alias("p")).collect()}
     assert rows[1] == (None, None)         # undefined, NOT NaN-vs-NULL
     assert rows[2][0] == rows[2][1] == 1.0
+
+
+def test_cosine_nan_element_is_null_on_both_paths(spark):
+    # ADVICE r3: a NaN ELEMENT used to produce NaN-as-a-value on the JVM
+    # path but NULL on the pandas path (Arrow coerces NaN→NULL); the JVM
+    # form now maps its NaN result to NULL so the parity promise holds
+    from osmpbf_spark.operators.knn import cosine_score
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 1.0], [1.0, 1.0]), (2, [2.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>")
+    rows = {r["id"]: (r["h"], r["p"]) for r in df.select(
+        "id", cosine_score("a", "b").alias("h"),
+        cosine_score("a", "b", use_pandas=True).alias("p")).collect()}
+    assert rows[1] == (None, None)
+    assert rows[2][0] == rows[2][1] == 1.0
+
+
+def test_top_orders(spark):
+    """q_top_orders left the driver registry in round 4 (50-entry driver
+    cap; surface covered there by topk_per_user) — keep it green here
+    against its DuckDB oracle on the sf0.001 driver tables."""
+    import duckdb
+
+    from osmpbf_spark.queries import TOP_ORDERS_ORACLE, q_top_orders
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = [(r["o_orderkey"], r["o_totalprice"])
+           for r in q_top_orders(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * "
+            f"FROM '{sf_dir}/orders.parquet'")
+    want = con.sql(TOP_ORDERS_ORACLE).fetchall()
+    assert got == [tuple(r) for r in want]
+    assert len(got) == 10

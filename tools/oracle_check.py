@@ -72,6 +72,23 @@ def type_mismatches(spark_schema, o_cols, o_types):
     return bad
 
 
+_COMPLEX_SPARK_TYPES = ("array<", "map<", "struct<")
+
+
+def complex_output_columns(spark_schema):
+    """Columns the DRIVER's pandas hasher cannot canonicalize.
+
+    The grading driver sorts result rows via pandas ``sort_values``;
+    array/map/struct cells raise ``TypeError: unhashable type`` there
+    (CORRECTNESS_r03 media_features_golden). This repo's harness
+    string-canonicalizes first and so HIDES the class — reject it
+    outright instead: every registered query must emit scalar columns
+    only (posexplode vectors, to_json structs)."""
+    return [f"{f.name}: {f.dataType.simpleString()}"
+            for f in spark_schema.fields
+            if f.dataType.simpleString().startswith(_COMPLEX_SPARK_TYPES)]
+
+
 def value_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
@@ -100,6 +117,13 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    # The grading driver records at most 50 queries (CORRECTNESS_r03 had
+    # 50 rows for 51 registered — ann_lsh_topk silently got no row).
+    # Gate the registry size so an overflow can't ship unnoticed.
+    if len(qs) > 50:
+        print(f"FAIL  registry has {len(qs)} queries (> driver cap of 50); "
+              f"fold or retire entries")
+        failures.append("_registry_size")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -114,6 +138,12 @@ def main():
             failures.append(name)
             continue
         spark_s = time.time() - t0
+        cplx = complex_output_columns(schema)
+        if cplx:
+            print(f"FAIL  {name:28s} non-scalar output columns "
+                  f"(driver hasher can't canonicalize): {cplx}")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"ROWS  {name:28s} rows={len(rows)} (no oracle) "
                   f"[{spark_s:.1f}s]")
