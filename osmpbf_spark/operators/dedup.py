@@ -226,9 +226,82 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, *,
                         6).alias("jaccard")))
 
 
+def _star_contraction(sym: DataFrame, _ckpt, max_rounds: int) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public paper) →
+    (node, label) with label = component minimum.
+
+    Per round: LARGE-STAR connects every neighbour v > u to
+    m = min(N(u) ∪ {u}); SMALL-STAR re-points every smaller neighbour
+    (and u itself) at m. The edge set contracts toward star graphs
+    rooted at each component's minimum in O(log² n) rounds worst case
+    (O(log n) observed) — this is the scale path for high-diameter
+    graphs where min-label propagation's O(diameter) rounds would not
+    terminate. Each round shuffles only (node, node) pairs.
+    """
+    # canonical orientation a > b; self-loops carry no information
+    e = _ckpt(sym.filter(F.col("a") != F.col("b"))
+              .select(F.greatest("a", "b").alias("a"),
+                      F.least("a", "b").alias("b"))
+              .distinct())
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        prev, n_prev = e, n_edges
+        # large-star over the SYMMETRIC neighbourhood
+        s = e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        mins = (s.groupBy("a").agg(F.min("b").alias("mn"))
+                .select("a", F.least("mn", "a").alias("m")))
+        e = (s.join(mins, "a")
+             .filter(F.col("b") > F.col("a"))
+             .select(F.col("b").alias("a"), F.col("m").alias("b"))
+             .distinct())
+        # small-star over the larger→smaller directed edges (a > b here
+        # by construction: m = min(N(u) ∪ {u}) < v for every emitted v)
+        mins = e.groupBy("a").agg(F.min("b").alias("mn"))
+        e = _ckpt(e.join(mins, "a")
+                  .filter(F.col("b") != F.col("mn"))
+                  .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+                  .unionByName(mins.select("a", F.col("mn").alias("b")))
+                  .distinct())
+        n_edges = e.count()
+        # fixed point = the FULL round changed nothing (comparing to the
+        # large-star intermediate stops one round early on chains: a
+        # path's first round yields {(2,1),(3,1),(4,2),(5,3)}, which
+        # small-star maps to itself although 4 and 5 are not yet rooted
+        # at 1). Sets are distinct: same size + empty one-sided diff.
+        if n_edges == n_prev and \
+                e.join(prev, ["a", "b"], "left_anti").isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds")
+    # structural guard (loud, one aggregation): a genuine star forest has
+    # exactly one outgoing edge per non-root — a spurious fixed point of
+    # the COMPOSED round (small∘large) that isn't a fixed point of each
+    # op separately would show up here as a multi-parent node
+    multi = (e.groupBy("a").count().filter(F.col("count") > 1))
+    if not multi.isEmpty():
+        raise RuntimeError(
+            "star contraction stopped at a non-star fixed point "
+            "(multi-parent nodes present); raise max_rounds")
+    # converged ⇒ star forest rooted at component minima: every non-root
+    # appears as `a` pointing at its root `b`; roots label themselves.
+    # Singletons (nodes whose only edges were self-loops) re-enter via
+    # the left join and keep their own id as the label.
+    stars = (e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+             .unionByName(e.select(F.col("b").alias("node"),
+                                   F.col("b").alias("label")))
+             .groupBy("node").agg(F.min("label").alias("label")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    return _ckpt(nodes.join(stars, "node", "left")
+                 .select("node", F.coalesce("label", "node").alias("label")))
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", *,
-                         max_iters: int = 30) -> DataFrame:
+                         max_iters: int = 30,
+                         fallback_after: int = 8) -> DataFrame:
     """Connected components over an undirected edge list → (node, label)
     with label = MIN node id of the component.
 
@@ -237,15 +310,17 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     groupBy-min per round, both on the node key), until a round changes
     nothing. Converges in O(component diameter) rounds — near-dup
     clusters are dense (LSH pairs link most members directly), so
-    diameters are tiny in practice; ``max_iters`` bounds pathological
-    chain graphs and raises rather than returning a half-merged
-    labelling. Every round's result is eagerly checkpointed (lineage
-    would otherwise double per round) and the previous generation is
-    released. 100 TB note: rounds shuffle ONLY (node, label) pairs —
-    never document payloads — and the edge list is partitioned once and
-    reused; for graphs with giant high-diameter components swap the
-    round body for the large-star/small-star contraction (same loop
-    skeleton, O(log n) rounds).
+    diameters are tiny in practice. If it has not converged after
+    ``fallback_after`` rounds (a high-diameter graph: chains, sparse
+    link networks), the loop switches to large-star/small-star
+    contraction (:func:`_star_contraction`, O(log n) rounds) instead of
+    burning O(diameter) rounds or raising. The labelling is identical —
+    both compute label = component minimum — so the fallback never
+    changes results, only the round count. Every round's result is
+    eagerly checkpointed (lineage would otherwise double per round) and
+    the previous generation is released. 100 TB note: rounds shuffle
+    ONLY (node, label) pairs — never document payloads — and the edge
+    list is partitioned once and reused.
     """
     spark = edges.sparkSession
 
@@ -263,7 +338,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     labels = _ckpt(sym.select(F.col("a").alias("node"))
                    .distinct()
                    .withColumn("label", F.col("node")))
-    for _ in range(max_iters):
+    for _ in range(min(max_iters, fallback_after)):
         prop = (sym.join(labels, sym["a"] == labels["node"])
                 .select(F.col("b").alias("node"), "label"))
         new = _ckpt(labels.unionByName(prop)
@@ -275,11 +350,9 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         if changed == 0:
             sym.unpersist()
             return labels
+    result = _star_contraction(sym, _ckpt, max_rounds=max_iters)
     sym.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds — "
-        f"component diameter exceeds the bound; raise max_iters or use a "
-        f"star-contraction variant")
+    return result
 
 
 def near_dup_clusters(docs: DataFrame, *, k: int = 32, bands: int = 8,
