@@ -1383,12 +1383,14 @@ def q_span_seq_golden(spark, sf_dir):
                     F.col("col.offset").alias("off")))
 
 
-_IVF_ORACLE = f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
-qs AS (
+def _ivf_serving_sql(q_where: str, *, nprobe: int = 2) -> str:
+    """IVF serving body (assignment, probing, exact-cosine refine) —
+    shared by the pinned-centroid and trained-centroid legs so both
+    mirror operators/knn.ivf_topk from ONE rendering. Expects a ``cent``
+    CTE with (cid, cvec) in scope."""
+    return f"""qs AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id >= 10 AND vec_id < 13),
+  WHERE {q_where}),
 ea AS (
   SELECT e.vec_id, c.cid,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1407,13 +1409,85 @@ cand AS (
   JOIN eb ON eb.cid = qa.cid
   JOIN qs q2 ON q2.query_id = qa.query_id
   JOIN embeddings e ON e.vec_id = eb.vec_id
-  WHERE qa.crank <= 2),
+  WHERE qa.crank <= {nprobe}),
 ranked AS (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cs DESC, vec_id) AS rn
   FROM cand)
-SELECT query_id, vec_id, rn FROM ranked WHERE rn <= 3
+SELECT query_id, vec_id, rn FROM ranked WHERE rn <= 3"""
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+{_ivf_serving_sql('vec_id >= 10 AND vec_id < 13')}
+"""
+
+
+def _duck_dec_dist2(a: str, b: str) -> str:
+    """DECIMAL(28,18)-accumulated Σ(x−y)² — mirrors
+    operators/knn._dec_dist2_arrays term-for-term (one double subtract +
+    multiply per dim, decimal cast, exact fixed-scale fold with the
+    same merge-cast)."""
+    sq = ("CAST((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+          "(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+          "AS DECIMAL(28,18))")
+    return (f"list_reduce(list_prepend(CAST(0 AS DECIMAL(28,18)), "
+            f"[{sq} FOR x IN list_zip({a}, {b})]), "
+            f"(acc, t) -> CAST(acc + t AS DECIMAL(28,18)))")
+
+
+def _kmeans_cent_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd k-means CTE chain ending in ``cent(cid, cvec)`` —
+    mirrors operators/knn.train_centroids step-for-step: Knuth-hash
+    ordered init, DECIMAL(38,18) assignment distance with cid
+    tie-break, DECIMAL-sum/DOUBLE-divide per-dim means, empty clusters
+    keep the previous centroid."""
+    from .operators.knn import (
+        KMEANS_HASH_INMOD,
+        KMEANS_HASH_MULT,
+        KMEANS_HASH_OUTMOD,
+    )
+    im, mu, om = KMEANS_HASH_INMOD, KMEANS_HASH_MULT, KMEANS_HASH_OUTMOD
+    parts = [f"""kv AS (
+  SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings),
+kinit AS (
+  SELECT vid, v,
+         ROW_NUMBER() OVER (ORDER BY
+           ((((vid % {im}) + {im}) % {im}) * {mu}) % {om}, vid) - 1 AS cid
+  FROM kv QUALIFY cid < {k}),
+kc0 AS (SELECT cid, v AS cvec FROM kinit)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ka{i} AS (
+  SELECT vid, v, cid FROM (
+    SELECT kv.vid, kv.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY kv.vid
+             ORDER BY {_duck_dec_dist2('kv.v', 'c.cvec')}, c.cid) AS rn
+    FROM kv, kc{i - 1} c) WHERE rn = 1),
+km{i} AS (
+  SELECT cid, dim, CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
+         / COUNT(*) AS m
+  FROM (SELECT cid, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
+        FROM ka{i})
+  GROUP BY cid, dim),
+kc{i} AS (
+  SELECT p.cid, COALESCE(mm.cvec, p.cvec) AS cvec
+  FROM kc{i - 1} p LEFT JOIN (
+    SELECT cid,
+           [s['v'] FOR s IN
+            list_sort(list(struct_pack(d := dim, v := m)))] AS cvec
+    FROM km{i} GROUP BY cid) mm ON mm.cid = p.cid)""")
+    parts.append(f""",
+cent AS (SELECT cid, cvec FROM kc{iters})""")
+    return "".join(parts)
+
+
+_KMEANS_ORACLE = f"""
+WITH {_kmeans_cent_ctes(4, 3)},
+{_ivf_serving_sql('vec_id >= 20 AND vec_id < 23')}
 """
 
 
@@ -1490,29 +1564,59 @@ def _ann_lsh_leg(spark, sf_dir):
                     F.col("rn2").cast("long").alias("rn")))
 
 
+def _ann_kmeans_leg(spark, sf_dir):
+    """IVF serving over TRAINED centroids (operators/knn.train_centroids,
+    k=4, 3 Lloyd iterations): the full train→assign→probe→refine
+    pipeline is mirrored by the unrolled k-means CTE chain + shared IVF
+    serving SQL. Training is deterministic by construction (Knuth-hash
+    init, DECIMAL assignment distance, DECIMAL-routed means), so the
+    trained centroids are bit-identical across engines and the serving
+    comparison is exact."""
+    from .operators.knn import ivf_topk, train_centroids
+    emb = _load(spark, sf_dir, "embeddings")
+    cent = train_centroids(emb, 4, iters=3)
+    queries = (emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 23))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    scored = ivf_topk(emb, queries, 1_000_000, cent, nprobe=2)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos_sim", 4)), F.col("vec_id"))
+    return (scored.withColumn("rn2", F.row_number().over(w))
+            .filter(F.col("rn2") <= 3)
+            .select("query_id", "vec_id",
+                    F.col("rn2").cast("long").alias("rn")))
+
+
 def _ann_topk_oracle():
     return f"""
 WITH ivf AS ({_IVF_ORACLE}),
-lsh AS ({_lsh_topk_oracle()})
+lsh AS ({_lsh_topk_oracle()}),
+kme AS ({_KMEANS_ORACLE})
 SELECT 'ivf' AS method, query_id, vec_id, rn FROM ivf
 UNION ALL
 SELECT 'lsh' AS method, query_id, vec_id, rn FROM lsh
+UNION ALL
+SELECT 'kmeans' AS method, query_id, vec_id, rn FROM kme
 """
 
 
 @q("ann_topk", _ann_topk_oracle())
 def q_ann_topk(spark, sf_dir):
-    """BOTH approximate-ANN scale paths in one driver row (VERDICT r3 #2:
+    """ALL approximate-ANN scale paths in one driver row (VERDICT r3 #2:
     the driver checks at most 50 registry entries, so the former
     ``ann_ivf_topk`` + ``ann_lsh_topk`` queries are folded into a single
-    union tagged by ``method``). Each leg keeps its full step-for-step
-    DuckDB CTE oracle; determinism arguments unchanged (frozen planes /
-    caller-pinned centroids, ROUND(cs,4) re-rank, vec_id tie-break)."""
+    union tagged by ``method``; round 4 adds the trained-centroid IVF
+    leg). Each leg keeps its full step-for-step DuckDB CTE oracle;
+    determinism arguments unchanged (frozen planes / pinned or
+    deterministically-trained centroids, ROUND(cs,4) re-rank, vec_id
+    tie-break)."""
     ivf = _ann_ivf_leg(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "vec_id", "rn")
     lsh = _ann_lsh_leg(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "vec_id", "rn")
-    return ivf.unionByName(lsh)
+    kme = _ann_kmeans_leg(spark, sf_dir).select(
+        F.lit("kmeans").alias("method"), "query_id", "vec_id", "rn")
+    return ivf.unionByName(lsh).unionByName(kme)
 
 
 def all_queries():

@@ -363,3 +363,43 @@ def test_top_orders(spark):
     want = con.sql(TOP_ORDERS_ORACLE).fetchall()
     assert got == [tuple(r) for r in want]
     assert len(got) == 10
+
+
+def test_train_centroids_converges_and_deterministic(spark):
+    # two well-separated blobs, k=2: trained centroids land on the blob
+    # means; result is identical across partitionings (determinism by
+    # construction: hash init, decimal distance, decimal-routed means)
+    from osmpbf_spark.operators.knn import train_centroids
+    rng = random.Random(5)
+    pts = ([(i, [rng.gauss(0, 0.1), rng.gauss(0, 0.1)]) for i in range(40)]
+           + [(100 + i, [rng.gauss(10, 0.1), rng.gauss(10, 0.1)])
+              for i in range(40)])
+    df1 = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    df8 = df1.repartition(8)
+    c1 = sorted((r["cid"], tuple(r["cvec"]))
+                for r in train_centroids(df1, 2, iters=5).collect())
+    c8 = sorted((r["cid"], tuple(r["cvec"]))
+                for r in train_centroids(df8, 2, iters=5).collect())
+    assert c1 == c8                      # partitioning-independent, exact
+    means = sorted(v for _, v in c1)
+    assert abs(means[0][0]) < 0.2 and abs(means[0][1]) < 0.2
+    assert abs(means[1][0] - 10) < 0.2 and abs(means[1][1] - 10) < 0.2
+
+
+def test_train_centroids_empty_cluster_keeps_previous(spark):
+    # 3 identical points, k=2: one centroid hoards everything, the other
+    # must keep its initial vector rather than NaN out
+    from osmpbf_spark.operators.knn import train_centroids
+    df = spark.createDataFrame(
+        [(1, [5.0, 5.0]), (2, [5.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>")
+    got = {r["cid"]: list(r["cvec"])
+           for r in train_centroids(df, 2, iters=3).collect()}
+    assert len(got) == 2
+    vals = sorted(got.values())
+    assert vals.count([5.0, 5.0]) >= 1
+    assert all(v == v for c in got.values() for v in c)   # no NaN
+    # k > n fails loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exceeds"):
+        train_centroids(df, 5, iters=1)
