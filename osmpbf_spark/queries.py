@@ -1223,6 +1223,71 @@ def q_stream_dedup_events(spark, sf_dir):
     return spark.table(name)
 
 
+@q("stream_sessionize_events", """
+WITH ev AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, event_id FROM events),
+e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts,
+              event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM ev),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sn
+  FROM e),
+g AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, sn)
+SELECT user_id, session_start, session_end, n_events
+FROM g
+WHERE session_end + INTERVAL 30 MINUTE
+      < (SELECT MAX(ts) FROM ev) - INTERVAL 30 MINUTE
+""")
+def q_stream_sessionize_events(spark, sf_dir):
+    """REAL stateful streaming run of gap sessionization
+    (streaming/ops.stream_sessionize — applyInPandasWithState with
+    watermark-gated full gap-merge, the hardest streaming operator;
+    VERDICT r3 #6 put it under the driver gate): readStream over the
+    events table → 30-min-gap sessions → availableNow → memory sink.
+
+    The oracle is the BATCH gap-merge (lag + running-sum) restricted to
+    sessions the stream can have finalized: after the last data batch
+    Spark fires one more batch for event-time timers with the final
+    watermark wm = max(ts) − 30 min (probed empirically: 945/946
+    sessions at sf0.001, the one trailing session correctly held open),
+    and a session emits iff session_end + gap < wm — i.e.
+    session_end + 30 min < max(ts) − 30 min. Timestamps are truncated
+    to seconds on BOTH sides (source has µs; the operator's state holds
+    ms — truncation makes every comparison exact)."""
+    import hashlib
+    import os
+    import uuid
+
+    from .streaming.ops import stream_sessionize
+    schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    src = os.path.abspath(_t(sf_dir, "events"))
+    d = os.path.join("/tmp", "stream_src_"
+                     + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(src, link)
+    stream = (spark.readStream.schema(schema).parquet(d)
+              .select("user_id",
+                      F.date_trunc("second",
+                                   F.col("ts").cast("timestamp"))
+                      .alias("ts")))
+    out = stream_sessionize(stream, gap_minutes=30)
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    qh = (out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(availableNow=True).start())
+    if not qh.awaitTermination(300):
+        raise TimeoutError("streaming query did not finish within 300 s")
+    return spark.table(name)
+
+
 @q("stream_pbf_decode", """
 SELECT * FROM (VALUES
   ('node', CAST(105 AS BIGINT), 52122403100, 11628401700),
