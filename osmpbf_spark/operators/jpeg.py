@@ -1,20 +1,24 @@
-"""Baseline-sequential JPEG codec, pure stdlib+numpy (VERDICT r2 #3).
+"""JPEG codec (baseline SOF0 + progressive SOF2), pure stdlib+numpy
+(VERDICT r2 #3; SOF2 added in round 4 per VERDICT r3 #5).
 
 Implements the public ITU-T T.81 spec from scratch: marker walk, DQT /
-SOF0 / DHT / SOS / DRI parsing, canonical-Huffman entropy decode with
-0xFF byte-unstuffing and RSTn restart intervals, dequantize → de-zigzag
-→ vectorized 8×8 IDCT (orthonormal DCT-II basis, ``einsum`` over all
-blocks at once), chroma upsampling for any (h,v) sampling factors, and
-JFIF YCbCr→RGB. Covers baseline (SOF0) — the overwhelming majority of
-training-corpus JPEGs; progressive (SOF2) and 12-bit raise ValueError
-(the multimodal layer profiles those via the digest stand-in instead of
+SOF0 / SOF2 / DHT / SOS / DRI parsing, canonical-Huffman entropy decode
+with 0xFF byte-unstuffing and RSTn restart intervals, dequantize →
+de-zigzag → vectorized 8×8 IDCT (orthonormal DCT-II basis, ``einsum``
+over all blocks at once), chroma upsampling for any (h,v) sampling
+factors, and JFIF YCbCr→RGB. Progressive decode (Annex G) accumulates
+coefficients across DC/AC spectral-selection and successive-
+approximation scans, EOB runs and per-scan restart intervals included.
+12-bit / hierarchical / arithmetic variants raise ValueError (the
+multimodal layer profiles those via the digest stand-in instead of
 failing the job).
 
 All Huffman/quantization tables are read FROM THE FILE (DHT/DQT), so
 decode never depends on the encoder-side constants below being exact.
 ``encode_jpeg`` is the test/synth helper: 4:4:4 or 4:2:0 baseline with
 the spec's Annex-K example Huffman tables and all-ones quantization by
-default (near-lossless, so round-trips are checkable to ±tolerance).
+default (near-lossless, so round-trips are checkable to ±tolerance);
+``progressive=True`` emits a full SOF2 scan script.
 
 No reference counterpart (b-r-u/osmpbf has no media layer); this backs
 the multimodal operators' image tier next to the PNG/netpbm codecs.
@@ -139,15 +143,15 @@ def _segments(p: bytes):
 
 
 def jpeg_header(p: bytes) -> tuple[int, int]:
-    """(width, height) from the SOF0/1 frame header alone — no entropy
+    """(width, height) from the SOF0/1/2 frame header alone — no entropy
     decode (the metadata pass must not pay a full decode per asset)."""
     for marker, body, _ in _segments(p):
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             _, h, w = struct.unpack_from(">BHH", body, 0)
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad JPEG dimensions {w}x{h}")
             return w, h
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF type 0x{marker:02x}")
     raise ValueError("JPEG missing SOF frame header")
@@ -196,6 +200,55 @@ def _huff_decode(r: _BitReader, lut) -> int:
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
+
+
+def _split_entropy(p: bytes, pos: int):
+    """Entropy-coded bytes from ``pos``: unstuff 0xFF00, split at RSTn →
+    (segments, end) where ``end`` is the offset of the terminating
+    marker (EOI or the next segment header)."""
+    segments = []
+    cur = bytearray()
+    i = pos
+    while i < len(p):
+        b = p[i]
+        if b == 0xFF and i + 1 < len(p):
+            m = p[i + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:               # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break                               # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _reconstruct(comps, qt, w, h, hmax, vmax) -> np.ndarray:
+    """Shared tail for both frame types: dequantize (zigzag domain) →
+    de-zigzag → vectorized IDCT → upsample → JFIF YCbCr→RGB."""
+    planes = []
+    for c in comps:
+        deq = (c["coef"] * qt[c["tq"]][None, :]) \
+            [:, _UNZIG].reshape(-1, 8, 8).astype(np.float64)
+        sp = np.einsum("ux,nuv,vy->nxy", _C, deq, _C) + 128.0
+        sp = np.clip(np.round(sp), 0, 255).astype(np.uint8)
+        plane = (sp.reshape(c["bh"], c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8))
+        plane = plane.repeat(vmax // c["v"], 0).repeat(hmax // c["h"], 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    y, cb, cr = (pl.astype(np.float64) for pl in planes[:3])
+    rgb = np.stack([y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128)], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def decode_jpeg(p: bytes) -> np.ndarray:
@@ -254,7 +307,9 @@ def decode_jpeg(p: bytes) -> np.ndarray:
             scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                      body[2 + 2 * i] & 15) for i in range(ns)]
             pos_after_sos = nxt
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:                    # SOF2 (progressive huff)
+            return _decode_progressive(p)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG SOF type 0x{marker:02x}")
     if sof is None or scan is None:
@@ -281,28 +336,7 @@ def decode_jpeg(p: bytes) -> np.ndarray:
         if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
             raise ValueError("bad JPEG sampling factors")
 
-    # split entropy data at RST markers, unstuff 0xFF00
-    tail = p[pos_after_sos:]
-    segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(tail):
-        b = tail[i]
-        if b == 0xFF and i + 1 < len(tail):
-            m = tail[i + 1]
-            if m == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:               # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break                               # EOI or next marker
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
+    segments, _ = _split_entropy(p, pos_after_sos)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -364,25 +398,307 @@ def decode_jpeg(p: bytes) -> np.ndarray:
         raise ValueError(
             f"JPEG entropy data ended after {mcu_i}/{n_mcu} MCUs")
 
-    planes = []
+    # coef and the DQT table are both zigzag-ordered; _reconstruct
+    # multiplies there, then de-zigzags to raster for the IDCT
+    return _reconstruct(comps, qt, w, h, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+def _ac_first_block(r, blk, tab, ss, se, al, eobrun):
+    """One block of an AC FIRST scan (Ah=0): baseline-style run/size
+    codes shifted by the point transform, plus EOBn codes (r<15, s=0)
+    whose run = 2^r + ext covers this and following all-zero blocks.
+    Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, tab)
+        run, s = rs >> 4, rs & 15
+        if s == 0:
+            if run == 15:                       # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1             # this block is the first
+            if run:
+                eobrun += r.bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC run overflow")
+        blk[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(r, blk, tab, ss, se, al, eobrun):
+    """One block of an AC REFINEMENT scan (Ah>0): newly-significant
+    coefficients arrive as (run, 1) + sign, with one correction bit for
+    every already-nonzero coefficient passed over (T.81 G.1.2.3; the
+    run counts only zero-HISTORY positions). An EOBn covers the rest of
+    this block (correction bits still read) plus following blocks."""
+    bit = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, tab)
+            run, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if run < 15:                    # EOBn
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.bits(run)
+                    run = 64                    # refine rest, place nothing
+                # run == 15: ZRL — skip 16 zero-history positions
+            elif s == 1:
+                newval = bit if r.bit() else -bit
+            else:
+                raise ValueError("JPEG AC refinement size != 1")
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if r.bit() and not (v & bit):
+                        blk[k] = v + (bit if v > 0 else -bit)
+                elif run == 0:
+                    if newval:
+                        blk[k] = newval
+                    k += 1
+                    break
+                else:
+                    run -= 1
+                k += 1
+        return eobrun
+    # block fully covered by a pending EOB run: correction bits only
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        if v != 0:
+            if r.bit() and not (v & bit):
+                blk[k] = v + (bit if v > 0 else -bit)
+    return eobrun - 1
+
+
+def _decode_progressive(p: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2) → (h, w, c) uint8. Walks EVERY marker
+    segment (tables may be redefined between scans), accumulating DCT
+    coefficients across DC/AC first and refinement passes per T.81
+    Annex G, then reuses the shared dequantize/IDCT/upsample tail.
+    Spectral selection, successive approximation, EOB runs, restart
+    intervals, and non-interleaved AC scan geometry all honoured;
+    truncated or over-short entropy data raises (decode-or-raise
+    contract, same as baseline)."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    restart = 0
+    comps = None
+    w = h = hmax = vmax = mcux = mcuy = 0
+    dc_first_done: set[int] = set()
+    pos = 2
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    saw_eoi = False
+    while pos + 2 <= len(p):
+        if p[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = p[pos + 1]
+        if marker == 0xD9:                      # EOI
+            saw_eoi = True
+            break
+        if 0xD0 <= marker <= 0xD7:              # stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(p):
+            raise ValueError("truncated JPEG segment")
+        (ln,) = struct.unpack_from(">H", p, pos + 2)
+        body = p[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        nxt = pos + 2 + ln
+        if marker == 0xDB:                      # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                qt[tq] = np.frombuffer(body, np.uint8, 64, o + 1) \
+                    .astype(np.int64)
+                o += 65
+        elif marker == 0xC4:                    # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                counts = list(body[o + 1:o + 17])
+                ns = sum(counts)
+                syms = list(body[o + 17:o + 17 + ns])
+                huff[(tc, th)] = _decode_lut(counts, syms)
+                o += 17 + ns
+        elif marker == 0xDD:                    # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xC2:                    # SOF2
+            if comps is not None:
+                raise ValueError("multiple JPEG frame headers")
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}"
+                                 f" (grayscale/YCbCr only)")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad JPEG dimensions {w}x{h}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            for c in comps:
+                if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+                    raise ValueError("bad JPEG sampling factors")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64),
+                                     dtype=np.int64)
+                # non-interleaved scans cover only the ACTUAL blocks of
+                # the (possibly subsampled) component, no MCU padding
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                c["nbw"] = -(-cw // 8)
+                c["nbh"] = -(-ch // 8)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed frame types in progressive JPEG")
+        elif marker == 0xDA:                    # SOS — one scan
+            if comps is None:
+                raise ValueError("JPEG scan before frame header")
+            segments, end = _split_entropy(p, nxt)
+            _decode_prog_scan(body, segments, comps, huff, restart,
+                              mcux, mcuy, dc_first_done)
+            pos = end
+            continue
+        pos = nxt
+    if comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if not saw_eoi:
+        raise ValueError("JPEG ended without EOI")
     for c in comps:
-        # coef and the DQT table are both zigzag-ordered; multiply there,
-        # then de-zigzag to raster for the IDCT
-        deq = (c["coef"] * qt[c["tq"]][None, :]) \
-            [:, _UNZIG].reshape(-1, 8, 8).astype(np.float64)
-        sp = np.einsum("ux,nuv,vy->nxy", _C, deq, _C) + 128.0
-        sp = np.clip(np.round(sp), 0, 255).astype(np.uint8)
-        plane = (sp.reshape(c["bh"], c["bw"], 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8))
-        plane = plane.repeat(vmax // c["v"], 0).repeat(hmax // c["h"], 1)
-        planes.append(plane[:h, :w])
-    if len(planes) == 1:
-        return planes[0][:, :, None]
-    y, cb, cr = (pl.astype(np.float64) for pl in planes[:3])
-    rgb = np.stack([y + 1.402 * (cr - 128),
-                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
-                    y + 1.772 * (cb - 128)], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG component references missing quant "
+                             f"table {c['tq']}")
+        if c["id"] not in dc_first_done:
+            raise ValueError("progressive scan script incomplete: "
+                             f"component {c['id']} has no DC first scan")
+    return _reconstruct(comps, qt, w, h, hmax, vmax)
+
+
+def _decode_prog_scan(body, segments, comps, huff, restart,
+                      mcux, mcuy, dc_first_done):
+    """Decode one progressive scan's entropy segments into the
+    components' coefficient arrays."""
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise ValueError("JPEG SOS header truncated")
+    by_id = {c["id"]: c for c in comps}
+    scomps = []
+    for i in range(ns):
+        cid = body[1 + 2 * i]
+        c = by_id.get(cid)
+        if c is None:
+            raise ValueError(f"JPEG scan references unknown component "
+                             f"{cid}")
+        scomps.append((c, body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+    if se > 63 or ss > se or al > 13:
+        raise ValueError(f"bad JPEG spectral selection {ss}..{se}/{al}")
+
+    if ss == 0:                                 # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        tabs = {}
+        if ah == 0:
+            for c, td, _ in scomps:
+                tab = huff.get((0, td))
+                if tab is None:
+                    raise ValueError("JPEG scan references missing "
+                                     "Huffman table")
+                tabs[c["id"]] = tab
+        if ns > 1:
+            n_units = mcux * mcuy
+        else:
+            n_units = scomps[0][0]["nbw"] * scomps[0][0]["nbh"]
+        unit = 0
+        for seg in segments:
+            r = _BitReader(seg)
+            preds = {c["id"]: 0 for c, _, _ in scomps}
+            end = min(n_units, unit + restart) if restart else n_units
+
+            def dc_one(c, bi):
+                if ah == 0:
+                    t = _huff_decode(r, tabs[c["id"]])
+                    if t > 15:
+                        raise ValueError(f"JPEG DC category {t} "
+                                         f"out of range")
+                    preds[c["id"]] += _extend(r.bits(t), t)
+                    c["coef"][bi, 0] = preds[c["id"]] << al
+                elif r.bit():
+                    c["coef"][bi, 0] |= 1 << al
+
+            while unit < end:
+                if ns > 1:
+                    my, mx = divmod(unit, mcux)
+                    for c, _, _ in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_one(c, (my * c["v"] + by) * c["bw"]
+                                       + mx * c["h"] + bx)
+                else:
+                    c = scomps[0][0]
+                    row, col = divmod(unit, c["nbw"])
+                    dc_one(c, row * c["bw"] + col)
+                unit += 1
+            if unit >= n_units:
+                break
+        if unit < n_units:
+            raise ValueError(f"JPEG entropy data ended after "
+                             f"{unit}/{n_units} units")
+        if ah == 0:
+            for c, _, _ in scomps:
+                dc_first_done.add(c["id"])
+        return
+
+    # AC scan: single component, non-interleaved block geometry
+    if ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c, _, ta = scomps[0]
+    tab = huff.get((1, ta))
+    if tab is None:
+        raise ValueError("JPEG scan references missing Huffman table")
+    n_units = c["nbw"] * c["nbh"]
+    unit = 0
+    for seg in segments:
+        r = _BitReader(seg)
+        eobrun = 0                              # EOB runs never cross RST
+        end = min(n_units, unit + restart) if restart else n_units
+        while unit < end:
+            row, col = divmod(unit, c["nbw"])
+            blk = c["coef"][row * c["bw"] + col]
+            if ah == 0:
+                eobrun = _ac_first_block(r, blk, tab, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(r, blk, tab, ss, se, al, eobrun)
+            unit += 1
+        if unit >= n_units:
+            break
+    if unit < n_units:
+        raise ValueError(f"JPEG entropy data ended after "
+                         f"{unit}/{n_units} units")
 
 
 # ---------------------------------------------------------------------------
@@ -451,15 +767,37 @@ def _blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
         .astype(np.int64)[:, ZIGZAG]
 
 
+# flat identity Huffman tables for the progressive encoder: every symbol
+# is its own 8-bit code (canonical: N symbols 0..N-1 all at length 8).
+# Wasteful but trivially correct; the decoder always reads tables from
+# DHT so nothing depends on these being optimal. The AC table stops at
+# 0xFE — a DHT count is one BYTE so 256 same-length symbols cannot be
+# declared, and 0xFF (run 15 with size 15) is never a legal emission.
+_FLAT_DC = ([0] * 7 + [17] + [0] * 8, list(range(17)))
+_FLAT_AC = ([0] * 7 + [255] + [0] * 8, list(range(255)))
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.2 — DC uses an arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
 def encode_jpeg(img: np.ndarray, *, quant: int = 1,
                 subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
     """(h, w, c) uint8, c ∈ {1, 3} → baseline JPEG bytes. ``quant=1``
     (all-ones tables) is near-lossless — round-trip error comes only
     from DCT/IDCT rounding. ``subsample=True`` writes 4:2:0 (chroma
     averaged 2×2) to exercise the decoder's upsampling path;
     ``restart_interval=N`` emits DRI + RSTn every N MCUs (the decoder's
-    restart/DC-reset path)."""
+    restart/DC-reset path). ``progressive=True`` writes SOF2 with the
+    classic spectral-selection + successive-approximation script (DC
+    Al=1→0, luma AC bands 1-5/6-63 Al=2→1→0, chroma AC Al=1→0), EOB-run
+    accumulation included — the coefficients reassemble exactly, so a
+    progressive round-trip decodes bit-identically to the baseline
+    encoding of the same image."""
     h, w, c = img.shape
     if c not in (1, 3):
         raise ValueError("JPEG encoder supports 1 or 3 channels")
@@ -504,6 +842,22 @@ def encode_jpeg(img: np.ndarray, *, quant: int = 1,
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for i in range(len(planes)):
         sof += bytes([i + 1, (hv[i][0] << 4) | hv[i][1], 0])
+    if progressive:
+        seg(0xC2, sof)
+        for tc, th, (counts, syms) in [(0, 0, _FLAT_DC), (1, 0, _FLAT_AC)]:
+            seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
+        if restart_interval:
+            seg(0xDD, struct.pack(">H", restart_interval))
+        nb = []
+        for i in range(len(planes)):
+            cw = -(-w * hv[i][0] // sub)
+            ch = -(-h * hv[i][1] // sub)
+            nb.append((-(-cw // 8), -(-ch // 8)))
+        _encode_progressive_scans(out, seg, coefs, bw, hv,
+                                  pw // mcu_w, ph // mcu_h, nb,
+                                  restart_interval)
+        out.extend(b"\xff\xd9")                 # EOI
+        return bytes(out)
     seg(0xC0, sof)
     tables = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
     if len(planes) == 3:
@@ -549,3 +903,196 @@ def encode_jpeg(img: np.ndarray, *, quant: int = 1,
     out.extend(wtr.out)
     out.extend(b"\xff\xd9")                     # EOI
     return bytes(out)
+
+
+def _encode_progressive_scans(out, seg, coefs, bw, hv, n_mcux, n_mcuy,
+                              nb, restart):
+    """Emit the progressive scan script (T.81 Annex G): interleaved DC
+    first/refine scans, per-component non-interleaved AC first/refine
+    scans with EOB-run accumulation (multi-block EOBn + buffered
+    correction bits, mirroring ``_ac_refine_block`` bit-for-bit)."""
+    ncomp = len(coefs)
+    dc_codes = _canonical_codes(*_FLAT_DC)
+    ac_codes = _canonical_codes(*_FLAT_AC)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        b = bytes([len(comp_ids)])
+        for i in comp_ids:
+            b += bytes([i + 1, 0])              # td = ta = 0 (flat tables)
+        b += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, b)
+
+    class _SW:
+        def __init__(self):
+            self.wtr = _BitWriter()
+            self.rst = 0
+
+        def restart_now(self):
+            self.wtr.flush()
+            out.extend(self.wtr.out)
+            out.extend(bytes([0xFF, 0xD0 + self.rst % 8]))
+            self.rst += 1
+            self.wtr = _BitWriter()
+
+        def finish(self):
+            self.wtr.flush()
+            out.extend(self.wtr.out)
+
+    def dc_scan(ah, al):
+        sos_header(list(range(ncomp)), 0, 0, ah, al)
+        sw = _SW()
+        pred = [0] * ncomp
+        for mcu in range(n_mcux * n_mcuy):
+            if restart and mcu and mcu % restart == 0:
+                sw.restart_now()
+                pred = [0] * ncomp
+            my, mx = divmod(mcu, n_mcux)
+            for i in range(ncomp):
+                for by in range(hv[i][1]):
+                    for bx in range(hv[i][0]):
+                        row = my * hv[i][1] + by
+                        col = mx * hv[i][0] + bx
+                        dc = int(coefs[i][row * bw[i] + col][0])
+                        if ah == 0:
+                            v = dc >> al        # arithmetic shift (DC)
+                            diff = v - pred[i]
+                            pred[i] = v
+                            t = _category(diff)
+                            sw.wtr.write(*dc_codes[t])
+                            if t:
+                                sw.wtr.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << t) - 1, t)
+                        else:
+                            sw.wtr.write((dc >> al) & 1, 1)
+        sw.finish()
+
+    def ac_blocks(i):
+        for row in range(nb[i][1]):
+            for col in range(nb[i][0]):
+                yield coefs[i][row * bw[i] + col]
+
+    def ac_first_scan(i, ss, se, al):
+        sos_header([i], ss, se, 0, al)
+        sw = _SW()
+        eob_cnt = 0
+
+        def flush_eob():
+            nonlocal eob_cnt
+            if eob_cnt:
+                rtop = eob_cnt.bit_length() - 1
+                sw.wtr.write(*ac_codes[rtop << 4])
+                if rtop:
+                    sw.wtr.write(eob_cnt - (1 << rtop), rtop)
+                eob_cnt = 0
+
+        for u, blk in enumerate(ac_blocks(i)):
+            if restart and u and u % restart == 0:
+                flush_eob()
+                sw.restart_now()
+            vals = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+            nz = [j for j, v in enumerate(vals) if v]
+            if not nz:
+                eob_cnt += 1
+                if eob_cnt == 0x7FFF:           # EOBn caps at 2^14+ext
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for j in range(nz[-1] + 1):
+                v = vals[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    sw.wtr.write(*ac_codes[0xF0])
+                    run -= 16
+                s = _category(v)
+                sw.wtr.write(*ac_codes[(run << 4) | s])
+                sw.wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < se - ss:                # trailing zeros → EOB run
+                eob_cnt = 1                     # (covers this block too)
+        flush_eob()
+        sw.finish()
+
+    def ac_refine_scan(i, ss, se, ah, al):
+        sos_header([i], ss, se, ah, al)
+        sw = _SW()
+        eob_cnt = 0
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eob_cnt, eob_bits
+            if eob_cnt:
+                rtop = eob_cnt.bit_length() - 1
+                sw.wtr.write(*ac_codes[rtop << 4])
+                if rtop:
+                    sw.wtr.write(eob_cnt - (1 << rtop), rtop)
+                for b in eob_bits:
+                    sw.wtr.write(b, 1)
+                eob_cnt = 0
+                eob_bits = []
+
+        for u, blk in enumerate(ac_blocks(i)):
+            if restart and u and u % restart == 0:
+                flush_eob()
+                sw.restart_now()
+            n = se - ss + 1
+            hist = [_pt_ac(int(blk[ss + j]), al + 1) != 0
+                    for j in range(n)]
+            cur = [_pt_ac(int(blk[ss + j]), al) for j in range(n)]
+            corr = [(abs(int(blk[ss + j])) >> al) & 1 for j in range(n)]
+            newsig = [j for j in range(n) if not hist[j] and cur[j] != 0]
+            if not newsig:                      # EOB-covered: corr only
+                eob_cnt += 1
+                eob_bits.extend(corr[j] for j in range(n) if hist[j])
+                if eob_cnt == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            cursor = 0
+            for posn in newsig:
+                while True:
+                    run = 0
+                    pend: list[int] = []
+                    j = cursor
+                    while j < posn and run < 16:
+                        if hist[j]:
+                            pend.append(corr[j])
+                        else:
+                            run += 1
+                        j += 1
+                    if run == 16:               # ZRL + interleaved corr
+                        sw.wtr.write(*ac_codes[0xF0])
+                        for b in pend:
+                            sw.wtr.write(b, 1)
+                        cursor = j
+                        continue
+                    break
+                sw.wtr.write(*ac_codes[(run << 4) | 1])
+                sw.wtr.write(1 if cur[posn] > 0 else 0, 1)
+                for b in pend:
+                    sw.wtr.write(b, 1)
+                cursor = posn + 1
+            if cursor < n:                      # remainder → EOB run
+                eob_cnt = 1
+                eob_bits = [corr[j] for j in range(cursor, n) if hist[j]]
+        flush_eob()
+        sw.finish()
+
+    # classic script: DC Al=1, luma AC bands at Al=2, chroma at Al=1,
+    # then refinements down to Al=0, DC refine last. Refinement bands
+    # exactly match their first-scan bands (T.81 scan-script rule).
+    dc_scan(0, 1)
+    ac_first_scan(0, 1, 5, 2)
+    ac_first_scan(0, 6, 63, 2)
+    for i in range(1, ncomp):
+        ac_first_scan(i, 1, 63, 1)
+    ac_refine_scan(0, 1, 5, 2, 1)
+    ac_refine_scan(0, 6, 63, 2, 1)
+    ac_refine_scan(0, 1, 5, 1, 0)
+    ac_refine_scan(0, 6, 63, 1, 0)
+    for i in range(1, ncomp):
+        ac_refine_scan(i, 1, 63, 1, 0)
+    dc_scan(1, 0)

@@ -11,9 +11,10 @@ the shape of the interleaved-documents media spans. Two tiers of codec:
   luminance-histogram / FFT-band feature extraction. No external
   libraries needed, so these paths are REAL and tested end-to-end
   (decode → resize → features → Arrow batch).
-* **Unsupported variants** (progressive JPEG, 16-bit PNG, 24-bit WAV,
-  unknown containers) profile via a deterministic digest-derived
-  stand-in instead of failing the job.
+* **Unsupported variants** (16-bit PNG, 24-bit WAV, unknown containers)
+  profile via a deterministic digest-derived stand-in instead of
+  failing the job. Progressive JPEG (SOF2) is a REAL decode since
+  round 4 (operators/jpeg.py, T.81 Annex G).
 
 Scale notes: all operators are ``mapInArrow`` over pre-partitioned media
 rows — narrow, no shuffle; batch size bounded by
