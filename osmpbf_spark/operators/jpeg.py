@@ -125,6 +125,8 @@ def _segments(p: bytes):
     while pos + 4 <= len(p):
         if p[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        while pos + 2 <= len(p) and p[pos + 1] == 0xFF:
+            pos += 1                # T.81 B.1.1.2: optional fill bytes
         marker = p[pos + 1]
         if marker == 0xD9:          # EOI
             return
@@ -458,6 +460,7 @@ def _ac_refine_block(r, blk, tab, ss, se, al, eobrun):
                 newval = bit if r.bit() else -bit
             else:
                 raise ValueError("JPEG AC refinement size != 1")
+            placed = not newval
             while k <= se:
                 v = int(blk[k])
                 if v != 0:
@@ -466,11 +469,18 @@ def _ac_refine_block(r, blk, tab, ss, se, al, eobrun):
                 elif run == 0:
                     if newval:
                         blk[k] = newval
+                    placed = True
                     k += 1
                     break
                 else:
                     run -= 1
                 k += 1
+            if not placed:
+                # a (run,1) code whose run overruns the band end is
+                # corrupt — raise like the first-scan guard rather than
+                # continuing with a misaligned bit reader (code-review
+                # r4: plausible-but-wrong pixels break decode-or-raise)
+                raise ValueError("JPEG AC run overflow")
         return eobrun
     # block fully covered by a pending EOB run: correction bits only
     for k in range(ss, se + 1):
@@ -503,6 +513,10 @@ def _decode_progressive(p: bytes) -> np.ndarray:
     while pos + 2 <= len(p):
         if p[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        while pos + 2 <= len(p) and p[pos + 1] == 0xFF:
+            pos += 1                            # T.81 B.1.1.2 fill bytes
+        if pos + 2 > len(p):
+            break
         marker = p[pos + 1]
         if marker == 0xD9:                      # EOI
             saw_eoi = True

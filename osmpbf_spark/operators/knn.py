@@ -275,7 +275,11 @@ def cosine_score(a: str, b: str, *, use_pandas: bool = False):
     if use_pandas:
         return _cosine_pandas()(F.col(a), F.col(b))
     r = _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
-    return F.when(F.isnan(r), F.lit(None).cast("double")).otherwise(r)
+    # nanvl, not when(isnan(r),...).otherwise(r): projection collapse
+    # re-inlines r into BOTH branches of the conditional, doubling the
+    # interpreted HOF fold (code-review r4, verified in the plan) —
+    # nanvl evaluates it once (NULL stays NULL, NaN → NULL)
+    return F.nanvl(r, F.lit(None).cast("double"))
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
@@ -373,7 +377,7 @@ def train_centroids(vectors: DataFrame, k: int, *, iters: int = 4,
       seeds (no seeded ``takeSample``, whose result depends on the
       partitioning);
     - fixed ``iters`` iterations (no data-dependent stopping rule);
-    - assignment distance accumulates in DECIMAL(38,18)
+    - assignment distance accumulates in DECIMAL(28,18)
       (order-independent, see :func:`_dec_dist2_arrays`), ties break on
       cid;
     - per-dim means route the sum through DECIMAL then divide in DOUBLE

@@ -255,7 +255,10 @@ def cover_for(polygons: DataFrame, res: int = GRID_RES_FINE, *,
     for i in range(len(_COVER_CACHE) - 1, -1, -1):
         p, r, t, c = _COVER_CACHE[i]
         try:
-            if (r == res and t == tight
+            if p.sparkSession._sc._jsc is None:      # stopped session
+                _COVER_CACHE.pop(i)                  # (code-review r4:
+                continue                             # probe, don't wait
+            if (r == res and t == tight              # for an exception
                     and p.sparkSession is polygons.sparkSession
                     and polygons.sameSemantics(p)):
                 return c

@@ -1157,6 +1157,47 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def _stage_stream_source(spark, sf_dir, table="events"):
+    """The file source needs a DIRECTORY; expose the single read-only
+    parquet file through a symlink dir under /tmp → (dir, schema).
+
+    Code-review r4: /tmp is world-shared and subject to cleaners — a
+    stale or dangling symlink (source remounted, partial tmp cleanup)
+    would make readStream list ZERO files and the availableNow query
+    terminate "normally" with an empty result, failing the driver hash
+    gate silently. Validate the link target and recreate atomically."""
+    import hashlib
+    import os
+
+    schema = spark.read.parquet(_t(sf_dir, table)).schema
+    src = os.path.abspath(_t(sf_dir, table))
+    d = os.path.join("/tmp", "stream_src_"
+                     + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    ok = (os.path.lexists(link) and os.path.islink(link)
+          and os.readlink(link) == src and os.path.exists(link))
+    if not ok:
+        tmp = link + ".new"
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(src, tmp)
+        os.replace(tmp, link)
+    return d, schema
+
+
+def _run_to_memory(out, prefix, output_mode="append"):
+    """availableNow → memory sink → the sink table as a DataFrame."""
+    import uuid
+
+    name = prefix + "_" + uuid.uuid4().hex[:8]
+    qh = (out.writeStream.format("memory").queryName(name)
+          .outputMode(output_mode).trigger(availableNow=True).start())
+    if not qh.awaitTermination(300):
+        raise TimeoutError("streaming query did not finish within 300 s")
+    return out.sparkSession.table(name)
+
+
 @q("stream_windows", """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type, COUNT(*) AS cnt
@@ -1167,31 +1208,13 @@ def q_stream_windows(spark, sf_dir):
     windows → availableNow trigger → memory sink), checked against the
     batch SQL oracle — streaming results must equal the batch answer on
     bounded input."""
-    import hashlib
-    import os
-    import uuid
-
     from .streaming.ops import windowed_event_counts
-    schema = spark.read.parquet(_t(sf_dir, "events")).schema
-    # the file source needs a directory; expose the single parquet file
-    # through a symlink dir (testdata is read-only)
-    src = os.path.abspath(_t(sf_dir, "events"))
-    d = os.path.join("/tmp", "stream_src_"
-                     + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(src, link)
+    d, schema = _stage_stream_source(spark, sf_dir)
     stream = (spark.readStream.schema(schema).parquet(d)
               .withColumn("ts", F.col("ts").cast("timestamp")))
     out = windowed_event_counts(stream, window="1 hour",
                                 watermark="2 hours")
-    name = "stream_windows_" + uuid.uuid4().hex[:8]
-    qh = (out.writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(availableNow=True).start())
-    if not qh.awaitTermination(300):
-        raise TimeoutError("streaming query did not finish within 300 s")
-    return spark.table(name)
+    return _run_to_memory(out, "stream_windows", output_mode="complete")
 
 
 @q("stream_dedup_events", """
@@ -1207,28 +1230,12 @@ def q_stream_dedup_events(spark, sf_dir):
     its re-emit-after-horizon semantics are deliberately NOT equal to
     global DISTINCT. Keys only in the output — which duplicate's
     payload survives is arrival-order-dependent, the key set is not."""
-    import hashlib
-    import os
-    import uuid
-
     from .streaming.ops import stream_dedup
-    schema = spark.read.parquet(_t(sf_dir, "events")).schema
-    src = os.path.abspath(_t(sf_dir, "events"))
-    d = os.path.join("/tmp", "stream_src_"
-                     + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(src, link)
+    d, schema = _stage_stream_source(spark, sf_dir)
     stream = (spark.readStream.schema(schema).parquet(d)
               .select("user_id", "event_type"))
     out = stream_dedup(stream, ["user_id", "event_type"])
-    name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    qh = (out.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    if not qh.awaitTermination(300):
-        raise TimeoutError("streaming query did not finish within 300 s")
-    return spark.table(name)
+    return _run_to_memory(out, "stream_dedup")
 
 
 @q("stream_sessionize_events", """
@@ -1269,31 +1276,15 @@ def q_stream_sessionize_events(spark, sf_dir):
     session_end + 30 min < max(ts) − 30 min. Timestamps are truncated
     to seconds on BOTH sides (source has µs; the operator's state holds
     ms — truncation makes every comparison exact)."""
-    import hashlib
-    import os
-    import uuid
-
     from .streaming.ops import stream_sessionize
-    schema = spark.read.parquet(_t(sf_dir, "events")).schema
-    src = os.path.abspath(_t(sf_dir, "events"))
-    d = os.path.join("/tmp", "stream_src_"
-                     + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(src, link)
+    d, schema = _stage_stream_source(spark, sf_dir)
     stream = (spark.readStream.schema(schema).parquet(d)
               .select("user_id",
                       F.date_trunc("second",
                                    F.col("ts").cast("timestamp"))
                       .alias("ts")))
     out = stream_sessionize(stream, gap_minutes=30)
-    name = "stream_sess_" + uuid.uuid4().hex[:8]
-    qh = (out.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(availableNow=True).start())
-    if not qh.awaitTermination(300):
-        raise TimeoutError("streaming query did not finish within 300 s")
-    return spark.table(name)
+    return _run_to_memory(out, "stream_sess")
 
 
 @q("stream_pbf_decode", """

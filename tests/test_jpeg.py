@@ -228,3 +228,20 @@ def test_jpeg_progressive_fuzz_bounded_exceptions():
             assert out.ndim == 3
         except (ValueError, _struct.error):
             pass
+
+
+def test_jpeg_fill_bytes_before_markers_decode():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker;
+    # spec-valid files with padding must decode, not raise (code-review
+    # r4 — raising sent real images to the digest stand-in)
+    img = RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    for prog in (False, True):
+        good = encode_jpeg(img, progressive=prog)
+        want = decode_jpeg(good)
+        # pad before the EOI marker and before the first DHT segment
+        eoi = good.rindex(b"\xff\xd9")
+        padded = good[:eoi] + b"\xff\xff\xff" + good[eoi:]
+        dht = padded.index(b"\xff\xc4")
+        padded = padded[:dht] + b"\xff" + padded[dht:]
+        assert (decode_jpeg(padded) == want).all(), prog
+        assert jpeg_header(padded) == (16, 16)

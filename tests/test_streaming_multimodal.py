@@ -527,3 +527,27 @@ def test_stream_dedup_within_watermark_drops_near_reemits_far(spark, tmp_path):
     ones = sorted(ts for k, ts in collected if k == 1)
     # first sighting emitted, 01:20 dup dropped, 09:30 re-emitted
     assert ones == ["2024-01-01 01:00:00", "2024-01-01 09:30:00"]
+
+
+def test_stage_stream_source_repairs_dangling_symlink(spark):
+    # code-review r4: a stale/dangling /tmp symlink must be repaired,
+    # not silently reused — a dangling link makes readStream list zero
+    # files and the query "succeed" with an empty result
+    import hashlib
+    import os
+
+    from osmpbf_spark.queries import _stage_stream_source, _t
+    sf = "/root/testdata/sf0.001"
+    src = os.path.abspath(_t(sf, "events"))
+    d = os.path.join("/tmp", "stream_src_"
+                     + hashlib.md5(src.encode()).hexdigest()[:8])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink("/nonexistent/elsewhere.parquet", link)   # dangling+wrong
+    d2, schema = _stage_stream_source(spark, sf)
+    assert d2 == d
+    assert os.readlink(link) == src and os.path.exists(link)
+    n = spark.read.schema(schema).parquet(d).count()
+    assert n == spark.read.parquet(src).count() and n > 0
