@@ -245,3 +245,33 @@ def test_jpeg_fill_bytes_before_markers_decode():
         padded = padded[:dht] + b"\xff" + padded[dht:]
         assert (decode_jpeg(padded) == want).all(), prog
         assert jpeg_header(padded) == (16, 16)
+
+
+def test_jpeg_progressive_property_roundtrip():
+    # property: for ANY image geometry/sampling/quant/restart config,
+    # progressive decode == baseline decode bit-for-bit (the encoder's
+    # Al-ladder reassembles coefficients exactly)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(8, 40), w=st.integers(8, 40),
+        ch=st.sampled_from([1, 3]),
+        sub=st.booleans(),
+        quant=st.sampled_from([1, 4, 16]),
+        rst=st.sampled_from([0, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def case(h, w, ch, sub, quant, rst, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quant=quant,
+                                       subsample=sub))
+        prog = decode_jpeg(encode_jpeg(img, quant=quant, subsample=sub,
+                                       progressive=True,
+                                       restart_interval=rst))
+        assert prog.shape == (h, w, 3 if ch == 3 else 1)
+        assert (base == prog).all()
+
+    case()

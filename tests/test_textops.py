@@ -279,3 +279,18 @@ def test_star_contraction_random_vs_union_find(spark):
         spark.createDataFrame(edges, "doc_a string, doc_b string"),
         fallback_after=0).collect()}
     assert got == want
+
+
+def test_hash_sample_deterministic_and_disjoint(spark):
+    from osmpbf_spark.functions.sampling import hash_sample
+    df1 = spark.range(20000).withColumnRenamed("id", "k")
+    df8 = df1.repartition(8)
+    a = {r["k"] for r in hash_sample(df1, "k", 10).collect()}
+    b = {r["k"] for r in hash_sample(df8, "k", 10).collect()}
+    assert a == b                       # partitioning-independent
+    assert 0.07 < len(a) / 20000 < 0.13  # ~1/10
+    c = {r["k"] for r in hash_sample(df1, "k", 10, r=1).collect()}
+    assert a.isdisjoint(c)              # residues partition the space
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_sample(df1, "k", 10, r=10)
