@@ -11,10 +11,12 @@ the shape of the interleaved-documents media spans. Two tiers of codec:
   luminance-histogram / FFT-band feature extraction. No external
   libraries needed, so these paths are REAL and tested end-to-end
   (decode → resize → features → Arrow batch).
-* **Unsupported variants** (16-bit PNG, 24-bit WAV, unknown containers)
-  profile via a deterministic digest-derived stand-in instead of
-  failing the job. Progressive JPEG (SOF2) is a REAL decode since
-  round 4 (operators/jpeg.py, T.81 Annex G).
+* **Unsupported variants** (1/2/4-bit PNG, float/ADPCM WAV, unknown
+  containers) profile via a deterministic digest-derived stand-in
+  instead of failing the job. Round 4 made the previously-profiled
+  variants REAL decodes: progressive JPEG (SOF2, operators/jpeg.py,
+  T.81 Annex G), 16-bit and Adam7-interlaced PNG, and 8/24/32-bit
+  PCM WAV.
 
 Scale notes: all operators are ``mapInArrow`` over pre-partitioned media
 rows — narrow, no shuffle; batch size bounded by
@@ -133,8 +135,9 @@ def _wav_chunks(p: bytes) -> tuple[tuple, bytes]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError("only 16-bit PCM WAV supported")
+    if audio_format != 1 or bits not in (8, 16, 24, 32):
+        raise ValueError(f"only 8/16/24/32-bit PCM WAV supported "
+                         f"(format {audio_format}, {bits}-bit)")
     if n_channels <= 0 or sample_rate <= 0:
         # zeroed fmt fields would divide-by-zero downstream; make every
         # malformed variant surface as the one exception the profile
@@ -148,26 +151,60 @@ def wav_header(p: bytes) -> tuple[int, int, int]:
     length alone — no sample-array materialization (the metadata pass
     must not pay a full decode per asset at 100 TB)."""
     fmt, data = _wav_chunks(p)
-    _, n_channels, sample_rate, _, _, _ = fmt
-    n_samples = len(data) // (2 * n_channels)
+    _, n_channels, sample_rate, _, _, bits = fmt
+    n_samples = len(data) // (bits // 8 * n_channels)
     return sample_rate, n_channels, int(n_samples * 1000 // sample_rate)
 
 
 def decode_wav(p: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV → ((n_samples, n_channels) int16, sample_rate)."""
+    """PCM WAV → ((n_samples, n_channels) int16, sample_rate).
+
+    All PCM widths normalize to int16 (the feature tier's common
+    scale): 8-bit is UNSIGNED per spec → ``(v−128)·256``; 24/32-bit
+    keep their top 16 bits (exact arithmetic shift, deterministic)."""
     fmt, data = _wav_chunks(p)
-    _, n_channels, sample_rate, _, _, _ = fmt
-    samples = np.frombuffer(data, dtype="<i2")
+    _, n_channels, sample_rate, _, _, bits = fmt
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8)
+                   .astype(np.int64) - 128) << 8
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
+    else:                                   # 24-bit little-endian
+        b = np.frombuffer(data, dtype=np.uint8)
+        b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = ((v ^ 0x800000) - 0x800000) >> 8   # sign-extend, top 16
     samples = samples[:len(samples) - len(samples) % n_channels]
-    return samples.reshape(-1, n_channels), sample_rate
+    return (samples.astype(np.int16).reshape(-1, n_channels),
+            sample_rate)
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """(n, ch) int16 → PCM WAV bytes (test/synth helper)."""
+def encode_wav(samples: np.ndarray, sample_rate: int, *,
+               bits: int = 16) -> bytes:
+    """(n, ch) int16 → PCM WAV bytes (test/synth helper). ``bits``
+    widens/narrows the container (8 unsigned / 24 / 32) with the int16
+    payload in the TOP bits — decode round-trips exactly for 16/24/32;
+    8-bit is lossy by definition (keeps the top byte)."""
     n, ch = samples.shape
-    data = samples.astype("<i2").tobytes()
+    s = samples.astype(np.int64)
+    if bits == 16:
+        data = s.astype("<i2").tobytes()
+    elif bits == 8:
+        data = ((s >> 8) + 128).astype(np.uint8).tobytes()
+    elif bits == 32:
+        data = (s << 16).astype("<i4").tobytes()
+    elif bits == 24:
+        v = (s << 8) & 0xFFFFFF
+        b = np.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF],
+                     axis=-1).astype(np.uint8)
+        data = b.tobytes()
+    else:
+        raise ValueError(f"unsupported encoder width {bits}")
+    step = bits // 8
     fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
-                      sample_rate * ch * 2, ch * 2, 16)
+                      sample_rate * ch * step, ch * step, bits)
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -212,23 +249,15 @@ def png_header(p: bytes) -> tuple[int, int]:
     return w, h
 
 
-def decode_png(p: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → (h, w, c) uint8, pure stdlib+numpy
-    (zlib inflate + per-row unfiltering of the five standard filters;
-    palette images resolve through PLTE). Covers PNG as written by
-    virtually every encoder's default settings. None/Up/Sub rows are
-    fully vectorized; Average/Paeth loop per PIXEL (channels
-    vectorized) — the left-neighbour dependency is sequential by spec.
-    """
-    (w, h, bit_depth, color_type, _, _, interlace), palette, idat = \
-        _png_chunks(p)
-    if bit_depth != 8 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
-    ch = _PNG_CHANNELS.get(color_type)
-    if ch is None or (color_type == 3 and palette is None):
-        raise ValueError(f"unsupported PNG color type {color_type}")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * ch
+def _png_unfilter(raw: np.ndarray, w: int, h: int,
+                  bpp: int) -> np.ndarray:
+    """Per-row unfiltering of the five standard filters over filtered
+    scanline BYTES (the spec filters bytes, with the left neighbour
+    ``bpp`` bytes back regardless of bit depth) → (h, w·bpp) int64.
+    None/Up/Sub rows are fully vectorized; Average/Paeth loop per
+    PIXEL (bytes vectorized) — the left-neighbour dependency is
+    sequential by spec."""
+    stride = w * bpp
     raw = raw.reshape(h, stride + 1)
     filters = raw[:, 0]
     data = raw[:, 1:].astype(np.int64)
@@ -241,45 +270,107 @@ def decode_png(p: bytes) -> np.ndarray:
             row = cur
         elif f == 2:     # Up
             row = (cur + up) & 0xFF
-        elif f == 1:     # Sub = per-channel prefix sum mod 256
-            row = np.cumsum(cur.reshape(w, ch), axis=0).ravel() & 0xFF
+        elif f == 1:     # Sub = per-byte-lane prefix sum mod 256
+            row = np.cumsum(cur.reshape(w, bpp), axis=0).ravel() & 0xFF
         elif f in (3, 4):
             row = np.zeros(stride, dtype=np.int64)
-            zero = np.zeros(ch, dtype=np.int64)
-            for x in range(w):   # per PIXEL; channel math vectorized
-                i = x * ch
-                left = row[i - ch:i] if x else zero
-                u = up[i:i + ch]
+            zero = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):   # per PIXEL; byte math vectorized
+                i = x * bpp
+                left = row[i - bpp:i] if x else zero
+                u = up[i:i + bpp]
                 if f == 3:
                     pred = (left + u) // 2
                 else:
-                    ul = up[i - ch:i] if x else zero
+                    ul = up[i - bpp:i] if x else zero
                     pp = left + u - ul
                     pa = np.abs(pp - left)
                     pb = np.abs(pp - u)
                     pc = np.abs(pp - ul)
                     pred = np.where((pa <= pb) & (pa <= pc), left,
                                     np.where(pb <= pc, u, ul))
-                row[i:i + ch] = (cur[i:i + ch] + pred) & 0xFF
+                row[i:i + bpp] = (cur[i:i + bpp] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = row
-    img = out.astype(np.uint8).reshape(h, w, ch)
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def decode_png(p: bytes) -> np.ndarray:
+    """8/16-bit, interlaced or not, PNG → (h, w, c) uint8, pure
+    stdlib+numpy (zlib inflate + per-row unfiltering; palette images
+    resolve through PLTE; Adam7 passes unfiltered independently and
+    scattered into the output grid; 16-bit samples reduce to their
+    high byte — exact ``floor(v/257.004…)`` 8-bit scaling for features,
+    deterministic). Covers PNG as written by virtually every encoder;
+    1/2/4-bit low-depth images still raise (profile fallback)."""
+    (w, h, bit_depth, color_type, _, _, interlace), palette, idat = \
+        _png_chunks(p)
+    if bit_depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not legal")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None or (color_type == 3 and palette is None):
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    bps = bit_depth // 8
+    bpp = ch * bps
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        out = _png_unfilter(raw, w, h, bpp)
+    else:
+        out = np.zeros((h, w * bpp), dtype=np.int64)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue                  # empty pass carries NO bytes
+            n = hp * (wp * bpp + 1)
+            sub = _png_unfilter(raw[pos:pos + n], wp, hp, bpp)
+            pos += n
+            for j in range(bpp):
+                out[y0::dy, x0 * bpp + j::dx * bpp] = sub[:, j::bpp]
+        if pos != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+    arr = out.astype(np.uint8).reshape(h, w, ch, bps)
+    img = arr[:, :, :, 0]                 # 16-bit: big-endian high byte
     if color_type == 3:
         img = palette[img[:, :, 0]]
     return img
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(h, w, c) uint8 → PNG bytes (filter 0 rows; test/synth helper)."""
+def encode_png(img: np.ndarray, *, interlace: bool = False) -> bytes:
+    """(h, w, c) uint8 (or uint16 for a 16-bit file) → PNG bytes
+    (filter 0 rows; test/synth helper). ``interlace=True`` writes the
+    Adam7 pass sequence."""
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    depth = 16 if img.dtype == np.uint16 else 8
 
     def chunk(t, body):
         return (struct.pack(">I", len(body)) + t + body
                 + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def rows(sub):
+        be = sub.astype(">u2" if depth == 16 else np.uint8)
+        return b"".join(b"\x00" + be[y].tobytes()
+                        for y in range(sub.shape[0]))
+    if interlace:
+        raw = b"".join(rows(img[y0::dy, x0::dx])
+                       for x0, y0, dx, dy in _ADAM7
+                       if img[y0::dy, x0::dx].size)
+    else:
+        raw = rows(img)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 

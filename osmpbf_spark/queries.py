@@ -943,14 +943,23 @@ def _multimodal_payloads():
     # non-interleaved subsampled-chroma geometry under the driver gate
     jp2 = (np.arange(31 * 19 * 3, dtype=np.uint8) * 13 % 239).reshape(
         19, 31, 3)
+    # 16-bit + Adam7-interlaced PNG: REAL decode since round 4 (the
+    # high byte of each big-endian sample, scattered pass geometry)
+    png16 = ((np.arange(11 * 7 * 3, dtype=np.uint32) * 997 % 65521)
+             .astype(np.uint16).reshape(7, 11, 3))
     wave = ((np.arange(2000) % 50 < 25).astype(np.int16) * 8000 - 4000)
     samples = np.stack([wave, -wave], axis=1)
+    # 24-bit PCM WAV: REAL decode since round 4 (top-16-bit reduction)
+    wave24 = ((np.arange(1600) % 40 < 20).astype(np.int16) * 6000
+              - 3000).reshape(-1, 1)
     return [("m://img", encode_netpbm(img)),
             ("m://png", encode_png(png)),
+            ("m://p16", encode_png(png16, interlace=True)),
             ("m://jpg", encode_jpeg(jpg)),
             ("m://jp2", encode_jpeg(jp2, subsample=True,
                                     progressive=True)),
             ("m://snd", encode_wav(samples, 8000)),
+            ("m://s24", encode_wav(wave24, 16000, bits=24)),
             ("m://blob", b"\x01opaque")]
 
 
@@ -961,14 +970,17 @@ def _multimodal_oracle():
         from .operators.multimodal import sniff_media_type
         t = sniff_media_type(p)
         if t == "image/png":
-            w, h, sr, ch, dur = 8, 5, None, None, None
+            w, h = (11, 7) if ref == "m://p16" else (8, 5)
+            sr = ch = dur = None
         elif t == "image/jpeg":
             w, h = (31, 19) if ref == "m://jp2" else (24, 17)
             sr = ch = dur = None
         elif t.startswith("image"):
             w, h, sr, ch, dur = 6, 4, None, None, None
         elif t == "audio/wav":
-            w, h, sr, ch, dur = None, None, 8000, 2, 250
+            w = h = None
+            sr, ch, dur = ((16000, 1, 100) if ref == "m://s24"
+                           else (8000, 2, 250))
         else:
             w = h = sr = ch = dur = None
 

@@ -287,33 +287,85 @@ def test_stream_sessionize_stateful(spark, tmp_path):
 
 
 def test_unsupported_media_variants_profile_not_crash(spark):
-    # 24-bit WAV / interlaced PNG / truncated netpbm must yield a
-    # metadata row (sniffed type + stand-in dims), never fail the job
+    # float WAV / low-depth PNG / truncated netpbm must yield a
+    # metadata row (sniffed type + stand-in dims), never fail the job.
+    # (24-bit WAV and interlaced PNG are REAL decodes since round 4 —
+    # w24 now reports its true fmt fields.)
     import struct
 
     import numpy as np
 
     from osmpbf_spark.operators.multimodal import encode_wav
-    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
-    wav24 = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
-             + struct.pack("<I", len(fmt24)) + fmt24
-             + b"data" + struct.pack("<I", 6) + b"\x00" * 6)
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    wavf = (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+            + struct.pack("<I", len(fmtf)) + fmtf
+            + b"data" + struct.pack("<I", 8) + b"\x00" * 8)  # float PCM
     trunc_ppm = b"P6\n100 100\n255\n" + b"\x01" * 10   # raster too short
     good = encode_wav(np.zeros((80, 1), dtype=np.int16), 8000)
+    wav24 = encode_wav(np.zeros((80, 1), dtype=np.int16), 8000, bits=24)
     media = spark.createDataFrame(
-        [("w24", bytearray(wav24)), ("tp", bytearray(trunc_ppm)),
-         ("ok", bytearray(good))],
+        [("wf", bytearray(wavf)), ("tp", bytearray(trunc_ppm)),
+         ("ok", bytearray(good)), ("w24", bytearray(wav24))],
         "media_ref string, payload binary")
     meta = {m["media_ref"]: m for m in
             extract_media_metadata(media).collect()}
-    assert meta["w24"]["media_type"] == "audio/wav"
-    assert meta["w24"]["sample_rate"] is None   # stand-in path
-    assert meta["w24"]["width"] is not None
+    assert meta["wf"]["media_type"] == "audio/wav"
+    assert meta["wf"]["sample_rate"] is None    # stand-in path
+    assert meta["wf"]["width"] is not None
     assert meta["tp"]["media_type"] == "image/x-portable-pixmap"
     assert meta["ok"]["sample_rate"] == 8000 and \
         meta["ok"]["duration_ms"] == 10
+    assert meta["w24"]["sample_rate"] == 8000 and \
+        meta["w24"]["duration_ms"] == 10        # REAL since round 4
     feats = extract_media_features(media, dim=4).collect()
-    assert len(feats) == 3 and all(len(f["feature"]) == 4 for f in feats)
+    assert len(feats) == 4 and all(len(f["feature"]) == 4 for f in feats)
+
+
+def test_png_16bit_and_interlaced_decode():
+    # round 4: 16-bit (big-endian high byte) and Adam7 interlaced PNGs
+    # are REAL decodes that must agree with the plain 8-bit baseline
+    import numpy as np
+
+    from osmpbf_spark.operators.multimodal import decode_png, encode_png
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    # interlaced == non-interlaced, all filter paths already covered
+    assert (decode_png(encode_png(img, interlace=True)) == img).all()
+    # odd sizes stress the per-pass geometry (empty passes included)
+    for hw in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 16)]:
+        g = rng.integers(0, 256, (*hw, 1), dtype=np.uint8)
+        assert (decode_png(encode_png(g, interlace=True)) == g).all(), hw
+    # 16-bit: high byte comes back exactly
+    img16 = rng.integers(0, 65536, (9, 14, 3), dtype=np.uint16)
+    assert (decode_png(encode_png(img16)) == (img16 >> 8)).all()
+    assert (decode_png(encode_png(img16, interlace=True))
+            == (img16 >> 8)).all()
+    # 1-bit stays profiled (raise), 16-bit palette is illegal
+    import pytest as _pytest
+    low = bytearray(encode_png(img))
+    ihdr_at = low.index(b"IHDR")
+    low[ihdr_at + 12] = 1                      # bit depth byte
+    with _pytest.raises(ValueError):
+        decode_png(bytes(low))
+
+
+def test_wav_bit_depths_roundtrip():
+    import numpy as np
+
+    from osmpbf_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        wav_header,
+    )
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32768, 32768, (500, 2)).astype(np.int16)
+    for bits in (16, 24, 32):                  # exact round-trips
+        wav = encode_wav(s, 8000, bits=bits)
+        got, sr = decode_wav(wav)
+        assert sr == 8000 and (got == s).all(), bits
+        assert wav_header(wav) == (8000, 2, 62)
+    got8, _ = decode_wav(encode_wav(s, 8000, bits=8))
+    assert (got8 == (s.astype(np.int64) >> 8 << 8)).all()  # top byte
 
 
 def test_stream_sessionize_late_event_extends_backward(spark, tmp_path):
