@@ -11,12 +11,12 @@ the shape of the interleaved-documents media spans. Two tiers of codec:
   luminance-histogram / FFT-band feature extraction. No external
   libraries needed, so these paths are REAL and tested end-to-end
   (decode → resize → features → Arrow batch).
-* **Unsupported variants** (1/2/4-bit PNG, float/ADPCM WAV, unknown
-  containers) profile via a deterministic digest-derived stand-in
-  instead of failing the job. Round 4 made the previously-profiled
-  variants REAL decodes: progressive JPEG (SOF2, operators/jpeg.py,
-  T.81 Annex G), 16-bit and Adam7-interlaced PNG, and 8/24/32-bit
-  PCM WAV.
+* **Unsupported variants** (interlaced low-depth PNG, float/ADPCM WAV,
+  unknown containers) profile via a deterministic digest-derived
+  stand-in instead of failing the job. Round 4 made the
+  previously-profiled variants REAL decodes: progressive JPEG (SOF2,
+  operators/jpeg.py, T.81 Annex G), 16-bit / 1/2/4-bit / Adam7
+  interlaced PNG, and 8/24/32-bit PCM WAV.
 
 Scale notes: all operators are ``mapInArrow`` over pre-partitioned media
 rows — narrow, no shuffle; batch size bounded by
@@ -249,15 +249,18 @@ def png_header(p: bytes) -> tuple[int, int]:
     return w, h
 
 
-def _png_unfilter(raw: np.ndarray, w: int, h: int,
+def _png_unfilter(raw: np.ndarray, stride: int, h: int,
                   bpp: int) -> np.ndarray:
     """Per-row unfiltering of the five standard filters over filtered
     scanline BYTES (the spec filters bytes, with the left neighbour
-    ``bpp`` bytes back regardless of bit depth) → (h, w·bpp) int64.
-    None/Up/Sub rows are fully vectorized; Average/Paeth loop per
-    PIXEL (bytes vectorized) — the left-neighbour dependency is
-    sequential by spec."""
-    stride = w * bpp
+    ``bpp`` bytes back regardless of bit depth; for depths < 8 the
+    scanline is ``stride`` packed bytes and bpp = 1) → (h, stride)
+    int64. None/Up/Sub rows are fully vectorized; Average/Paeth loop
+    per PIXEL GROUP (bytes vectorized) — the left-neighbour dependency
+    is sequential by spec."""
+    if stride % bpp:
+        raise ValueError("PNG scanline stride not a bpp multiple")
+    w = stride // bpp
     raw = raw.reshape(h, stride + 1)
     filters = raw[:, 0]
     data = raw[:, 1:].astype(np.int64)
@@ -302,16 +305,17 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def decode_png(p: bytes) -> np.ndarray:
-    """8/16-bit, interlaced or not, PNG → (h, w, c) uint8, pure
-    stdlib+numpy (zlib inflate + per-row unfiltering; palette images
-    resolve through PLTE; Adam7 passes unfiltered independently and
-    scattered into the output grid; 16-bit samples reduce to their
-    high byte — exact ``floor(v/257.004…)`` 8-bit scaling for features,
-    deterministic). Covers PNG as written by virtually every encoder;
-    1/2/4-bit low-depth images still raise (profile fallback)."""
+    """PNG → (h, w, c) uint8 at every legal bit depth (1/2/4/8/16),
+    interlaced or not, pure stdlib+numpy (zlib inflate + per-row
+    unfiltering; palette images resolve through PLTE; Adam7 passes
+    unfiltered independently and scattered into the output grid;
+    16-bit samples reduce to their big-endian high byte; packed
+    low-depth rows unpack MSB-first with exact 255/(2^d−1) gray
+    scaling). The one remaining stand-in combination is interlaced
+    low-depth (bit-level scatter; rare — profile fallback)."""
     (w, h, bit_depth, color_type, _, _, interlace), palette, idat = \
         _png_chunks(p)
-    if bit_depth not in (8, 16):
+    if bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     if bit_depth == 16 and color_type == 3:
         raise ValueError("16-bit palette PNG is not legal")
@@ -320,11 +324,31 @@ def decode_png(p: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS.get(color_type)
     if ch is None or (color_type == 3 and palette is None):
         raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if bit_depth < 8:
+        # packed low-depth scanlines (grayscale masks, small-palette
+        # icons): spec restricts these to 1-channel color types; the
+        # filter left-neighbour is 1 byte. Adam7 + low depth would need
+        # bit-level scatter — rare enough to stay on the profile path.
+        if color_type not in (0, 3):
+            raise ValueError(f"depth {bit_depth} illegal for color "
+                             f"type {color_type}")
+        if interlace:
+            raise ValueError("interlaced low-depth PNG unsupported")
+        stride = (w * bit_depth + 7) // 8
+        out = _png_unfilter(raw, stride, h, 1)
+        bits = np.unpackbits(out.astype(np.uint8),
+                             axis=1)[:, :w * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        v = (bits.reshape(h, w, bit_depth) * weights).sum(axis=2)
+        if color_type == 3:
+            return palette[v]
+        scale = 255 // ((1 << bit_depth) - 1)   # exact: 255/85/17
+        return (v * scale).astype(np.uint8)[:, :, None]
     bps = bit_depth // 8
     bpp = ch * bps
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
-        out = _png_unfilter(raw, w, h, bpp)
+        out = _png_unfilter(raw, w * bpp, h, bpp)
     else:
         out = np.zeros((h, w * bpp), dtype=np.int64)
         pos = 0
@@ -334,7 +358,7 @@ def decode_png(p: bytes) -> np.ndarray:
             if wp <= 0 or hp <= 0:
                 continue                  # empty pass carries NO bytes
             n = hp * (wp * bpp + 1)
-            sub = _png_unfilter(raw[pos:pos + n], wp, hp, bpp)
+            sub = _png_unfilter(raw[pos:pos + n], wp * bpp, hp, bpp)
             pos += n
             for j in range(bpp):
                 out[y0::dy, x0 * bpp + j::dx * bpp] = sub[:, j::bpp]

@@ -340,13 +340,52 @@ def test_png_16bit_and_interlaced_decode():
     assert (decode_png(encode_png(img16)) == (img16 >> 8)).all()
     assert (decode_png(encode_png(img16, interlace=True))
             == (img16 >> 8)).all()
-    # 1-bit stays profiled (raise), 16-bit palette is illegal
+    # depth 1 on an RGB color type is an ILLEGAL combination → raises
     import pytest as _pytest
     low = bytearray(encode_png(img))
     ihdr_at = low.index(b"IHDR")
     low[ihdr_at + 12] = 1                      # bit depth byte
     with _pytest.raises(ValueError):
         decode_png(bytes(low))
+
+
+def test_png_low_depth_decode():
+    # 1/2/4-bit packed rows (masks, small-palette icons) are REAL
+    # decodes since round 4: MSB-first unpack, exact gray scaling,
+    # palette resolution
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from osmpbf_spark.operators.multimodal import decode_png
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+
+    def png(w, h, depth, ctype, rows, plte=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + (chunk(b"PLTE", plte) if plte else b"")
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    # 1-bit gray, 10 px wide (packed 2 bytes/row, 6 pad bits)
+    one = png(10, 2, 1, 0, [b"\xAD\x40", b"\x52\x80"])
+    got = decode_png(one)
+    assert got.shape == (2, 10, 1)
+    exp0 = [int(b) * 255 for b in "1010110101"]
+    assert list(got[0, :, 0]) == exp0
+    # 2-bit gray: values 0..3 scale by 85
+    two = png(3, 1, 2, 0, [bytes([0b00011011])])
+    assert list(decode_png(two)[0, :, 0]) == [0, 85, 170]
+    # 4-bit palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    four = png(3, 1, 4, 3, [bytes([0x01, 0x20])], plte)
+    assert [tuple(v) for v in decode_png(four)[0]] == \
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
 
 
 def test_wav_bit_depths_roundtrip():
