@@ -28,6 +28,8 @@ def hash_sample(df: DataFrame, key_col: str, m: int, *,
     (vary the hashed expression, e.g. ``hash_sample(df, "id", m)`` vs
     a salted key column) never correlate the way ``sample(seed=)``
     re-draws do."""
+    if m < 1:
+        raise ValueError(f"modulus m must be >= 1, got {m}")
     if not 0 <= r < m:
         raise ValueError(f"residue {r} outside [0, {m})")
     return df.filter(F.pmod(F.xxhash64(F.col(key_col)), F.lit(m))

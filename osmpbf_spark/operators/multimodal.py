@@ -172,8 +172,13 @@ def decode_wav(p: bytes) -> tuple[np.ndarray, int]:
     elif bits == 32:
         samples = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
     else:                                   # 24-bit little-endian
-        b = np.frombuffer(data, dtype=np.uint8)
-        b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+        if len(data) % 3:
+            # match 16/32-bit behaviour (np.frombuffer raises on a
+            # partial sample): a mid-sample truncation must profile via
+            # the stand-in, not yield REAL features from corrupt bytes
+            raise ValueError("WAV data chunk truncated mid-sample")
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3) \
+            .astype(np.int64)
         v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
         samples = ((v ^ 0x800000) - 0x800000) >> 8   # sign-extend, top 16
     samples = samples[:len(samples) - len(samples) % n_channels]
@@ -439,9 +444,9 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                 # HEADER-ONLY parses (no raster inflate / sample read) —
                 # the metadata pass over 100 TB of media must not pay a
                 # full decode per asset. A malformed or unsupported
-                # VARIANT (24-bit WAV, interlaced PNG, truncated bytes)
-                # must profile, not fail the job: fall back to the
-                # digest stand-in dimensions, keeping the sniffed type.
+                # VARIANT (float/ADPCM WAV, truncated bytes) must
+                # profile, not fail the job: fall back to the digest
+                # stand-in dimensions, keeping the sniffed type.
                 try:
                     if t.startswith("image/x-portable"):
                         w, h, _, _ = netpbm_header(p)

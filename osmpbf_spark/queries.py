@@ -924,8 +924,9 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
 
 
 def _multimodal_payloads():
-    """Deterministic media assets: a 6×4 P6 image, a 2000-sample stereo
-    PCM WAV, an opaque blob."""
+    """Deterministic media assets, one per codec tier: P6 netpbm, 8-bit
+    PNG, 16-bit Adam7-interlaced PNG, baseline JPEG, progressive 4:2:0
+    JPEG, 16-bit stereo PCM WAV, 24-bit mono PCM WAV, opaque blob."""
     import numpy as np
 
     from .operators.multimodal import (
