@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""spark-submit entry: end-to-end TRAINING-DATA CURATION over the
+interleaved documents table — the pipeline the engine's LLM-data tier
+exists for, wired into one resumable job:
+
+  1. exact dedup            (md5 groupBy, keep min doc_id)
+  2. near-dup dedup         (MinHash→LSH→connected components→keeper)
+  3. quality + language gate (stopword-marker langid, heuristic score)
+  4. token accounting       (whitespace + BPE-ish counts, per-doc)
+  5. media features         (real codecs via mapInArrow, if media given)
+  6. ANN index build        (k-means trainer → centroid-partitioned
+                             IVF store over the embeddings table)
+
+Cluster usage (north_rule delivery shape):
+
+    python tools/make_pyfiles.py            # → dist/osmpbf_spark.zip
+    spark-submit --py-files dist/osmpbf_spark.zip \\
+        jobs/curate_training_data_job.py \\
+        --documents s3://…/documents --embeddings s3://…/embeddings \\
+        --media s3://…/media --out s3://…/curated --resume
+
+Local smoke:
+
+    python jobs/curate_training_data_job.py \\
+        --documents /root/testdata/sf0.001/documents.parquet \\
+        --embeddings /root/testdata/sf0.001/embeddings.parquet \\
+        --out /tmp/curated
+
+Every stage writes to its own _SUCCESS-gated path and is skipped on
+--resume (parquet stand-in for Iceberg snapshot gating, same contract
+as jobs/decode_pip_job.py); per-stage row counts and drop rates are
+emitted as one JSON line. 100 TB notes embedded per stage: payloads
+anti-join small drop lists (never shuffle), signatures are frozen
+integer constants, the IVF build trains on a deterministic hash-sample
+and writes the full table once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--embeddings")
+    ap.add_argument("--media")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--keep-langs", default="",
+                    help="comma-separated language codes; empty = all")
+    ap.add_argument("--ivf-k", type=int, default=8)
+    ap.add_argument("--ivf-sample-mod", type=int, default=1,
+                    help="train centroids on hash_sample(id, m) — "
+                    "m=1 trains on everything (small-scale default)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.functions.sampling import hash_sample
+    from osmpbf_spark.functions.text import (
+        bpe_ish_token_count,
+        langid,
+        quality_score,
+        token_count,
+    )
+    from osmpbf_spark.operators.dedup import dedup_documents
+    from osmpbf_spark.session import ensure_workers_can_import
+
+    spark = SparkSession.builder.appName("osmpbf-curate").getOrCreate()
+    ensure_workers_can_import(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    metrics: dict = {}
+
+    docs = spark.read.parquet(args.documents)
+    # the interleaved-documents schema carries text inside spans; a flat
+    # text table (doc_id, text) passes through unchanged
+    if "spans" in docs.columns:
+        docs = (docs.select("doc_id", F.expr(
+            "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
+            " s -> s.text))").alias("text")))
+    metrics["input_docs"] = docs.count()
+
+    # 1+2) dedup: exact first (cheap hash shuffle), then transitive
+    # near-dup over the survivors — both anti-join a small drop list so
+    # document payloads never shuffle
+    dedup_path = os.path.join(args.out, "deduped")
+    if not (args.resume and _stage_done(dedup_path)):
+        t0 = time.time()
+        exact = dedup_documents(docs, method="exact")
+        near = dedup_documents(exact, method="minhash")
+        near.write.mode("overwrite").parquet(dedup_path)
+        metrics["dedup_sec"] = round(time.time() - t0, 2)
+    deduped = spark.read.parquet(dedup_path)
+    metrics["after_dedup"] = deduped.count()
+
+    # 3+4) language/quality gate + token accounting — row-local Catalyst
+    # built-ins (dual-rendered SQL), no Python in the hot path
+    curated_path = os.path.join(args.out, "curated")
+    if not (args.resume and _stage_done(curated_path)):
+        t0 = time.time()
+        prof = (deduped
+                .withColumn("lang", langid("text"))
+                .withColumn("quality", quality_score("text"))
+                .withColumn("n_tokens", token_count("text"))
+                .withColumn("n_bpe_tokens", bpe_ish_token_count("text")))
+        gated = prof.filter(F.col("quality") >= args.min_quality)
+        if args.keep_langs:
+            keep = [s.strip() for s in args.keep_langs.split(",") if s]
+            gated = gated.filter(F.col("lang").isin(keep))
+        gated.write.mode("overwrite").parquet(curated_path)
+        metrics["curate_sec"] = round(time.time() - t0, 2)
+    curated = spark.read.parquet(curated_path)
+    metrics["after_quality_gate"] = curated.count()
+    metrics["total_tokens"] = curated.agg(
+        F.sum("n_tokens")).collect()[0][0]
+
+    # 5) media features (real pure-numpy codecs through mapInArrow)
+    if args.media:
+        from osmpbf_spark.operators.multimodal import (
+            extract_media_features,
+            extract_media_metadata,
+        )
+        media_path = os.path.join(args.out, "media_features")
+        if not (args.resume and _stage_done(media_path)):
+            t0 = time.time()
+            media = spark.read.parquet(args.media)
+            meta = extract_media_metadata(media)
+            feats = extract_media_features(media, dim=16)
+            (meta.join(feats.select("media_ref", "feature", "n_frames"),
+                       "media_ref")
+             .write.mode("overwrite").parquet(media_path))
+            metrics["media_sec"] = round(time.time() - t0, 2)
+        metrics["media_rows"] = spark.read.parquet(media_path).count()
+
+    # 6) ANN index: deterministic k-means over a hash-sample, then ONE
+    # full pass writing the centroid-partitioned IVF store
+    if args.embeddings:
+        from osmpbf_spark.operators.knn import train_centroids
+        from osmpbf_spark.sources.store import write_ivf_store
+        ivf_path = os.path.join(args.out, "ivf")
+        cent_path = os.path.join(args.out, "centroids")
+        if not (args.resume and _stage_done(ivf_path)):
+            t0 = time.time()
+            emb = spark.read.parquet(args.embeddings)
+            sample = (hash_sample(emb, "vec_id", args.ivf_sample_mod)
+                      if args.ivf_sample_mod > 1 else emb)
+            cent = train_centroids(sample, args.ivf_k, iters=4)
+            cent.write.mode("overwrite").parquet(cent_path)
+            write_ivf_store(emb, cent, ivf_path)
+            metrics["ivf_sec"] = round(time.time() - t0, 2)
+        metrics["ivf_partitions"] = len(
+            [d for d in os.listdir(ivf_path) if d.startswith("cid=")]) \
+            if os.path.isdir(ivf_path) else None
+
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
