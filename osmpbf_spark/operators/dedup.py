@@ -124,13 +124,13 @@ def minhash_lsh_pairs(docs: DataFrame, *, k: int = 32, bands: int = 8,
                 .select(F.col(id_col), "sigs",
                         F.posexplode(F.expr(band_expr))
                         .alias("band", "band_val")))
-    # NOTE (measured, not shipped): both self-join sides recompute the
-    # shingle→permute→min pipeline. A persist() of bands_df wins ~15%
-    # at sf0.1 but leaks cache lifecycle to the caller, and an eager
-    # localCheckpoint (self-cleaning) gives the win back to write
-    # overhead and 2×'s the small-scale path — so recompute stands;
-    # revisit with persist at corpus scale where the sig pipeline
-    # dominates the checkpoint write.
+    # NOTE (verified r4): the static plan shows two full sig pipelines,
+    # but AQE inserts a ReusedExchange at runtime — the self-join's
+    # twin subtrees shuffle on identical (band, band_val) exchanges, so
+    # the shingle→permute→min pipeline executes ONCE. No persist needed
+    # (the r3-measured ~15% persist win predated checking the EXECUTED
+    # plan; an eager localCheckpoint 2×'d the small-scale path and was
+    # rejected). Plan-audited: exactly one ReusedExchange after AQE.
     left = bands_df.select(F.col(id_col).alias("doc_a"),
                            F.col("sigs").alias("sigs_a"), "band", "band_val")
     right = bands_df.select(F.col(id_col).alias("doc_b"),

@@ -277,3 +277,17 @@ def test_build_ivf_store_trains_and_serves(spark, tmp_path):
                 build_ivf_store(emb, 4, str(tmp_path / "ivf2"),
                                 iters=2).collect())
     assert c1 == c2
+
+
+def test_minhash_self_join_reuses_exchange(spark):
+    # scale audit (r4): the LSH band self-join's twin signature
+    # pipelines must collapse to ONE execution via AQE's ReusedExchange
+    # (identical (band, band_val) exchanges) — a regression here doubles
+    # the dominant shingle→permute→min cost at corpus scale
+    from osmpbf_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    df = minhash_lsh_pairs(docs)
+    df.collect()                      # AQE finalizes at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
