@@ -32,3 +32,44 @@ def test_curate_training_data_job_end_to_end(tmp_path):
     assert "dedup_sec" not in m2 and "ivf_sec" not in m2   # all skipped
     assert m2["after_dedup"] == 476
     assert m2["after_quality_gate"] == m1["after_quality_gate"]
+
+
+def test_curate_job_accepts_interleaved_spans_schema(spark, tmp_path):
+    # the north_rule input_hint shape: (doc_id, spans array<struct<
+    # kind,text,media_ref,offset>>) — the job flattens text spans per
+    # doc before curating
+    from pyspark.sql import Row
+    rows = [
+        Row(doc_id="d1", spans=[
+            Row(kind="text", text="the quick brown fox jumps over the "
+                "lazy dog and keeps on running", media_ref=None, offset=0),
+            Row(kind="image", text=None, media_ref="m://x", offset=1),
+            Row(kind="text", text="a second sentence with more of the "
+                "usual english words in it", media_ref=None, offset=2)]),
+        Row(doc_id="d2", spans=[
+            Row(kind="text", text="the quick brown fox jumps over the "
+                "lazy dog and keeps on running", media_ref=None, offset=0),
+            Row(kind="image", text=None, media_ref="m://y", offset=1),
+            Row(kind="text", text="a second sentence with more of the "
+                "usual english words in it", media_ref=None, offset=2)]),
+        Row(doc_id="d3", spans=[
+            Row(kind="text", text="something else entirely written here "
+                "that is unlike the other documents in this set and long "
+                "enough to pass the quality gate with normal words",
+                media_ref=None, offset=0)]),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind string, "
+        "text string, media_ref string, offset int>>") \
+        .write.parquet(src)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate_training_data_job.py",
+         "--documents", src, "--out", out],
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    # d1/d2 flatten to IDENTICAL text (media spans ignored) → exact
+    # dedup keeps one; d3 survives
+    assert m["input_docs"] == 3 and m["after_dedup"] == 2
