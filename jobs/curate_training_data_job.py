@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--max-repetition", type=float, default=0.5,
+                    help="drop docs whose repeated-bigram fraction "
+                    "exceeds this (Gopher-style boilerplate gate)")
     ap.add_argument("--keep-langs", default="",
                     help="comma-separated language codes; empty = all")
     ap.add_argument("--ivf-k", type=int, default=8)
@@ -74,6 +77,7 @@ def main():
         bpe_ish_token_count,
         langid,
         quality_score,
+        repetition_ratio,
         token_count,
     )
     from osmpbf_spark.operators.dedup import dedup_documents
@@ -114,9 +118,12 @@ def main():
         prof = (deduped
                 .withColumn("lang", langid("text"))
                 .withColumn("quality", quality_score("text"))
+                .withColumn("rep_bigram", repetition_ratio("text"))
                 .withColumn("n_tokens", token_count("text"))
                 .withColumn("n_bpe_tokens", bpe_ish_token_count("text")))
-        gated = prof.filter(F.col("quality") >= args.min_quality)
+        gated = prof.filter(
+            (F.col("quality") >= args.min_quality)
+            & (F.col("rep_bigram") <= args.max_repetition))
         if args.keep_langs:
             keep = [s.strip() for s in args.keep_langs.split(",") if s]
             gated = gated.filter(F.col("lang").isin(keep))

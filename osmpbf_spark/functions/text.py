@@ -140,6 +140,29 @@ def shingles_sql(expr: str, n: int, dialect: str = "spark") -> str:
             f"FOR i IN range(1, GREATEST(len({toks}) - {n - 1}, 0) + 1)]")
 
 
+def repetition_ratio_sql(expr: str, dialect: str = "spark") -> str:
+    """Gopher-style within-document repetition signal: the fraction of
+    token BIGRAMS that are repeats, ``1 − distinct(bigrams)/bigrams``
+    (0.0 for docs under 2 tokens). High values flag boilerplate /
+    degenerate generations that the quality score's stopword/length
+    bands miss. One arithmetic definition rendered to both engines;
+    quantized via ``FLOOR(v·10⁴ + 0.5)/10⁴`` rather than ROUND — ratios
+    are small rationals, and a dyadic value like 1/32 = 0.03125 is an
+    EXACT 4-decimal tie where half-up (Spark) and half-even diverge."""
+    bg = shingles_sql(expr, 2, dialect)
+    if dialect == "spark":
+        n, d = f"size({bg})", f"size(array_distinct({bg}))"
+    else:
+        n, d = f"len({bg})", f"len(list_distinct({bg}))"
+    return (f"CASE WHEN {n} < 1 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE FLOOR((1.0 - {d} / CAST({n} AS DOUBLE)) * 10000 "
+            f"+ 0.5) / 10000 END")
+
+
+def repetition_ratio(text_col: str) -> Column:
+    return F.expr(repetition_ratio_sql(text_col, "spark"))
+
+
 def char_ngrams_sql(expr: str, n: int, dialect: str = "spark") -> str:
     """Character n-gram set (distinct) for Jaccard similarity."""
     if dialect == "spark":

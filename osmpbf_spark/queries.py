@@ -22,6 +22,7 @@ from .functions.text import (
     langid_sql,
     poly_hash_sql,
     quality_score_sql,
+    repetition_ratio_sql,
     tokens_sql,
 )
 from .operators.dedup import exact_dups, minhash_lsh_pairs, simhash
@@ -658,19 +659,24 @@ SELECT doc_id,
        {poly_hash_sql('text', 'duckdb')} AS fingerprint,
        len({tokens_sql('text', 'duckdb')}) AS n_tokens,
        {quality_score_sql('text', 'duckdb')} AS quality,
-       {langid_sql('text', 'duckdb')} AS lang_guess
+       {langid_sql('text', 'duckdb')} AS lang_guess,
+       {repetition_ratio_sql('text', 'duckdb')} AS rep_bigram
 FROM documents
 """)
 def q_doc_profile(spark, sf_dir):
-    """Fingerprint + token count + quality score + language ID in one
-    narrow pass (all dual-rendered Catalyst built-ins)."""
+    """Fingerprint + token count + quality score + language ID +
+    repetition ratio in one narrow pass (all dual-rendered Catalyst
+    built-ins; r4 adds the Gopher-style repeated-bigram fraction —
+    the boilerplate/degenerate-text signal quality bands miss)."""
     return (_load(spark, sf_dir, "documents")
             .select("doc_id",
                     F.expr(poly_hash_sql("text")).alias("fingerprint"),
                     F.expr(f"CAST(size({tokens_sql('text')}) AS BIGINT)")
                     .alias("n_tokens"),
                     F.expr(quality_score_sql("text")).alias("quality"),
-                    F.expr(langid_sql("text")).alias("lang_guess")))
+                    F.expr(langid_sql("text")).alias("lang_guess"),
+                    F.expr(repetition_ratio_sql("text"))
+                    .alias("rep_bigram")))
 
 
 _MINHASH_K = 16

@@ -294,3 +294,38 @@ def test_hash_sample_deterministic_and_disjoint(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_sample(df1, "k", 10, r=10)
+
+
+def test_repetition_ratio_parity_and_tie_case(spark):
+    # Gopher-style repeated-bigram fraction: dual-rendered parity incl.
+    # the dyadic 4-decimal tie (33 tokens of one word → 32 bigrams, 1
+    # distinct → ratio 31/32; and 1/32-class values hit exact ties where
+    # ROUND half-up vs half-even diverge — the FLOOR form must agree)
+    import duckdb
+
+    from osmpbf_spark.functions.text import (
+        repetition_ratio,
+        repetition_ratio_sql,
+    )
+    docs = [
+        ("deg", " ".join(["spam"] * 33)),          # 32 bigrams, 1 distinct
+        ("tie", " ".join(f"w{i}" for i in range(32)) + " w0 w1"),
+        ("norm", "the quick brown fox jumps over the lazy dog"),
+        ("one", "single"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r["rep"] for r in
+           df.select("doc_id",
+                     repetition_ratio("text").alias("rep")).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    want = dict(con.sql(
+        "SELECT doc_id, "
+        + repetition_ratio_sql("text", "duckdb") + " FROM t").fetchall())
+    assert got == want
+    assert got["deg"] == 0.9688                    # 31/32 floor-quantized
+    assert got["norm"] == 0.0
+    assert got["one"] == 0.0 and got["empty"] == 0.0
+    assert 0.0 < got["tie"] < 0.1
