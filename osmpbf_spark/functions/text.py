@@ -149,10 +149,21 @@ def repetition_ratio_sql(expr: str, dialect: str = "spark") -> str:
     quantized via ``FLOOR(v·10⁴ + 0.5)/10⁴`` rather than ROUND — ratios
     are small rationals, and a dyadic value like 1/32 = 0.03125 is an
     EXACT 4-decimal tie where half-up (Spark) and half-even diverge."""
-    bg = shingles_sql(expr, 2, dialect)
+    toks = tokens_sql(expr, dialect)
     if dialect == "spark":
+        # zip_with over two slices, NOT shingles_sql's per-index
+        # transform+slice: that form re-evaluates an O(n) slice per
+        # element (O(n²) interpreted — measured 8× on doc_profile at
+        # sf0.1); the two slices here evaluate once each
+        n1 = f"GREATEST(size({toks}) - 1, 0)"
+        bg = (f"zip_with(slice({toks}, 1, {n1}), "
+              f"slice({toks}, 2, {n1}), (a, b) -> concat(a, ' ', b))")
         n, d = f"size({bg})", f"size(array_distinct({bg}))"
     else:
+        n1 = f"GREATEST(len({toks}) - 1, 0)"
+        bg = (f"[x[1] || ' ' || x[2] FOR x IN "
+              f"list_zip(list_slice({toks}, 1, {n1}), "
+              f"list_slice({toks}, 2, {n1} + 1))]")
         n, d = f"len({bg})", f"len(list_distinct({bg}))"
     return (f"CASE WHEN {n} < 1 THEN CAST(0.0 AS DOUBLE) "
             f"ELSE FLOOR((1.0 - {d} / CAST({n} AS DOUBLE)) * 10000 "
