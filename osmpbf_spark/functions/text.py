@@ -165,9 +165,14 @@ def repetition_ratio_sql(expr: str, dialect: str = "spark") -> str:
               f"list_zip(list_slice({toks}, 1, {n1}), "
               f"list_slice({toks}, 2, {n1} + 1))]")
         n, d = f"len({bg})", f"len(list_distinct({bg}))"
-    return (f"CASE WHEN {n} < 1 THEN CAST(0.0 AS DOUBLE) "
-            f"ELSE FLOOR((1.0 - {d} / CAST({n} AS DOUBLE)) * 10000 "
-            f"+ 0.5) / 10000 END")
+    # guard INVERTED on purpose (code-review r4): on NULL text Spark's
+    # size() is NULL, so `n < 1` is unknown and the ELSE branch would
+    # return NULL while DuckDB's comprehension yields [] → 0.0; with
+    # `n >= 1 THEN ratio ELSE 0.0`, a NULL n falls to 0.0 in BOTH
+    # engines, matching the documented under-2-tokens semantics
+    return (f"CASE WHEN {n} >= 1 "
+            f"THEN FLOOR((1.0 - {d} / CAST({n} AS DOUBLE)) * 10000 "
+            f"+ 0.5) / 10000 ELSE CAST(0.0 AS DOUBLE) END")
 
 
 def repetition_ratio(text_col: str) -> Column:

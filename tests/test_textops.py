@@ -309,10 +309,13 @@ def test_repetition_ratio_parity_and_tie_case(spark):
     )
     docs = [
         ("deg", " ".join(["spam"] * 33)),          # 32 bigrams, 1 distinct
-        ("tie", " ".join(f"w{i}" for i in range(32)) + " w0 w1"),
+        # 33 tokens → 32 bigrams, 31 distinct → 1/32 = 0.03125: ×10⁴ is
+        # the EXACT .5 tie where half-up vs half-even diverge
+        ("tie", " ".join(f"w{i}" for i in range(31)) + " w0 w1"),
         ("norm", "the quick brown fox jumps over the lazy dog"),
         ("one", "single"),
         ("empty", ""),
+        ("nul", None),                             # NULL text → 0.0 BOTH
     ]
     df = spark.createDataFrame(docs, "doc_id string, text string")
     got = {r["doc_id"]: r["rep"] for r in
@@ -328,4 +331,5 @@ def test_repetition_ratio_parity_and_tie_case(spark):
     assert got["deg"] == 0.9688                    # 31/32 floor-quantized
     assert got["norm"] == 0.0
     assert got["one"] == 0.0 and got["empty"] == 0.0
-    assert 0.0 < got["tie"] < 0.1
+    assert got["tie"] == 0.0313                    # 1/32 tie, half-up
+    assert got["nul"] == 0.0                       # not NULL (3VL guard)
