@@ -642,3 +642,31 @@ def test_stage_stream_source_repairs_dangling_symlink(spark):
     assert os.readlink(link) == src and os.path.exists(link)
     n = spark.read.schema(schema).parquet(d).count()
     assert n == spark.read.parquet(src).count() and n > 0
+
+
+def test_png_property_roundtrip():
+    # property: any geometry × channels × depth × interlace round-trips
+    # exactly (8-bit) or to the big-endian high byte (16-bit)
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osmpbf_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(h=st.integers(1, 24), w=st.integers(1, 24),
+           ch=st.sampled_from([1, 2, 3, 4]),
+           depth16=st.booleans(), inter=st.booleans(),
+           seed=st.integers(0, 2**31 - 1))
+    def case(h, w, ch, depth16, inter, seed):
+        rng = np.random.default_rng(seed)
+        if depth16:
+            img = rng.integers(0, 65536, (h, w, ch), dtype=np.uint16)
+            want = (img >> 8).astype(np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            want = img
+        got = decode_png(encode_png(img, interlace=inter))
+        assert got.shape == want.shape and (got == want).all()
+
+    case()
