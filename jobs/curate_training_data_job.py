@@ -46,8 +46,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _stage_done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+def _stage_done(path: str, params: dict | None = None) -> bool:
+    """A stage is reusable on --resume iff its _SUCCESS marker exists
+    AND its parameter sidecar matches the current invocation (ADVICE
+    r4: _SUCCESS alone let a re-run with different gate thresholds
+    silently return stale outputs from the old thresholds)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    if params is None:
+        return True
+    try:
+        with open(_params_sidecar(path)) as f:
+            return json.load(f) == params
+    except (OSError, ValueError):
+        return False
+
+
+def _params_sidecar(path: str) -> str:
+    return path.rstrip("/") + ".params.json"
+
+
+def _write_params(path: str, params: dict | None) -> None:
+    if params is not None:
+        with open(_params_sidecar(path), "w") as f:
+            json.dump(params, f, sort_keys=True)
 
 
 def main():
@@ -63,6 +85,10 @@ def main():
                     "exceeds this (Gopher-style boilerplate gate)")
     ap.add_argument("--keep-langs", default="",
                     help="comma-separated language codes; empty = all")
+    ap.add_argument("--lsh-max-bucket", type=int, default=10_000,
+                    help="degenerate-LSH-bucket cap (representatives "
+                    "per band bucket); overflowing buckets are skipped "
+                    "and reported as lsh_overflow_buckets")
     ap.add_argument("--ivf-k", type=int, default=8)
     ap.add_argument("--ivf-sample-mod", type=int, default=1,
                     help="train centroids on hash_sample(id, m) — "
@@ -80,7 +106,10 @@ def main():
         repetition_ratio,
         token_count,
     )
-    from osmpbf_spark.operators.dedup import dedup_documents
+    from osmpbf_spark.operators.dedup import (
+        dedup_documents,
+        minhash_bucket_overflow,
+    )
     from osmpbf_spark.session import ensure_workers_can_import
 
     spark = SparkSession.builder.appName("osmpbf-curate").getOrCreate()
@@ -101,19 +130,31 @@ def main():
     # near-dup over the survivors — both anti-join a small drop list so
     # document payloads never shuffle
     dedup_path = os.path.join(args.out, "deduped")
-    if not (args.resume and _stage_done(dedup_path)):
+    dedup_params = {"lsh_max_bucket": args.lsh_max_bucket}
+    if not (args.resume and _stage_done(dedup_path, dedup_params)):
         t0 = time.time()
         exact = dedup_documents(docs, method="exact")
-        near = dedup_documents(exact, method="minhash")
+        near = dedup_documents(exact, method="minhash",
+                               max_bucket=args.lsh_max_bucket)
         near.write.mode("overwrite").parquet(dedup_path)
+        _write_params(dedup_path, dedup_params)
         metrics["dedup_sec"] = round(time.time() - t0, 2)
+        # loud degenerate-bucket audit (VERDICT r4 #1): buckets the cap
+        # excluded from pairing — non-zero means near-identical
+        # templates blew past signature-group compression and some
+        # near-dups may have survived dedup
+        metrics["lsh_overflow_buckets"] = minhash_bucket_overflow(
+            exact, max_bucket=args.lsh_max_bucket).count()
     deduped = spark.read.parquet(dedup_path)
     metrics["after_dedup"] = deduped.count()
 
     # 3+4) language/quality gate + token accounting — row-local Catalyst
     # built-ins (dual-rendered SQL), no Python in the hot path
     curated_path = os.path.join(args.out, "curated")
-    if not (args.resume and _stage_done(curated_path)):
+    gate_params = {"min_quality": args.min_quality,
+                   "max_repetition": args.max_repetition,
+                   "keep_langs": args.keep_langs}
+    if not (args.resume and _stage_done(curated_path, gate_params)):
         t0 = time.time()
         prof = (deduped
                 .withColumn("lang", langid("text"))
@@ -128,6 +169,7 @@ def main():
             keep = [s.strip() for s in args.keep_langs.split(",") if s]
             gated = gated.filter(F.col("lang").isin(keep))
         gated.write.mode("overwrite").parquet(curated_path)
+        _write_params(curated_path, gate_params)
         metrics["curate_sec"] = round(time.time() - t0, 2)
     curated = spark.read.parquet(curated_path)
     metrics["after_quality_gate"] = curated.count()
@@ -159,7 +201,9 @@ def main():
         from osmpbf_spark.sources.store import write_ivf_store
         ivf_path = os.path.join(args.out, "ivf")
         cent_path = os.path.join(args.out, "centroids")
-        if not (args.resume and _stage_done(ivf_path)):
+        ivf_params = {"ivf_k": args.ivf_k,
+                      "ivf_sample_mod": args.ivf_sample_mod}
+        if not (args.resume and _stage_done(ivf_path, ivf_params)):
             t0 = time.time()
             emb = spark.read.parquet(args.embeddings)
             sample = (hash_sample(emb, "vec_id", args.ivf_sample_mod)
@@ -167,6 +211,7 @@ def main():
             cent = train_centroids(sample, args.ivf_k, iters=4)
             cent.write.mode("overwrite").parquet(cent_path)
             write_ivf_store(emb, cent, ivf_path)
+            _write_params(ivf_path, ivf_params)
             metrics["ivf_sec"] = round(time.time() - t0, 2)
         metrics["ivf_partitions"] = len(
             [d for d in os.listdir(ivf_path) if d.startswith("cid=")]) \

@@ -401,39 +401,43 @@ def train_centroids(vectors: DataFrame, k: int, *, iters: int = 4,
         .persist())
     h = (F.pmod(F.col("vid").cast("long"), F.lit(KMEANS_HASH_INMOD))
          * F.lit(KMEANS_HASH_MULT)) % F.lit(KMEANS_HASH_OUTMOD)
-    init = (v.withColumn("h", h)
-            .orderBy("h", "vid").limit(k)           # TakeOrdered, no sort
-            .collect())
-    if len(init) < k:
+    try:
+        # ADVICE r4: the whole init + Lloyd loop sits in try/finally so
+        # an analysis error or cancelled job mid-iteration cannot leak
+        # the persisted vector frame
+        init = (v.withColumn("h", h)
+                .orderBy("h", "vid").limit(k)       # TakeOrdered, no sort
+                .collect())
+        if len(init) < k:
+            raise ValueError(f"k={k} exceeds the {len(init)} input vectors")
+        cents = [list(r["v"]) for r in
+                 sorted(init, key=lambda r: (r["h"], r["vid"]))]
+        dims = {len(c) for c in cents}
+        if len(dims) != 1:
+            raise ValueError(f"ragged embedding dims {sorted(dims)}")
+        win = Window.partitionBy("vid").orderBy("d2", "cid")
+        for _ in range(iters):
+            cdf = F.broadcast(spark.createDataFrame(
+                list(enumerate(cents)), "cid int, cvec array<double>"))
+            assign = (v.join(cdf)
+                      .withColumn("d2", _dec_dist2_arrays("v", "cvec"))
+                      .withColumn("rn", F.row_number().over(win))
+                      .filter(F.col("rn") == 1)
+                      .select("cid", "v"))
+            means = (assign
+                     .select("cid", F.posexplode("v").alias("dim", "val"))
+                     .groupBy("cid", "dim")
+                     .agg((F.sum(F.col("val").cast("decimal(38,18)"))
+                           .cast("double") / F.count("*")).alias("m"))
+                     .collect())
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+            cents = [[by_cid[i][d] for d in range(len(cents[i]))]
+                     if i in by_cid else cents[i]
+                     for i in range(k)]
+    finally:
         v.unpersist()
-        raise ValueError(f"k={k} exceeds the {len(init)} input vectors")
-    cents = [list(r["v"]) for r in
-             sorted(init, key=lambda r: (r["h"], r["vid"]))]
-    dims = {len(c) for c in cents}
-    if len(dims) != 1:
-        v.unpersist()
-        raise ValueError(f"ragged embedding dims {sorted(dims)}")
-    win = Window.partitionBy("vid").orderBy("d2", "cid")
-    for _ in range(iters):
-        cdf = F.broadcast(spark.createDataFrame(
-            list(enumerate(cents)), "cid int, cvec array<double>"))
-        assign = (v.join(cdf)
-                  .withColumn("d2", _dec_dist2_arrays("v", "cvec"))
-                  .withColumn("rn", F.row_number().over(win))
-                  .filter(F.col("rn") == 1)
-                  .select("cid", "v"))
-        means = (assign.select("cid", F.posexplode("v").alias("dim", "val"))
-                 .groupBy("cid", "dim")
-                 .agg((F.sum(F.col("val").cast("decimal(38,18)"))
-                       .cast("double") / F.count("*")).alias("m"))
-                 .collect())
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
-        cents = [[by_cid[i][d] for d in range(len(cents[i]))]
-                 if i in by_cid else cents[i]
-                 for i in range(k)]
-    v.unpersist()
     return spark.createDataFrame(list(enumerate(cents)),
                                  "cid int, cvec array<double>")
 

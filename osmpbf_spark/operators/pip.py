@@ -26,6 +26,8 @@ splitting from the session config).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -238,6 +240,10 @@ def point_in_ring_expr(px: str, py: str):
 
 _COVER_CACHE: list[tuple[DataFrame, int, object, DataFrame]] = []
 _COVER_CACHE_MAX = 16
+# ADVICE r4: probe/insert/evict race under multi-threaded drivers (a
+# legitimate Spark pattern for concurrent job submission); the lock
+# costs ns against the ~0.45 s cover build it guards
+_COVER_CACHE_LOCK = threading.Lock()
 
 
 def cover_for(polygons: DataFrame, res: int = GRID_RES_FINE, *,
@@ -261,30 +267,36 @@ def cover_for(polygons: DataFrame, res: int = GRID_RES_FINE, *,
     contract, so that is a few KB of executor memory per
     actually-reused set. Entries from stopped sessions are evicted;
     FIFO-capped at ``_COVER_CACHE_MAX`` sets."""
-    for i in range(len(_COVER_CACHE) - 1, -1, -1):
-        entry = _COVER_CACHE[i]
-        p, r, t, c = entry[0], entry[1], entry[2], entry[3]
-        try:
-            if p.sparkSession._sc._jsc is None:      # stopped session
-                _COVER_CACHE.pop(i)                  # (code-review r4:
-                continue                             # probe, don't wait
-        except Exception:                            # for an exception)
-            _COVER_CACHE.pop(i)
-            continue
-        if r == res and t == tight and p is polygons:
-            if not entry[4]:
-                c.persist()
-                entry[4] = True
-            return c
+    with _COVER_CACHE_LOCK:
+        for i in range(len(_COVER_CACHE) - 1, -1, -1):
+            entry = _COVER_CACHE[i]
+            p, r, t, c = entry[0], entry[1], entry[2], entry[3]
+            try:
+                if p.sparkSession._sc._jsc is None:  # stopped session
+                    _COVER_CACHE.pop(i)              # (code-review r4:
+                    continue                         # probe, don't wait
+            except Exception:                        # for an exception)
+                _COVER_CACHE.pop(i)
+                continue
+            if r == res and t == tight and p is polygons:
+                if not entry[4]:
+                    c.persist()
+                    entry[4] = True
+                return c
+    # build OUTSIDE the lock — the ~0.45 s cover build (and tight="auto"
+    # probe action) must not serialize concurrent joins on distinct
+    # polygon sets; a racing duplicate build is benign (both entries
+    # land, unpersisted-until-hit, FIFO-evicted later)
     cover = polygon_cover(split_antimeridian(polygons), res, tight=tight)
-    _COVER_CACHE.append([polygons, res, tight, cover, False])
-    while len(_COVER_CACHE) > _COVER_CACHE_MAX:
-        old = _COVER_CACHE.pop(0)
-        try:
-            if old[4]:
-                old[3].unpersist()
-        except Exception:
-            pass
+    with _COVER_CACHE_LOCK:
+        _COVER_CACHE.append([polygons, res, tight, cover, False])
+        while len(_COVER_CACHE) > _COVER_CACHE_MAX:
+            old = _COVER_CACHE.pop(0)
+            try:
+                if old[4]:
+                    old[3].unpersist()
+            except Exception:
+                pass
     return cover
 
 

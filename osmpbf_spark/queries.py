@@ -1176,6 +1176,11 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+# per-process cache of staging dirs (src path → mkdtemp dir); see
+# _stage_stream_source for why these are private mkdtemp dirs
+_STREAM_STAGE_DIRS: dict = {}
+
+
 def _stage_stream_source(spark, sf_dir, table="events"):
     """The file source needs a DIRECTORY; expose the single read-only
     parquet file through a symlink dir under /tmp → (dir, schema).
@@ -1184,15 +1189,21 @@ def _stage_stream_source(spark, sf_dir, table="events"):
     stale or dangling symlink (source remounted, partial tmp cleanup)
     would make readStream list ZERO files and the availableNow query
     terminate "normally" with an empty result, failing the driver hash
-    gate silently. Validate the link target and recreate atomically."""
-    import hashlib
+    gate silently. Validate the link target and recreate atomically.
+
+    ADVICE r4: the directory itself comes from tempfile.mkdtemp (mode
+    0700, unpredictable name, cached per-process) — a fixed
+    world-writable /tmp name could be pre-created or symlink-squatted
+    by another local user on a shared host."""
     import os
+    import tempfile
 
     schema = spark.read.parquet(_t(sf_dir, table)).schema
     src = os.path.abspath(_t(sf_dir, table))
-    d = os.path.join("/tmp", "stream_src_"
-                     + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(d, exist_ok=True)
+    d = _STREAM_STAGE_DIRS.get(src)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        _STREAM_STAGE_DIRS[src] = d
     link = os.path.join(d, f"{table}.parquet")
     ok = (os.path.lexists(link) and os.path.islink(link)
           and os.readlink(link) == src and os.path.exists(link))

@@ -73,3 +73,27 @@ def test_curate_job_accepts_interleaved_spans_schema(spark, tmp_path):
     # d1/d2 flatten to IDENTICAL text (media spans ignored) → exact
     # dedup keeps one; d3 survives
     assert m["input_docs"] == 3 and m["after_dedup"] == 2
+
+
+def test_stage_params_sidecar(tmp_path):
+    """ADVICE r4: --resume must NOT reuse a stage written under
+    different gate parameters — _stage_done matches the sidecar."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from curate_training_data_job import (
+        _stage_done,
+        _write_params,
+    )
+    stage = tmp_path / "curated"
+    stage.mkdir()
+    (stage / "_SUCCESS").touch()
+    params = {"min_quality": 0.2, "keep_langs": ""}
+    # no sidecar yet: parameterless check passes, parameterized fails
+    assert _stage_done(str(stage))
+    assert not _stage_done(str(stage), params)
+    _write_params(str(stage), params)
+    assert _stage_done(str(stage), params)
+    # changed threshold → stale, must re-run
+    assert not _stage_done(str(stage), {**params, "min_quality": 0.5})
+    # corrupt sidecar → treated as stale, not an exception
+    (stage / "..").joinpath("curated.params.json").write_text("{oops")
+    assert not _stage_done(str(stage), params)

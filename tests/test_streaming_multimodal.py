@@ -621,24 +621,27 @@ def test_stream_dedup_within_watermark_drops_near_reemits_far(spark, tmp_path):
 
 
 def test_stage_stream_source_repairs_dangling_symlink(spark):
-    # code-review r4: a stale/dangling /tmp symlink must be repaired,
-    # not silently reused — a dangling link makes readStream list zero
-    # files and the query "succeed" with an empty result
-    import hashlib
+    # code-review r4: a stale/dangling symlink must be repaired, not
+    # silently reused — a dangling link makes readStream list zero
+    # files and the query "succeed" with an empty result. ADVICE r4:
+    # the staging dir itself is now a per-process mkdtemp (0700,
+    # unpredictable) cached in _STREAM_STAGE_DIRS, not a fixed /tmp
+    # name — seed the cache to exercise the repair path.
     import os
+    import stat
 
-    from osmpbf_spark.queries import _stage_stream_source, _t
+    from osmpbf_spark import queries as Q
     sf = "/root/testdata/sf0.001"
-    src = os.path.abspath(_t(sf, "events"))
-    d = os.path.join("/tmp", "stream_src_"
-                     + hashlib.md5(src.encode()).hexdigest()[:8])
-    os.makedirs(d, exist_ok=True)
+    src = os.path.abspath(Q._t(sf, "events"))
+    d, schema = Q._stage_stream_source(spark, sf)
+    assert Q._STREAM_STAGE_DIRS[src] == d
+    mode = stat.S_IMODE(os.stat(d).st_mode)
+    assert mode == 0o700, f"staging dir must be private, got {oct(mode)}"
     link = os.path.join(d, "events.parquet")
-    if os.path.lexists(link):
-        os.unlink(link)
+    os.unlink(link)
     os.symlink("/nonexistent/elsewhere.parquet", link)   # dangling+wrong
-    d2, schema = _stage_stream_source(spark, sf)
-    assert d2 == d
+    d2, schema = Q._stage_stream_source(spark, sf)
+    assert d2 == d          # cached dir reused, link repaired in place
     assert os.readlink(link) == src and os.path.exists(link)
     n = spark.read.schema(schema).parquet(d).count()
     assert n == spark.read.parquet(src).count() and n > 0
