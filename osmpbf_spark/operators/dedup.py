@@ -272,6 +272,38 @@ def minhash_bucket_overflow(docs: DataFrame, *, k: int = 32,
                            ["band", "band_val"], max_bucket)
 
 
+def _expand_rep_pairs(rp: DataFrame, mem: DataFrame, reps: DataFrame,
+                      *, id_col: str, threshold: float) -> DataFrame:
+    """Expand representative-level pairs (grp_a, grp_b, est_jaccard)
+    to document-level (doc_a, doc_b, est_jaccard): ONE symmetric
+    group-pair relation feeds a single expansion join chain — both
+    directions of every rep pair, plus the diagonal (g, g) for
+    multi-member groups, whose pairwise est_jaccard is exactly 1.0
+    (k/k, the same double the zip_with produces on identical arrays).
+    After joining members on each side, doc_a < doc_b keeps exactly one
+    orientation per unordered pair. The member table shuffles once on
+    grp_id and is reused for both sides. Shared by
+    :func:`minhash_lsh_pairs` and the at-rest store probe
+    (``sources/store.lsh_store_pairs``)."""
+    diag = reps.filter(F.col("grp_n") > 1).select(
+        F.col("grp_id").alias("ga"), F.col("grp_id").alias("gb"),
+        F.lit(1.0).alias("est_jaccard"))
+    rp_sym = (rp.select(F.col("grp_a").alias("ga"),
+                        F.col("grp_b").alias("gb"), "est_jaccard")
+              .unionByName(rp.select(F.col("grp_b").alias("ga"),
+                                     F.col("grp_a").alias("gb"),
+                                     "est_jaccard"))
+              .unionByName(diag))
+    return (rp_sym
+            .join(mem.select(F.col(id_col).alias("doc_a"),
+                             F.col("grp_id").alias("ga")), "ga")
+            .join(mem.select(F.col(id_col).alias("doc_b"),
+                             F.col("grp_id").alias("gb")), "gb")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "est_jaccard")
+            .filter(F.col("est_jaccard") >= threshold))
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, k: int = 32, bands: int = 8,
                       shingle_n: int = 3, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -300,32 +332,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, k: int = 32, bands: int = 8,
                             text_col=text_col, id_col=id_col)
     rp = _rep_band_pairs(reps, k=k, bands=bands, threshold=threshold,
                          max_bucket=max_bucket)
-    # ONE symmetric group-pair relation feeds a single expansion join
-    # chain: both directions of every rep pair, plus the diagonal
-    # (g, g) for multi-member groups — whose pairwise est_jaccard is
-    # exactly 1.0 (k/k, the same double the zip_with produces on
-    # identical arrays). After joining members on each side, doc_a <
-    # doc_b keeps exactly one orientation per unordered pair: a cross
-    # pair survives in whichever direction matches its doc order, an
-    # intra pair in its (g, g) row. The member table shuffles once on
-    # grp_id and is reused for both sides.
-    diag = reps.filter(F.col("grp_n") > 1).select(
-        F.col("grp_id").alias("ga"), F.col("grp_id").alias("gb"),
-        F.lit(1.0).alias("est_jaccard"))
-    rp_sym = (rp.select(F.col("grp_a").alias("ga"),
-                        F.col("grp_b").alias("gb"), "est_jaccard")
-              .unionByName(rp.select(F.col("grp_b").alias("ga"),
-                                     F.col("grp_a").alias("gb"),
-                                     "est_jaccard"))
-              .unionByName(diag))
-    return (rp_sym
-            .join(mem.select(F.col(id_col).alias("doc_a"),
-                             F.col("grp_id").alias("ga")), "ga")
-            .join(mem.select(F.col(id_col).alias("doc_b"),
-                             F.col("grp_id").alias("gb")), "gb")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "est_jaccard")
-            .filter(F.col("est_jaccard") >= threshold))
+    return _expand_rep_pairs(rp, mem, reps, id_col=id_col,
+                             threshold=threshold)
 
 
 def lsh_candidate_edges(docs: DataFrame, *, k: int = 32, bands: int = 8,

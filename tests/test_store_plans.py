@@ -291,3 +291,122 @@ def test_minhash_self_join_reuses_exchange(spark):
     df.collect()                      # AQE finalizes at runtime
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan[:2000]
+
+
+# ---- at-rest LSH signature store (VERDICT r4 #2) ---------------------------
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+@pytest.fixture(scope="module")
+def lsh_corpora(spark):
+    """old corpus A (with internal near-dups + a template group) and a
+    new crawl B (internal dups, near-dups of A, exact-sig matches of A,
+    and fresh uniques)."""
+    old = [("a%02d" % i, t) for i, t in enumerate([
+        "the quick brown fox jumps over the lazy dog in the park",
+        "the quick brown fox jumps over the lazy dog in the yard",
+        "completely unrelated text about cooking pasta with tomato sauce",
+        "template words boiler plate header footer legal contact terms",
+        "template words boiler plate header footer legal contact terms",
+        "another unique document concerning winter mountain hiking gear",
+    ])]
+    new = [("b%02d" % i, t) for i, t in enumerate([
+        # near-dup of a00/a01
+        "the quick brown fox jumps over the lazy dog in the rain",
+        # exact-signature match of the a03/a04 template group
+        "template words boiler plate header footer legal contact terms",
+        # new-only near-dup pair
+        "fresh crawl document about quantum computing and error rates",
+        "fresh crawl document about quantum computing and error bars",
+        # unique
+        "entirely novel content on deep sea creatures and biolumin",
+    ])]
+    return old, new
+
+
+def test_lsh_store_pairs_equal_full_recompute_on_union(
+        spark, tmp_path_factory, lsh_corpora):
+    from osmpbf_spark.operators.dedup import minhash_lsh_pairs
+    from osmpbf_spark.sources.store import lsh_store_pairs, write_lsh_store
+    old_rows, new_rows = lsh_corpora
+    old, new = _corpus(spark, old_rows), _corpus(spark, new_rows)
+    path = str(tmp_path_factory.mktemp("lshstore") / "store")
+    write_lsh_store(old, path, k=16, bands=8)
+
+    def pset(df):
+        return {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+                for r in df.collect()}
+    full = pset(minhash_lsh_pairs(old.unionByName(new), k=16, bands=8,
+                                  threshold=0.5))
+    old_only = pset(minhash_lsh_pairs(old, k=16, bands=8, threshold=0.5))
+    incr = pset(lsh_store_pairs(spark, new, path, threshold=0.5))
+    assert old_only | incr == full
+    assert old_only.isdisjoint(incr)
+    # the incremental result found real cross pairs, incl. the exact-
+    # signature template match at est exactly 1.0
+    assert any(a.startswith("a") and b.startswith("b") and e == 1.0
+               for a, b, e in incr)
+    assert any(a.startswith("b") and b.startswith("b") for a, b, e in incr)
+
+
+def test_lsh_store_probe_is_partition_pruned(spark, tmp_path_factory,
+                                             lsh_corpora):
+    import os
+    from osmpbf_spark.sources.store import (
+        lsh_store_pairs,
+        scan_is_pruned,
+        write_lsh_store,
+    )
+    old_rows, new_rows = lsh_corpora
+    old, new = _corpus(spark, old_rows), _corpus(spark, new_rows)
+    path = str(tmp_path_factory.mktemp("lshstore2") / "store")
+    write_lsh_store(old, path, k=16, bands=8, n_subbuckets=32)
+    # partition layout on disk: band=<b>/bvb=<m>
+    band_dirs = [d for d in os.listdir(os.path.join(path, "bands"))
+                 if d.startswith("band=")]
+    assert len(band_dirs) == 8
+    pairs = lsh_store_pairs(spark, new, path, threshold=0.5)
+    pairs.collect()
+    plan = scan_is_pruned(pairs)["plan"]
+    # every scan of the bands table must carry non-empty
+    # PartitionFilters (the membership scan is legitimately unpruned —
+    # it reads (doc_id, grp_id) only for the expansion join)
+    band_scans = [ln for ln in plan.splitlines()
+                  if "FileScan parquet" in ln and "store/bands" in ln]
+    assert band_scans, "expected FileScan lines over the bands table"
+    for ln in band_scans:
+        assert "PartitionFilters: []" not in ln and \
+            "PartitionFilters: [" in ln, ln[:200]
+
+
+def test_lsh_store_append_and_dedup_cycle(spark, tmp_path_factory,
+                                          lsh_corpora):
+    from osmpbf_spark.operators.dedup import minhash_lsh_pairs
+    from osmpbf_spark.sources.store import (
+        append_lsh_store,
+        dedup_against_store,
+        lsh_store_pairs,
+        write_lsh_store,
+    )
+    old_rows, new_rows = lsh_corpora
+    old, new = _corpus(spark, old_rows), _corpus(spark, new_rows)
+    path = str(tmp_path_factory.mktemp("lshstore3") / "store")
+    write_lsh_store(old, path, k=16, bands=8)
+    kept = dedup_against_store(spark, new, path, threshold=0.5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # b00 dups a00/a01 (store wins); b01 dups the a03/a04 template;
+    # b02/b03 are a new-only pair -> keep min (b02); b04 unique
+    assert ids == {"b02", "b04"}
+    # complete the refresh: append survivors, then a THIRD crawl that
+    # dups a survivor must see it through the store
+    append_lsh_store(kept, path)
+    third = _corpus(spark, [
+        ("c00", "fresh crawl document about quantum computing and "
+                "error rates")])  # near-dup of b02 (now at rest)
+    kept3 = dedup_against_store(spark, third, path, threshold=0.5)
+    assert kept3.count() == 0
+    pairs3 = lsh_store_pairs(spark, third, path, threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs3.collect()}
+    assert ("b02", "c00") in got

@@ -21,6 +21,27 @@ def fmt(df, max_lines=60):
     return "\n".join(lines)
 
 
+def fmt_exec(df, max_lines=60, max_cols=200):
+    """Executed-plan string (call after an action): unlike the formatted
+    tree this keeps scan attributes inline — PartitionFilters /
+    PushedFilters — which is the evidence these sections exist for."""
+    lines = (df._jdf.queryExecution().executedPlan().toString()
+             .splitlines()[:max_lines])
+    out = []
+    for ln in lines:
+        if len(ln) <= max_cols:
+            out.append(ln)
+            continue
+        m = re.search(r"PartitionFilters: \[[^\]]*\]", ln)
+        if m:     # the evidence these sections exist for — never cut it
+            out.append(ln[:ln.index("Location:") + 9] + " …, " + m.group(0)
+                       + ", …" if "Location:" in ln[:max_cols]
+                       else ln[:140] + " …, " + m.group(0) + ", …")
+        else:
+            out.append(ln[:max_cols] + " …")
+    return "\n".join(out)
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -102,6 +123,66 @@ def main():
         "BroadcastNestedLoopJoin.",
         fmt(range_join(vals, ivs, value_col="v", lo_col="lo",
                        hi_col="hi", bucket_width=50))))
+
+    # at-rest store probes (VERDICT r4 #8): partition-pruning evidence
+    # for the IVF ANN store and the LSH signature store, pinned here so
+    # the PartitionFilters survive refactors (tests assert the same).
+    import math
+    import shutil
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="dump_plans_store_")
+    try:
+        from osmpbf_spark.sources.store import (
+            lsh_store_pairs,
+            read_ivf_topk,
+            write_ivf_store,
+            write_lsh_store,
+        )
+        dim = 8
+        emb = spark.range(512).select(
+            F.col("id").alias("vec_id"),
+            F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                        lambda d: F.sin((F.col("id") + 1) * d))
+            .alias("embedding"))
+        cent = spark.createDataFrame(
+            [(c, [math.cos(c * d + 1) for d in range(dim)])
+             for c in range(8)], "cid int, cvec array<double>")
+        ivf_path = os.path.join(tmp, "ivf")
+        write_ivf_store(emb, cent, ivf_path)
+        qs = emb.limit(4).select(F.col("vec_id").alias("query_id"),
+                                 "embedding")
+        ivf = read_ivf_topk(spark, ivf_path, qs, 3, cent, nprobe=2)
+        ivf.collect()
+        sections.append((
+            "IVF ANN probe over the at-rest store",
+            "the probed centroid ids (driver metadata, ≤ #centroids) "
+            "become PartitionFilters on the cid-partitioned store — "
+            "only probed partitions are read; queries ride a "
+            "BroadcastHashJoin on cid.",
+            fmt_exec(ivf, max_lines=40)))
+
+        lsh_path = os.path.join(tmp, "lsh")
+        corpus = spark.range(64).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.concat(F.lit("stored corpus doc body words "),
+                     F.col("id")).alias("text"))
+        write_lsh_store(corpus, lsh_path, k=16, bands=8)
+        newc = spark.range(4).select(
+            (F.col("id") + 100).cast("string").alias("doc_id"),
+            F.concat(F.lit("stored corpus doc body words "),
+                     F.col("id")).alias("text"))
+        lsh = lsh_store_pairs(spark, newc, lsh_path, threshold=0.5)
+        lsh.collect()
+        sections.append((
+            "LSH signature-store probe (incremental corpus-refresh dedup)",
+            "the new crawl's distinct (band, sub-bucket) keys — driver "
+            "metadata bounded by bands × n_subbuckets — prune the "
+            "band-partitioned signature store (PartitionFilters on "
+            "band/bvb); only matching buckets join, then the row-local "
+            "zip_with estimate as in the in-memory path.",
+            fmt_exec(lsh, max_lines=46)))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     out = ["# PLANS — physical plans of the flagship operators",
            "",
