@@ -80,6 +80,16 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--min-word-len", type=float, default=3.0,
+                    help="Gopher gate: drop docs with mean word length "
+                         "outside [min, max]")
+    ap.add_argument("--max-word-len", type=float, default=10.0)
+    ap.add_argument("--max-symbol-ratio", type=float, default=0.1,
+                    help="Gopher gate: max #/ellipsis symbols per word")
+    ap.add_argument("--max-bullet-frac", type=float, default=0.9,
+                    help="Gopher gate: max fraction of bullet-start lines")
+    ap.add_argument("--max-ellipsis-frac", type=float, default=0.3,
+                    help="Gopher gate: max fraction of ellipsis-end lines")
     ap.add_argument("--max-repetition", type=float, default=0.5,
                     help="drop docs whose repeated-bigram fraction "
                     "exceeds this (Gopher-style boilerplate gate)")
@@ -101,9 +111,13 @@ def main():
     from osmpbf_spark.functions.sampling import hash_sample
     from osmpbf_spark.functions.text import (
         bpe_ish_token_count,
+        bullet_line_frac,
+        ellipsis_line_frac,
         langid,
+        mean_word_length,
         quality_score,
         repetition_ratio,
+        symbol_word_ratio,
         token_count,
     )
     from osmpbf_spark.operators.dedup import (
@@ -153,7 +167,12 @@ def main():
     curated_path = os.path.join(args.out, "curated")
     gate_params = {"min_quality": args.min_quality,
                    "max_repetition": args.max_repetition,
-                   "keep_langs": args.keep_langs}
+                   "keep_langs": args.keep_langs,
+                   "min_word_len": args.min_word_len,
+                   "max_word_len": args.max_word_len,
+                   "max_symbol_ratio": args.max_symbol_ratio,
+                   "max_bullet_frac": args.max_bullet_frac,
+                   "max_ellipsis_frac": args.max_ellipsis_frac}
     if not (args.resume and _stage_done(curated_path, gate_params)):
         t0 = time.time()
         prof = (deduped
@@ -161,10 +180,19 @@ def main():
                 .withColumn("quality", quality_score("text"))
                 .withColumn("rep_bigram", repetition_ratio("text"))
                 .withColumn("n_tokens", token_count("text"))
-                .withColumn("n_bpe_tokens", bpe_ish_token_count("text")))
+                .withColumn("n_bpe_tokens", bpe_ish_token_count("text"))
+                .withColumn("mean_word_len", mean_word_length("text"))
+                .withColumn("symbol_ratio", symbol_word_ratio("text"))
+                .withColumn("bullet_frac", bullet_line_frac("text"))
+                .withColumn("ellipsis_frac", ellipsis_line_frac("text")))
         gated = prof.filter(
             (F.col("quality") >= args.min_quality)
-            & (F.col("rep_bigram") <= args.max_repetition))
+            & (F.col("rep_bigram") <= args.max_repetition)
+            & F.col("mean_word_len").between(args.min_word_len,
+                                             args.max_word_len)
+            & (F.col("symbol_ratio") <= args.max_symbol_ratio)
+            & (F.col("bullet_frac") <= args.max_bullet_frac)
+            & (F.col("ellipsis_frac") <= args.max_ellipsis_frac))
         if args.keep_langs:
             keep = [s.strip() for s in args.keep_langs.split(",") if s]
             gated = gated.filter(F.col("lang").isin(keep))

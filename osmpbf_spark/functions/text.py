@@ -179,6 +179,97 @@ def repetition_ratio(text_col: str) -> Column:
     return F.expr(repetition_ratio_sql(text_col, "spark"))
 
 
+def mean_word_length_sql(expr: str, dialect: str = "spark") -> str:
+    """Gopher-class signal: mean token length (0.0 for empty/NULL text —
+    inverted guard, see :func:`repetition_ratio_sql`'s 3VL note). The
+    classic gate drops documents outside the [3, 10] band. FLOOR
+    half-up quantization to 4 decimals, same cross-engine tie rule as
+    the other ratio columns."""
+    toks = tokens_sql(expr, dialect)
+    if dialect == "spark":
+        total = f"aggregate({toks}, 0L, (acc, t) -> acc + length(t))"
+        n = f"size({toks})"
+    else:
+        total = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                 f"[length(t) FOR t IN {toks}]), (a, b) -> a + b)")
+        n = f"len({toks})"
+    return (f"CASE WHEN {n} >= 1 THEN FLOOR({total} / CAST({n} AS DOUBLE) "
+            f"* 10000 + 0.5) / 10000 ELSE CAST(0.0 AS DOUBLE) END")
+
+
+def mean_word_length(text_col: str) -> Column:
+    return F.expr(mean_word_length_sql(text_col, "spark"))
+
+
+def symbol_word_ratio_sql(expr: str, dialect: str = "spark") -> str:
+    """Gopher-class signal: symbol-to-word ratio — occurrences of the
+    hash symbol, the three-dot ellipsis, and the unicode ellipsis per
+    token (the classic gate drops documents above 0.1). Counting is
+    length-difference arithmetic (replace is identical in both
+    engines); 0.0 for empty/NULL text via the inverted guard."""
+    toks = tokens_sql(expr, dialect)
+    n = (f"size({toks})" if dialect == "spark" else f"len({toks})")
+    hashes = f"(length({expr}) - length(replace({expr}, '#', '')))"
+    dots = (f"((length({expr}) - length(replace({expr}, '...', ''))) / 3)"
+            if dialect == "spark" else
+            f"((length({expr}) - length(replace({expr}, '...', ''))) // 3)")
+    uni = f"(length({expr}) - length(replace({expr}, '…', '')))"
+    return (f"CASE WHEN {n} >= 1 THEN FLOOR(({hashes} + {dots} + {uni}) "
+            f"/ CAST({n} AS DOUBLE) * 10000 + 0.5) / 10000 "
+            f"ELSE CAST(0.0 AS DOUBLE) END")
+
+
+def symbol_word_ratio(text_col: str) -> Column:
+    return F.expr(symbol_word_ratio_sql(text_col, "spark"))
+
+
+def _lines_sql(expr: str, dialect: str) -> str:
+    """Non-empty lines of a document. The newline is chr(10) in BOTH
+    renderings — a literal '\\n' means newline to Spark's parser but a
+    two-character backslash-n to DuckDB's default (non-E) strings."""
+    if dialect == "spark":
+        return f"filter(split({expr}, chr(10)), l -> l != '')"
+    return f"list_filter(string_split({expr}, chr(10)), l -> l != '')"
+
+
+def bullet_line_frac_sql(expr: str, dialect: str = "spark") -> str:
+    """Gopher-class signal: fraction of non-empty lines that start with
+    a bullet marker ('-', '*', '•') after left-trim (the classic gate
+    drops documents above 0.9). 0.0 for empty/NULL text."""
+    lines = _lines_sql(expr, dialect)
+    cond = "substring(ltrim(l), 1, 1) IN ('-', '*', '•')"
+    if dialect == "spark":
+        hit, n = (f"size(filter({lines}, l -> {cond}))", f"size({lines})")
+    else:
+        hit, n = (f"len(list_filter({lines}, l -> {cond}))",
+                  f"len({lines})")
+    return (f"CASE WHEN {n} >= 1 THEN FLOOR({hit} / CAST({n} AS DOUBLE) "
+            f"* 10000 + 0.5) / 10000 ELSE CAST(0.0 AS DOUBLE) END")
+
+
+def bullet_line_frac(text_col: str) -> Column:
+    return F.expr(bullet_line_frac_sql(text_col, "spark"))
+
+
+def ellipsis_line_frac_sql(expr: str, dialect: str = "spark") -> str:
+    """Gopher-class signal: fraction of non-empty lines that end with an
+    ellipsis ('...' or '…') after right-trim (the classic gate drops
+    documents above 0.3). 0.0 for empty/NULL text."""
+    lines = _lines_sql(expr, dialect)
+    cond = ("(right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')")
+    if dialect == "spark":
+        hit, n = (f"size(filter({lines}, l -> {cond}))", f"size({lines})")
+    else:
+        hit, n = (f"len(list_filter({lines}, l -> {cond}))",
+                  f"len({lines})")
+    return (f"CASE WHEN {n} >= 1 THEN FLOOR({hit} / CAST({n} AS DOUBLE) "
+            f"* 10000 + 0.5) / 10000 ELSE CAST(0.0 AS DOUBLE) END")
+
+
+def ellipsis_line_frac(text_col: str) -> Column:
+    return F.expr(ellipsis_line_frac_sql(text_col, "spark"))
+
+
 def char_ngrams_sql(expr: str, n: int, dialect: str = "spark") -> str:
     """Character n-gram set (distinct) for Jaccard similarity."""
     if dialect == "spark":

@@ -18,11 +18,15 @@ from pyspark.sql import functions as F
 
 from .functions.grid import GRID_RES_FINE, grid_cell_sql, with_grid_cells
 from .functions.text import (
+    bullet_line_frac_sql,
     char_ngrams_sql,
+    ellipsis_line_frac_sql,
     langid_sql,
+    mean_word_length_sql,
     poly_hash_sql,
     quality_score_sql,
     repetition_ratio_sql,
+    symbol_word_ratio_sql,
     tokens_sql,
 )
 from .operators.dedup import exact_dups, minhash_lsh_pairs, simhash
@@ -660,14 +664,19 @@ SELECT doc_id,
        len({tokens_sql('text', 'duckdb')}) AS n_tokens,
        {quality_score_sql('text', 'duckdb')} AS quality,
        {langid_sql('text', 'duckdb')} AS lang_guess,
-       {repetition_ratio_sql('text', 'duckdb')} AS rep_bigram
+       {repetition_ratio_sql('text', 'duckdb')} AS rep_bigram,
+       {mean_word_length_sql('text', 'duckdb')} AS mean_word_len,
+       {symbol_word_ratio_sql('text', 'duckdb')} AS symbol_ratio,
+       {bullet_line_frac_sql('text', 'duckdb')} AS bullet_frac,
+       {ellipsis_line_frac_sql('text', 'duckdb')} AS ellipsis_frac
 FROM documents
 """)
 def q_doc_profile(spark, sf_dir):
     """Fingerprint + token count + quality score + language ID +
-    repetition ratio in one narrow pass (all dual-rendered Catalyst
-    built-ins; r4 adds the Gopher-style repeated-bigram fraction —
-    the boilerplate/degenerate-text signal quality bands miss)."""
+    the Gopher-class gate signals (repeated-bigram fraction, mean word
+    length, symbol-to-word ratio, bullet/ellipsis line fractions) in
+    one narrow pass — all dual-rendered Catalyst built-ins; these are
+    the columns ``jobs/curate_training_data_job.py`` gates on."""
     return (_load(spark, sf_dir, "documents")
             .select("doc_id",
                     F.expr(poly_hash_sql("text")).alias("fingerprint"),
@@ -676,7 +685,15 @@ def q_doc_profile(spark, sf_dir):
                     F.expr(quality_score_sql("text")).alias("quality"),
                     F.expr(langid_sql("text")).alias("lang_guess"),
                     F.expr(repetition_ratio_sql("text"))
-                    .alias("rep_bigram")))
+                    .alias("rep_bigram"),
+                    F.expr(mean_word_length_sql("text"))
+                    .alias("mean_word_len"),
+                    F.expr(symbol_word_ratio_sql("text"))
+                    .alias("symbol_ratio"),
+                    F.expr(bullet_line_frac_sql("text"))
+                    .alias("bullet_frac"),
+                    F.expr(ellipsis_line_frac_sql("text"))
+                    .alias("ellipsis_frac")))
 
 
 _MINHASH_K = 16

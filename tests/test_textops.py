@@ -335,6 +335,63 @@ def test_repetition_ratio_parity_and_tie_case(spark):
     assert got["nul"] == 0.0                       # not NULL (3VL guard)
 
 
+def test_gopher_signal_parity(spark):
+    # mean word length, symbol-to-word ratio, bullet/ellipsis line
+    # fractions (VERDICT r4 #7): dual-rendered parity incl. NULL text
+    # (the r4 3VL lesson — every ratio falls to 0.0 in BOTH engines),
+    # unicode markers (• …), trailing-newline empty lines, and an exact
+    # 4-decimal tie (1/16 of 32 lines = .03125 → half-up 0.0313)
+    import duckdb
+
+    from osmpbf_spark.functions.text import (
+        bullet_line_frac,
+        bullet_line_frac_sql,
+        ellipsis_line_frac,
+        ellipsis_line_frac_sql,
+        mean_word_length,
+        mean_word_length_sql,
+        symbol_word_ratio,
+        symbol_word_ratio_sql,
+    )
+    docs = [
+        ("plain", "the quick brown fox"),
+        ("bullets", "- one\n- two\nprose\n* three\n• four"),
+        ("ellipsis", "trails off...\nsolid line\nunicode end…  \n"),
+        ("symbols", "c# and #tag with ... more ... plus … end"),
+        # 32 lines, 2 ellipsis-enders → 1/16 = 0.0625; and a word-length
+        # list whose mean 7/2 = 3.5 is exact
+        ("tie", "\n".join(["line..."] * 2 + ["solid"] * 30)),
+        ("halfmean", "abc abcd"),                  # mean 3.5 exact
+        ("empty", ""),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: (r["mwl"], r["swr"], r["blf"], r["elf"]) for r in
+           df.select("doc_id",
+                     mean_word_length("text").alias("mwl"),
+                     symbol_word_ratio("text").alias("swr"),
+                     bullet_line_frac("text").alias("blf"),
+                     ellipsis_line_frac("text").alias("elf")).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    want = {r[0]: r[1:] for r in con.sql(
+        "SELECT doc_id, " + ", ".join(
+            fn("text", "duckdb") for fn in
+            (mean_word_length_sql, symbol_word_ratio_sql,
+             bullet_line_frac_sql, ellipsis_line_frac_sql))
+        + " FROM t").fetchall()}
+    assert got == want
+    assert got["plain"] == (4.0, 0.0, 0.0, 0.0)
+    assert got["bullets"][2] == 0.8                # 4 of 5 lines
+    assert got["ellipsis"][3] == 0.6667            # 2 of 3 non-empty
+    assert got["symbols"][1] > 0.1                 # would be gated
+    assert got["tie"][3] == 0.0625
+    assert got["halfmean"][0] == 3.5
+    assert got["empty"] == (0.0, 0.0, 0.0, 0.0)
+    assert got["nul"] == (0.0, 0.0, 0.0, 0.0)      # not NULL (3VL guard)
+
+
 # ---- degenerate-bucket defense (VERDICT r4 #1) -----------------------------
 
 def _template_corpus(spark, n_groups, group_size, n_unique):
