@@ -11,12 +11,12 @@ the shape of the interleaved-documents media spans. Two tiers of codec:
   luminance-histogram / FFT-band feature extraction. No external
   libraries needed, so these paths are REAL and tested end-to-end
   (decode → resize → features → Arrow batch).
-* **Unsupported variants** (interlaced low-depth PNG, float/ADPCM WAV,
-  unknown containers) profile via a deterministic digest-derived
-  stand-in instead of failing the job. Round 4 made the
-  previously-profiled variants REAL decodes: progressive JPEG (SOF2,
-  operators/jpeg.py, T.81 Annex G), 16-bit / 1/2/4-bit / Adam7
-  interlaced PNG, and 8/24/32-bit PCM WAV.
+* **Unsupported variants** (float/ADPCM WAV, unknown containers)
+  profile via a deterministic digest-derived stand-in instead of
+  failing the job. Rounds 4-5 made the previously-profiled variants
+  REAL decodes: progressive JPEG (SOF2, operators/jpeg.py, T.81
+  Annex G), every legal PNG shape (1/2/4/8/16-bit × palette × Adam7
+  interlace, in all combinations), and 8/24/32-bit PCM WAV.
 
 Scale notes: all operators are ``mapInArrow`` over pre-partitioned media
 rows — narrow, no shuffle; batch size bounded by
@@ -316,8 +316,8 @@ def decode_png(p: bytes) -> np.ndarray:
     unfiltered independently and scattered into the output grid;
     16-bit samples reduce to their big-endian high byte; packed
     low-depth rows unpack MSB-first with exact 255/(2^d−1) gray
-    scaling). The one remaining stand-in combination is interlaced
-    low-depth (bit-level scatter; rare — profile fallback)."""
+    scaling, per Adam7 pass when both variants combine). Every legal
+    IHDR shape decodes for real — no stand-ins remain."""
     (w, h, bit_depth, color_type, _, _, interlace), palette, idat = \
         _png_chunks(p)
     if bit_depth not in (1, 2, 4, 8, 16):
@@ -333,19 +333,39 @@ def decode_png(p: bytes) -> np.ndarray:
     if bit_depth < 8:
         # packed low-depth scanlines (grayscale masks, small-palette
         # icons): spec restricts these to 1-channel color types; the
-        # filter left-neighbour is 1 byte. Adam7 + low depth would need
-        # bit-level scatter — rare enough to stay on the profile path.
+        # filter left-neighbour is 1 byte. Interlaced images unfilter
+        # each Adam7 pass as its own packed sub-image (per-pass stride,
+        # per-pass pad bits), unpack to pixel VALUES, then scatter
+        # values into the output grid — the bit-level work is all in
+        # the unpack, so the scatter itself is plain fancy indexing.
         if color_type not in (0, 3):
             raise ValueError(f"depth {bit_depth} illegal for color "
                              f"type {color_type}")
-        if interlace:
-            raise ValueError("interlaced low-depth PNG unsupported")
-        stride = (w * bit_depth + 7) // 8
-        out = _png_unfilter(raw, stride, h, 1)
-        bits = np.unpackbits(out.astype(np.uint8),
-                             axis=1)[:, :w * bit_depth]
         weights = 1 << np.arange(bit_depth - 1, -1, -1)
-        v = (bits.reshape(h, w, bit_depth) * weights).sum(axis=2)
+
+        def unpack(packed: np.ndarray, wp: int) -> np.ndarray:
+            bits = np.unpackbits(packed.astype(np.uint8),
+                                 axis=1)[:, :wp * bit_depth]
+            return (bits.reshape(-1, wp, bit_depth) * weights).sum(axis=2)
+
+        if interlace == 0:
+            stride = (w * bit_depth + 7) // 8
+            v = unpack(_png_unfilter(raw, stride, h, 1), w)
+        else:
+            v = np.zeros((h, w), dtype=np.int64)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue              # empty pass carries NO bytes
+                stride = (wp * bit_depth + 7) // 8
+                n = hp * (stride + 1)
+                sub = _png_unfilter(raw[pos:pos + n], stride, hp, 1)
+                pos += n
+                v[y0::dy, x0::dx] = unpack(sub, wp)
+            if pos != len(raw):
+                raise ValueError("PNG interlaced data length mismatch")
         if color_type == 3:
             return palette[v]
         scale = 255 // ((1 << bit_depth) - 1)   # exact: 255/85/17
@@ -376,19 +396,34 @@ def decode_png(p: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray, *, interlace: bool = False) -> bytes:
+def encode_png(img: np.ndarray, *, interlace: bool = False,
+               depth: int | None = None) -> bytes:
     """(h, w, c) uint8 (or uint16 for a 16-bit file) → PNG bytes
     (filter 0 rows; test/synth helper). ``interlace=True`` writes the
-    Adam7 pass sequence."""
+    Adam7 pass sequence. ``depth`` of 1/2/4 writes PACKED grayscale
+    scanlines (c must be 1, values < 2**depth, MSB-first per spec) —
+    the round-trip oracle for the low-depth decode paths."""
     h, w, c = img.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    depth = 16 if img.dtype == np.uint16 else 8
+    if depth in (1, 2, 4):
+        if c != 1:
+            raise ValueError("low-depth PNG encode is grayscale-only")
+        color_type = 0
+    else:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        depth = 16 if img.dtype == np.uint16 else 8
 
     def chunk(t, body):
         return (struct.pack(">I", len(body)) + t + body
                 + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
 
     def rows(sub):
+        if depth < 8:    # pack each row's pixel values MSB-first
+            vals = sub[:, :, 0].astype(np.uint8)
+            bits = ((vals[:, :, None]
+                     >> np.arange(depth - 1, -1, -1)) & 1)
+            return b"".join(
+                b"\x00" + np.packbits(bits[y].ravel()).tobytes()
+                for y in range(sub.shape[0]))
         be = sub.astype(">u2" if depth == 16 else np.uint8)
         return b"".join(b"\x00" + be[y].tobytes()
                         for y in range(sub.shape[0]))

@@ -948,8 +948,9 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
 
 def _multimodal_payloads():
     """Deterministic media assets, one per codec tier: P6 netpbm, 8-bit
-    PNG, 16-bit Adam7-interlaced PNG, baseline JPEG, progressive 4:2:0
-    JPEG, 16-bit stereo PCM WAV, 24-bit mono PCM WAV, opaque blob."""
+    PNG, 16-bit Adam7-interlaced PNG, 2-bit-packed Adam7-interlaced
+    PNG, baseline JPEG, progressive 4:2:0 JPEG, 16-bit stereo PCM WAV,
+    24-bit mono PCM WAV, opaque blob."""
     import numpy as np
 
     from .operators.multimodal import (
@@ -971,6 +972,9 @@ def _multimodal_payloads():
     # high byte of each big-endian sample, scattered pass geometry)
     png16 = ((np.arange(11 * 7 * 3, dtype=np.uint32) * 997 % 65521)
              .astype(np.uint16).reshape(7, 11, 3))
+    # 2-bit packed + Adam7 interlaced: the LAST codec stand-in closed
+    # in round 5 — per-pass packed strides, bit unpack, value scatter
+    png2i = (np.arange(9 * 13, dtype=np.uint8) % 4).reshape(9, 13, 1)
     wave = ((np.arange(2000) % 50 < 25).astype(np.int16) * 8000 - 4000)
     samples = np.stack([wave, -wave], axis=1)
     # 24-bit PCM WAV: REAL decode since round 4 (top-16-bit reduction)
@@ -979,6 +983,7 @@ def _multimodal_payloads():
     return [("m://img", encode_netpbm(img)),
             ("m://png", encode_png(png)),
             ("m://p16", encode_png(png16, interlace=True)),
+            ("m://p2i", encode_png(png2i, interlace=True, depth=2)),
             ("m://jpg", encode_jpeg(jpg)),
             ("m://jp2", encode_jpeg(jp2, subsample=True,
                                     progressive=True)),
@@ -994,7 +999,7 @@ def _multimodal_oracle():
         from .operators.multimodal import sniff_media_type
         t = sniff_media_type(p)
         if t == "image/png":
-            w, h = (11, 7) if ref == "m://p16" else (8, 5)
+            w, h = {"m://p16": (11, 7), "m://p2i": (13, 9)}.get(ref, (8, 5))
             sr = ch = dur = None
         elif t == "image/jpeg":
             w, h = (31, 19) if ref == "m://jp2" else (24, 17)

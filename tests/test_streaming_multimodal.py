@@ -287,10 +287,10 @@ def test_stream_sessionize_stateful(spark, tmp_path):
 
 
 def test_unsupported_media_variants_profile_not_crash(spark):
-    # float WAV / low-depth PNG / truncated netpbm must yield a
-    # metadata row (sniffed type + stand-in dims), never fail the job.
-    # (24-bit WAV and interlaced PNG are REAL decodes since round 4 —
-    # w24 now reports its true fmt fields.)
+    # float WAV / truncated netpbm must yield a metadata row (sniffed
+    # type + stand-in dims), never fail the job. (24-bit WAV and every
+    # PNG shape are REAL decodes since rounds 4-5 — w24 reports its
+    # true fmt fields.)
     import struct
 
     import numpy as np
@@ -648,28 +648,37 @@ def test_stage_stream_source_repairs_dangling_symlink(spark):
 
 
 def test_png_property_roundtrip():
-    # property: any geometry × channels × depth × interlace round-trips
-    # exactly (8-bit) or to the big-endian high byte (16-bit)
+    # property: any geometry × channels × depth (1/2/4/8/16) × interlace
+    # round-trips exactly (≤8-bit, with exact 255/(2^d−1) gray scaling
+    # for packed depths) or to the big-endian high byte (16-bit). The
+    # packed-low-depth × Adam7 combination was the engine's last codec
+    # stand-in, closed in round 5.
     import numpy as np
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from osmpbf_spark.operators.multimodal import decode_png, encode_png
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=40, deadline=None)
     @given(h=st.integers(1, 24), w=st.integers(1, 24),
            ch=st.sampled_from([1, 2, 3, 4]),
-           depth16=st.booleans(), inter=st.booleans(),
+           depth=st.sampled_from([1, 2, 4, 8, 16]), inter=st.booleans(),
            seed=st.integers(0, 2**31 - 1))
-    def case(h, w, ch, depth16, inter, seed):
+    def case(h, w, ch, depth, inter, seed):
         rng = np.random.default_rng(seed)
-        if depth16:
+        if depth == 16:
             img = rng.integers(0, 65536, (h, w, ch), dtype=np.uint16)
             want = (img >> 8).astype(np.uint8)
-        else:
+            png = encode_png(img, interlace=inter)
+        elif depth == 8:
             img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
             want = img
-        got = decode_png(encode_png(img, interlace=inter))
+            png = encode_png(img, interlace=inter)
+        else:                       # packed grayscale rows
+            img = rng.integers(0, 1 << depth, (h, w, 1), dtype=np.uint8)
+            want = (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            png = encode_png(img, interlace=inter, depth=depth)
+        got = decode_png(png)
         assert got.shape == want.shape and (got == want).all()
 
     case()
