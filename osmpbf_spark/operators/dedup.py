@@ -454,7 +454,8 @@ def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame, *,
                         6).alias("jaccard")))
 
 
-def _star_contraction(sym: DataFrame, _ckpt, max_rounds: int) -> DataFrame:
+def _star_contraction(sym: DataFrame, _ckpt, max_rounds: int,
+                      stats: dict | None = None) -> DataFrame:
     """Large-star/small-star contraction (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14 — public paper) →
     (node, label) with label = component minimum.
@@ -465,7 +466,11 @@ def _star_contraction(sym: DataFrame, _ckpt, max_rounds: int) -> DataFrame:
     rooted at each component's minimum in O(log² n) rounds worst case
     (O(log n) observed) — this is the scale path for high-diameter
     graphs where min-label propagation's O(diameter) rounds would not
-    terminate. Each round shuffles only (node, node) pairs.
+    terminate. Each round shuffles only (node, node) pairs. A caller-
+    supplied ``stats`` dict receives {"rounds", "edge_counts"} — the
+    per-round surviving-edge counts ARE the round's shuffle volume
+    (evidence for BENCH_NEWOPS.md; zero cost, the counts drive the
+    fixed-point check anyway).
     """
     # canonical orientation a > b; self-loops carry no information
     e = _ckpt(sym.filter(F.col("a") != F.col("b"))
@@ -473,6 +478,9 @@ def _star_contraction(sym: DataFrame, _ckpt, max_rounds: int) -> DataFrame:
                       F.least("a", "b").alias("b"))
               .distinct())
     n_edges = e.count()
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["edge_counts"] = [n_edges]
     for _ in range(max_rounds):
         prev, n_prev = e, n_edges
         # large-star over the SYMMETRIC neighbourhood
@@ -493,6 +501,9 @@ def _star_contraction(sym: DataFrame, _ckpt, max_rounds: int) -> DataFrame:
                   .unionByName(mins.select("a", F.col("mn").alias("b")))
                   .distinct())
         n_edges = e.count()
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["edge_counts"].append(n_edges)
         # fixed point = the FULL round changed nothing (comparing to the
         # large-star intermediate stops one round early on chains: a
         # path's first round yields {(2,1),(3,1),(4,2),(5,3)}, which
@@ -529,7 +540,8 @@ def _star_contraction(sym: DataFrame, _ckpt, max_rounds: int) -> DataFrame:
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", *,
                          max_iters: int = 30,
-                         fallback_after: int = 8) -> DataFrame:
+                         fallback_after: int = 8,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components over an undirected edge list → (node, label)
     with label = MIN node id of the component.
 
@@ -578,7 +590,8 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         if changed == 0:
             sym.unpersist()
             return labels
-    result = _star_contraction(sym, _ckpt, max_rounds=max_iters)
+    result = _star_contraction(sym, _ckpt, max_rounds=max_iters,
+                               stats=stats)
     sym.unpersist()
     return result
 
