@@ -107,9 +107,19 @@ def _canonical_codes(counts, symbols):
 
 
 def _decode_lut(counts, symbols):
-    """{(length, code): symbol} for bit-at-a-time canonical decode."""
-    return {(ln, code): sym
-            for sym, (code, ln) in _canonical_codes(counts, symbols).items()}
+    """16-bit peek LUT ``(sym[65536], len[65536])`` for one-step
+    canonical decode (the classic libjpeg technique): the next 16
+    stream bits index both tables; prefix-freedom makes every index
+    resolve to exactly one symbol on a valid table, −1 where no code
+    matches. Replaces the r4 bit-at-a-time dict walk — measured 4×+ on
+    the entropy-decode tier (BENCH_NEWOPS.md r5)."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    lnt = np.ones(1 << 16, dtype=np.int32)
+    for s, (code, ln) in _canonical_codes(counts, symbols).items():
+        lo = code << (16 - ln)
+        sym[lo:lo + (1 << (16 - ln))] = s
+        lnt[lo:lo + (1 << (16 - ln))] = ln
+    return sym.tolist(), lnt.tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -164,29 +174,38 @@ def jpeg_header(p: bytes) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 class _BitReader:
-    __slots__ = ("d", "i", "acc", "n")
+    """Word-at-rest bit reader: the unstuffed segment is pre-expanded
+    once (numpy) into overlapping 32-bit big-endian words, so any
+    16-bit peek at any bit position is two shifts and a mask on a
+    Python int — no per-bit state machine. 512 zero bytes of tail pad
+    let the baseline hot loop overrun a corrupt block's reads safely
+    (bounded by one block) before its end-of-block bound check raises;
+    ``total`` is the REAL bit length and every consume checks it."""
+    __slots__ = ("w", "p", "total")
 
     def __init__(self, d: bytes):
-        self.d = d
-        self.i = 0
-        self.acc = 0
-        self.n = 0
+        b = np.frombuffer(d, np.uint8).astype(np.uint32)
+        bp = np.concatenate([b, np.zeros(512, np.uint32)])
+        self.w = ((bp[:-3] << 24) | (bp[1:-2] << 16)
+                  | (bp[2:-1] << 8) | bp[3:]).tolist()
+        self.p = 0
+        self.total = len(d) * 8
 
     def bit(self) -> int:
-        if self.n == 0:
-            if self.i >= len(self.d):
-                raise ValueError("JPEG entropy data exhausted")
-            self.acc = self.d[self.i]
-            self.i += 1
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        p = self.p
+        if p >= self.total:
+            raise ValueError("JPEG entropy data exhausted")
+        self.p = p + 1
+        return (self.w[p >> 3] >> (31 - (p & 7))) & 1
 
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+    def bits(self, k: int) -> int:        # k ≤ 16 everywhere in T.81
+        if k == 0:
+            return 0
+        p = self.p
+        if p + k > self.total:
+            raise ValueError("JPEG entropy data exhausted")
+        self.p = p + k
+        return ((self.w[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - k)
 
 
 def _extend(v: int, t: int) -> int:
@@ -195,13 +214,18 @@ def _extend(v: int, t: int) -> int:
 
 
 def _huff_decode(r: _BitReader, lut) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | r.bit()
-        sym = lut.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+    p = r.p
+    if p >= r.total:
+        raise ValueError("JPEG entropy data exhausted")
+    v = (r.w[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+    sym = lut[0][v]
+    if sym < 0:
+        raise ValueError("invalid JPEG Huffman code")
+    p += lut[1][v]
+    if p > r.total:
+        raise ValueError("JPEG entropy data exhausted")
+    r.p = p
+    return sym
 
 
 def _split_entropy(p: bytes, pos: int):
@@ -352,42 +376,72 @@ def decode_jpeg(p: bytes) -> np.ndarray:
     n_mcu = mcux * mcuy
     mcu_i = 0
     for seg in segments:
+        # hot loop: peek-LUT decode inlined over the reader's word list
+        # (locals, no method calls) — every 16-bit peek is two shifts +
+        # a mask; a corrupt block may overrun into the reader's zero
+        # pad (bounded to one block) before the per-block `p > total`
+        # check raises, preserving decode-or-raise exactly
         r = _BitReader(seg)
+        wl, total = r.w, r.total
+        p = 0
         pred = {c["id"]: 0 for c in comps}
         end = min(n_mcu, mcu_i + restart) if restart else n_mcu
         while mcu_i < end:
             my, mx = divmod(mcu_i, mcux)
             for c in order:
+                dcs, dcl = c["dc"]
+                acs, acl = c["ac"]
+                coef, bw, cid = c["coef"], c["bw"], c["id"]
+                base = (my * c["v"]) * bw + mx * c["h"]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(r, c["dc"])
+                        if p >= total:
+                            raise ValueError("JPEG entropy data exhausted")
+                        v16 = (wl[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                        t = dcs[v16]
+                        if t < 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        p += dcl[v16]
                         if t > 15:
                             # T.81 F.1.2.1: DC category ≤ 15 — a corrupt
                             # table otherwise yields a >15-bit diff that
                             # overflows the int64 coefficient store
                             raise ValueError("JPEG DC category "
                                              f"{t} out of range")
-                        diff = _extend(r.bits(t), t)
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]]
+                        if t:
+                            v16 = (wl[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                            mag = v16 >> (16 - t)
+                            p += t
+                            pred[cid] += (mag if mag >= 1 << (t - 1)
+                                          else mag - (1 << t) + 1)
+                        blk = [0] * 64
+                        blk[0] = pred[cid]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(r, c["ac"])
-                            rr, ss = rs >> 4, rs & 15
+                            v16 = (wl[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                            rs = acs[v16]
+                            if rs < 0:
+                                raise ValueError(
+                                    "invalid JPEG Huffman code")
+                            p += acl[v16]
+                            ss = rs & 15
                             if ss == 0:
-                                if rr == 15:    # ZRL
+                                if rs == 0xF0:  # ZRL
                                     k += 16
                                     continue
                                 break           # EOB
-                            k += rr
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("JPEG AC run overflow")
-                            blk[k] = _extend(r.bits(ss), ss)
+                            v16 = (wl[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                            mag = v16 >> (16 - ss)
+                            p += ss
+                            blk[k] = (mag if mag >= 1 << (ss - 1)
+                                      else mag - (1 << ss) + 1)
                             k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = blk
+                        if p > total:
+                            raise ValueError("JPEG entropy data exhausted")
+                        coef[base + by * bw + bx] = blk
             mcu_i += 1
         if mcu_i >= n_mcu:
             break
