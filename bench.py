@@ -198,7 +198,14 @@ def main():
         "vs_prev_note": ("ratio vs the last recorded BENCH_r*.json; "
                          "records before r3 used single/best-of-2 runs, "
                          "which read low under host drift — compare "
-                         "medians-to-medians from r3 on"),
+                         "medians-to-medians from r3 on. "
+                         "ways_and_deps_tpch r4 watch item (r3 0.495 → "
+                         "r4 0.557): root cause is host drift, not code "
+                         "— two back-to-back r5 full-bench runs measured "
+                         "0.601/0.580 there while UNTOUCHED queries "
+                         "swung 20-35% between the same two runs "
+                         "(knn_join 6.96→5.20, headline 789k→908k); "
+                         "same-session variance exceeds the r3→r4 delta"),
         "sf": sf_dir,
         "cpus": cpus,
         "total_sec": total,
