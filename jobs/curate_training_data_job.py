@@ -145,20 +145,41 @@ def main():
     # document payloads never shuffle
     dedup_path = os.path.join(args.out, "deduped")
     dedup_params = {"lsh_max_bucket": args.lsh_max_bucket}
+    overflow_sidecar = dedup_path.rstrip("/") + ".overflow.json"
     if not (args.resume and _stage_done(dedup_path, dedup_params)):
         t0 = time.time()
-        exact = dedup_documents(docs, method="exact")
-        near = dedup_documents(exact, method="minhash",
-                               max_bucket=args.lsh_max_bucket)
-        near.write.mode("overwrite").parquet(dedup_path)
-        _write_params(dedup_path, dedup_params)
-        metrics["dedup_sec"] = round(time.time() - t0, 2)
-        # loud degenerate-bucket audit (VERDICT r4 #1): buckets the cap
-        # excluded from pairing — non-zero means near-identical
-        # templates blew past signature-group compression and some
-        # near-dups may have survived dedup
-        metrics["lsh_overflow_buckets"] = minhash_bucket_overflow(
-            exact, max_bucket=args.lsh_max_bucket).count()
+        # exact survivors feed BOTH the near-dup pass and the overflow
+        # audit — persist so the md5 groupBy + anti-join run once
+        # (review r5: the unpersisted form paid exact dedup three times
+        # and the signature pipeline twice)
+        exact = dedup_documents(docs, method="exact").persist()
+        try:
+            near = dedup_documents(exact, method="minhash",
+                                   max_bucket=args.lsh_max_bucket)
+            near.write.mode("overwrite").parquet(dedup_path)
+            _write_params(dedup_path, dedup_params)
+            metrics["dedup_sec"] = round(time.time() - t0, 2)
+            # loud degenerate-bucket audit (VERDICT r4 #1): buckets the
+            # cap excluded from pairing — non-zero means near-identical
+            # templates blew past signature-group compression and some
+            # near-dups may have survived dedup
+            metrics["lsh_overflow_buckets"] = minhash_bucket_overflow(
+                exact, max_bucket=args.lsh_max_bucket).count()
+        finally:
+            exact.unpersist()
+        # persist the audit next to the stage so --resume re-emits it
+        # (review r5: a resumed run silently omitted the one metric
+        # that flags silently-skipped near-dups)
+        with open(overflow_sidecar, "w") as f:
+            json.dump({"lsh_overflow_buckets":
+                       metrics["lsh_overflow_buckets"]}, f)
+    else:
+        try:
+            with open(overflow_sidecar) as f:
+                metrics["lsh_overflow_buckets"] = \
+                    json.load(f)["lsh_overflow_buckets"]
+        except (OSError, ValueError, KeyError):
+            pass                 # pre-sidecar stage dir: metric unknown
     deduped = spark.read.parquet(dedup_path)
     metrics["after_dedup"] = deduped.count()
 

@@ -159,7 +159,9 @@ def bucket_overflow(df: DataFrame, bucket_cols: list[str],
 
 
 def _sig_groups(docs: DataFrame, *, k: int, shingle_n: int,
-                text_col: str, id_col: str) -> tuple[DataFrame, DataFrame]:
+                text_col: str, id_col: str,
+                sig_cache: list | None = None
+                ) -> tuple[DataFrame, DataFrame]:
     """Identical-signature group compression (VERDICT r4 #1 — the
     degenerate-bucket defense).
 
@@ -181,11 +183,20 @@ def _sig_groups(docs: DataFrame, *, k: int, shingle_n: int,
 
     One shuffle (window over the signature array); documents with no
     shingles produce no signature and appear in neither output, exactly
-    as before. The two outputs share the window exchange, so the
-    shingle→permute→min pipeline executes once (AQE ReusedExchange,
-    same audit as the r4 band join note)."""
+    as before. WITHIN one action the two outputs share the window
+    exchange (AQE ReusedExchange, same audit as the r4 band join note).
+    Callers that consume mem and reps in SEPARATE actions (store
+    build/probe — exchange reuse never crosses actions) pass
+    ``sig_cache``: the signature table is persisted — caching the
+    expensive shingle→permute→min pipeline; the window is one cheap
+    shuffle over (id, k longs) — and appended to the list for the
+    caller to unpersist (review r5: the unpersisted store build signed
+    the corpus twice)."""
     sigs = minhash_doc_sigs(docs, k=k, shingle_n=shingle_n,
                             text_col=text_col, id_col=id_col)
+    if sig_cache is not None:
+        sigs = sigs.persist()
+        sig_cache.append(sigs)
     w = Window.partitionBy("sigs")
     with_grp = sigs.select(
         F.col(id_col), "sigs",

@@ -740,9 +740,12 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (operators/dedup.py) — full pipeline
     mirrored step-for-step by the DuckDB CTE oracle."""
+    # max_bucket=None: the DuckDB oracle models NO cap, so the capped
+    # default would silently diverge on a corpus big enough to overflow
+    # a bucket (review r5) — the cap's behaviour is pytest-covered
     return minhash_lsh_pairs(_load(spark, sf_dir, "documents"),
                              k=_MINHASH_K, bands=_MINHASH_BANDS,
-                             threshold=0.5)
+                             threshold=0.5, max_bucket=None)
 
 
 _CLUSTERS_ORACLE = f"""
@@ -773,7 +776,7 @@ def q_near_dup_clusters(spark, sf_dir):
     from .operators.dedup import near_dup_clusters
     return near_dup_clusters(_load(spark, sf_dir, "documents"),
                              k=_MINHASH_K, bands=_MINHASH_BANDS,
-                             threshold=0.5)
+                             threshold=0.5, max_bucket=None)
 
 
 _DEDUP_KEEP_ORACLE = f"""
@@ -802,7 +805,8 @@ def q_dedup_keep_minhash(spark, sf_dir):
     from .operators.dedup import dedup_documents
     return (dedup_documents(_load(spark, sf_dir, "documents"),
                             method="minhash", k=_MINHASH_K,
-                            bands=_MINHASH_BANDS, threshold=0.5)
+                            bands=_MINHASH_BANDS, threshold=0.5,
+                            max_bucket=None)
             .select("doc_id",
                     F.length("text").cast("long").alias("text_len")))
 
@@ -1431,7 +1435,8 @@ def q_embedding_neardup(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     # driver embeddings are random (max pair cosine ~0.47), so the
     # demonstration threshold is 0.3; production near-dup uses ~0.95+
-    return embedding_neardup_pairs(emb, _PLANES, threshold=0.3)
+    return embedding_neardup_pairs(emb, _PLANES, threshold=0.3,
+                                   max_bucket=None)
 
 
 def _media_golden_oracle():

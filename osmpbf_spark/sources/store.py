@@ -193,29 +193,40 @@ def write_lsh_store(docs: DataFrame, path: str, *, k: int = 32,
 
     100 TB notes: rows at rest are linear in DISTINCT signatures
     (template groups store one banding row) + one membership row per
-    document; both writes are one pass over the signature pipeline.
-    Appending the next crawl is `mode("append")` on both tables
+    document; the signature pipeline runs once — the signature table
+    is persisted across the two write actions via ``sig_cache`` (AQE
+    exchange reuse only dedups within ONE action; review r5 caught the
+    unpersisted form signing the corpus twice). Appending the next
+    crawl is `mode("append")` on both tables
     (:func:`append_lsh_store`)."""
     import json
     import os
 
     from ..operators.dedup import _band_values, _sig_groups
+    cache: list = []
     mem, reps = _sig_groups(docs, k=k, shingle_n=shingle_n,
-                            text_col=text_col, id_col=id_col)
-    bands_df = (_band_values(reps, k=k, bands=bands)
-                .withColumn("bvb", F.pmod("band_val", F.lit(n_subbuckets))))
-    # repartition on the partition columns first: without it every task
-    # holding rows for a (band, bvb) bucket opens its own file there —
-    # bands × n_subbuckets × tasks tiny files (measured 8,192 at the
-    # defaults on local[32]; the probe then pays per-file open cost).
-    # After: ~one file per bucket dir; at 100 TB raise the partition
-    # count to target the usual 100 MB–1 GB parquet files per bucket.
-    (bands_df.select("grp_id", "sigs", "band", "band_val", "bvb")
-     .repartition(bands * n_subbuckets, "band", "bvb")
-     .write.mode("overwrite").partitionBy("band", "bvb")
-     .parquet(os.path.join(path, "bands")))
-    (mem.select(F.col(id_col).alias("doc_id"), "grp_id")
-     .write.mode("overwrite").parquet(os.path.join(path, "membership")))
+                            text_col=text_col, id_col=id_col,
+                            sig_cache=cache)
+    try:
+        bands_df = (_band_values(reps, k=k, bands=bands)
+                    .withColumn("bvb",
+                                F.pmod("band_val", F.lit(n_subbuckets))))
+        # repartition on the partition columns first: without it every
+        # task holding rows for a (band, bvb) bucket opens its own file
+        # there — bands × n_subbuckets × tasks tiny files (measured
+        # 8,192 at the defaults on local[32]; the probe then pays
+        # per-file open cost). After: ~one file per bucket dir; at
+        # 100 TB raise the partition count to target the usual
+        # 100 MB–1 GB parquet files per bucket.
+        (bands_df.select("grp_id", "sigs", "band", "band_val", "bvb")
+         .repartition(bands * n_subbuckets, "band", "bvb")
+         .write.mode("overwrite").partitionBy("band", "bvb")
+         .parquet(os.path.join(path, "bands")))
+        (mem.select(F.col(id_col).alias("doc_id"), "grp_id")
+         .write.mode("overwrite").parquet(os.path.join(path, "membership")))
+    finally:
+        for df in cache:
+            df.unpersist()
     with open(_lsh_meta_path(path), "w") as f:
         json.dump({"k": k, "bands": bands, "shingle_n": shingle_n,
                    "n_subbuckets": n_subbuckets, "id_col": id_col}, f)
@@ -235,17 +246,75 @@ def append_lsh_store(docs: DataFrame, path: str, *,
     from ..operators.dedup import _band_values, _sig_groups
     with open(_lsh_meta_path(path)) as f:
         meta = json.load(f)
+    cache: list = []
     mem, reps = _sig_groups(docs, k=meta["k"], shingle_n=meta["shingle_n"],
-                            text_col=text_col, id_col=id_col)
-    bands_df = (_band_values(reps, k=meta["k"], bands=meta["bands"])
-                .withColumn("bvb", F.pmod("band_val",
-                                          F.lit(meta["n_subbuckets"]))))
-    (bands_df.select("grp_id", "sigs", "band", "band_val", "bvb")
-     .repartition(meta["bands"] * meta["n_subbuckets"], "band", "bvb")
-     .write.mode("append").partitionBy("band", "bvb")
-     .parquet(os.path.join(path, "bands")))
-    (mem.select(F.col(id_col).alias("doc_id"), "grp_id")
-     .write.mode("append").parquet(os.path.join(path, "membership")))
+                            text_col=text_col, id_col=id_col,
+                            sig_cache=cache)
+    try:
+        bands_df = (_band_values(reps, k=meta["k"], bands=meta["bands"])
+                    .withColumn("bvb", F.pmod("band_val",
+                                              F.lit(meta["n_subbuckets"]))))
+        (bands_df.select("grp_id", "sigs", "band", "band_val", "bvb")
+         .repartition(meta["bands"] * meta["n_subbuckets"], "band", "bvb")
+         .write.mode("append").partitionBy("band", "bvb")
+         .parquet(os.path.join(path, "bands")))
+        (mem.select(F.col(id_col).alias("doc_id"), "grp_id")
+         .write.mode("append").parquet(os.path.join(path, "membership")))
+    finally:
+        for df in cache:
+            df.unpersist()
+
+
+def _probe_combined(spark: SparkSession, new_docs: DataFrame,
+                    path: str, *, text_col: str, id_col: str):
+    """Shared probe prefix for :func:`lsh_store_pairs` and
+    :func:`lsh_store_bucket_overflow`: sign the NEW crawl once
+    (persisted, bounded registry), prune the store's band partitions to
+    the crawl's (band, bvb) keys, and union both sides' banding rows →
+    (both, new_mem, new_reps, k). ``both`` carries a ``side`` tag."""
+    import functools
+    import json
+    import os
+
+    from ..operators.dedup import _band_values, _sig_groups
+    with open(_lsh_meta_path(path)) as f:
+        meta = json.load(f)
+    k, bands, shingle_n = meta["k"], meta["bands"], meta["shingle_n"]
+    nsb = meta["n_subbuckets"]
+
+    cache: list = []
+    new_mem, new_reps = _sig_groups(new_docs, k=k, shingle_n=shingle_n,
+                                    text_col=text_col, id_col=id_col,
+                                    sig_cache=cache)
+    # the new crawl is the SMALL side by design; its signature tables
+    # (id + k longs per doc — ~2 orders smaller than the text) are
+    # reused by the probe-key collect, the cross join, and the new×new
+    # leg. Persisting caches the one signing pass; without it the
+    # shingle→permute→min pipeline re-executes per consumer (measured
+    # 2× end-to-end on the store bench). The bounded registry evicts
+    # older probes' tables so repeated probes don't leak storage
+    # (unpersist only drops the cache — an evicted plan recomputes).
+    _persist_bounded(*cache, new_mem, new_reps)
+    new_bands = (_band_values(new_reps, k=k, bands=bands)
+                 .withColumn("bvb", F.pmod("band_val", F.lit(nsb))))
+    probe_keys = [(r["band"], r["bvb"]) for r in
+                  new_bands.select("band", "bvb").distinct().collect()]
+    # OR-chain of (band = b AND bvb = m) conjunctions: unlike a
+    # struct-isin (which Catalyst does NOT turn into partition
+    # pruning), this lands in the scan's PartitionFilters. Bounded by
+    # bands × n_subbuckets terms (256 at the defaults).
+    probe_pred = functools.reduce(
+        lambda acc, bm: acc | ((F.col("band") == bm[0])
+                               & (F.col("bvb") == bm[1])),
+        probe_keys, F.lit(False))
+    store_bands = (spark.read.parquet(os.path.join(path, "bands"))
+                   .filter(probe_pred))
+    both = (store_bands.select("grp_id", "sigs", "band", "band_val")
+            .withColumn("side", F.lit("old"))
+            .unionByName(new_bands
+                         .select("grp_id", "sigs", "band", "band_val")
+                         .withColumn("side", F.lit("new"))))
+    return both, new_mem, new_reps, k
 
 
 def lsh_store_pairs(spark: SparkSession, new_docs: DataFrame, path: str,
@@ -256,95 +325,107 @@ def lsh_store_pairs(spark: SparkSession, new_docs: DataFrame, path: str,
     """Near-dup pairs INVOLVING the new crawl, against the at-rest
     store: (doc_a, doc_b, est_jaccard) where at least one side is a new
     document — new×old via a partition-pruned probe of the store's band
-    partitions, new×new via the in-memory pair path. The union of this
-    result with the stored corpus's own pairs equals
-    ``minhash_lsh_pairs(old ∪ new)`` recomputed from scratch (tested),
-    at the cost of signing only the NEW documents.
+    partitions, new×new from the same probe-side signatures. The union
+    of this result with the stored corpus's own pairs equals
+    ``minhash_lsh_pairs(old ∪ new)`` recomputed from scratch —
+    INCLUDING under an engaged ``max_bucket`` (tested both ways) — at
+    the cost of signing only the NEW documents.
 
     Probe mechanics: the new documents' distinct (band, bvb) keys — at
     most bands × n_subbuckets values, driver-side metadata — become a
     partition-pruning IN-filter on the bands table (PartitionFilters in
     the plan, pinned by tests/PLANS.md), then the equi-join on
     (band, band_val) and the row-local zip_with estimate proceed
-    exactly as the in-memory band join. ``max_bucket`` caps COMBINED
-    (store + new) bucket sizes, same defense as minhash_lsh_pairs."""
-    import json
+    exactly as the in-memory band join.
+
+    ``max_bucket`` caps buckets by their count of DISTINCT signatures
+    over the COMBINED (store + new) population — exactly the
+    representative count the full-union recompute caps on. Counting
+    rows instead would diverge: per-batch grouping leaves a signature
+    shared between an old and a new group as two rows here where the
+    union recompute holds one representative (review r5 reproduced a
+    missed pair). Overflowing buckets are EXCLUDED from pairing — run
+    :func:`lsh_store_bucket_overflow` alongside and alert on non-empty
+    (the same loud-audit contract as ``minhash_bucket_overflow``)."""
     import os
 
-    from ..operators.dedup import (
-        _band_values,
-        _bucket_cap,
-        _expand_rep_pairs,
-        _rep_band_pairs,
-        _sig_groups,
-    )
-    with open(_lsh_meta_path(path)) as f:
-        meta = json.load(f)
-    k, bands, shingle_n = meta["k"], meta["bands"], meta["shingle_n"]
-    nsb = meta["n_subbuckets"]
-
-    new_mem, new_reps = _sig_groups(new_docs, k=k, shingle_n=shingle_n,
-                                    text_col=text_col, id_col=id_col)
-    # the new crawl is the SMALL side by design; its signature tables
-    # (id + k longs per doc — ~2 orders smaller than the text) are
-    # reused by the probe-key collect, the cross join, and the new×new
-    # leg. Persisting caches the one signing pass; without it the
-    # shingle→permute→min pipeline re-executes per consumer (measured
-    # 2× end-to-end on the store bench). The bounded registry evicts
-    # older probes' tables so repeated probes don't leak storage
-    # (unpersist only drops the cache — an evicted plan recomputes).
-    _persist_bounded(new_mem, new_reps)
-    new_bands = (_band_values(new_reps, k=k, bands=bands)
-                 .withColumn("bvb", F.pmod("band_val", F.lit(nsb))))
-    probe_keys = [(r["band"], r["bvb"]) for r in
-                  new_bands.select("band", "bvb").distinct().collect()]
-    # OR-chain of (band = b AND bvb = m) conjunctions: unlike a
-    # struct-isin (which Catalyst does NOT turn into partition
-    # pruning), this lands in the scan's PartitionFilters. Bounded by
-    # bands × n_subbuckets terms (256 at the defaults).
-    import functools
-    probe_pred = functools.reduce(
-        lambda acc, bm: acc | ((F.col("band") == bm[0])
-                               & (F.col("bvb") == bm[1])),
-        probe_keys, F.lit(False))
-    store_bands = (spark.read.parquet(os.path.join(path, "bands"))
-                   .filter(probe_pred))
-    # cap applies to the combined bucket population (store + new): a
-    # template flood in EITHER corpus would otherwise blow up the join
-    both = (store_bands.select("grp_id", "sigs", "band", "band_val")
-            .withColumn("side", F.lit("old"))
-            .unionByName(new_bands
-                         .select("grp_id", "sigs", "band", "band_val")
-                         .withColumn("side", F.lit("new"))))
-    both = _bucket_cap(both, ["band", "band_val"], max_bucket)
+    both, new_mem, new_reps, k = _probe_combined(
+        spark, new_docs, path, text_col=text_col, id_col=id_col)
+    if max_bucket is not None:
+        ok = (both.select("band", "band_val", "sigs").distinct()
+              .groupBy("band", "band_val")
+              .agg(F.count("*").alias("bucket_n"))
+              .filter(F.col("bucket_n") <= max_bucket)
+              .select("band", "band_val"))
+        both = both.join(ok, ["band", "band_val"], "left_semi")
     olds = (both.filter(F.col("side") == "old")
-            .select(F.col("grp_id").alias("go"),
-                    F.col("sigs").alias("sigs_o"), "band", "band_val"))
+            .select(F.col("grp_id").alias("gb"),
+                    F.col("sigs").alias("sigs_b"), "band", "band_val"))
     news = (both.filter(F.col("side") == "new")
-            .select(F.col("grp_id").alias("gn"),
-                    F.col("sigs").alias("sigs_n"), "band", "band_val"))
-    rep_pairs = (news.join(olds, ["band", "band_val"])
-                 .select("gn", "go",
-                         (F.expr("size(filter(zip_with(sigs_n, sigs_o, "
-                                 "(x, y) -> x = y), v -> v))")
-                          / F.lit(k)).alias("est_jaccard"))
+            .select(F.col("grp_id").alias("ga"),
+                    F.col("sigs").alias("sigs_a"), "band", "band_val"))
+    est = (F.expr("size(filter(zip_with(sigs_a, sigs_b, "
+                  "(x, y) -> x = y), v -> v))")
+           / F.lit(k)).alias("est_jaccard")
+    # new×old: the probe; new×new: self-join of the (capped) new side —
+    # the cap population is the same combined bucket either way
+    cross_rp = (news.join(olds, ["band", "band_val"])
+                .select("ga", "gb", est)
+                .distinct()
+                .filter(F.col("est_jaccard") >= threshold))
+    nn = news.select(F.col("ga").alias("gb"),
+                     F.col("sigs_a").alias("sigs_b"), "band", "band_val")
+    newnew_rp = (news.join(nn, ["band", "band_val"])
+                 .filter(F.col("ga") < F.col("gb"))
+                 .select("ga", "gb", est)
                  .distinct()
                  .filter(F.col("est_jaccard") >= threshold))
-    old_mem = spark.read.parquet(os.path.join(path, "membership"))
-    cross = (rep_pairs
-             .join(new_mem.select(F.col(id_col).alias("dn"),
-                                  F.col("grp_id").alias("gn")), "gn")
-             .join(old_mem.select(F.col("doc_id").alias("do"),
-                                  F.col("grp_id").alias("go")), "go")
-             .select(F.least("dn", "do").alias("doc_a"),
-                     F.greatest("dn", "do").alias("doc_b"),
-                     "est_jaccard"))
-    # new×new from the SAME persisted signatures (never re-sign)
-    rp_new = _rep_band_pairs(new_reps, k=k, bands=bands,
-                             threshold=threshold, max_bucket=max_bucket)
-    new_new = _expand_rep_pairs(rp_new, new_mem, new_reps,
-                                id_col=id_col, threshold=threshold)
-    return cross.unionByName(new_new)
+    # diagonal: multi-member NEW groups are intra-crawl cliques with
+    # est exactly 1.0; old groups' internal pairs are at rest. Added
+    # AFTER the orientation swap — swapping (g, g) would duplicate it
+    diag = new_reps.filter(F.col("grp_n") > 1).select(
+        F.col("grp_id").alias("ga"), F.col("grp_id").alias("gb"),
+        F.lit(1.0).alias("est_jaccard"))
+    rp = cross_rp.unionByName(newnew_rp)
+    old_mem = (spark.read.parquet(os.path.join(path, "membership"))
+               .select(F.col("doc_id").alias(id_col), "grp_id"))
+    all_mem = (new_mem.select(F.col(id_col), "grp_id")
+               .unionByName(old_mem))
+    # symmetric expansion over the combined membership (a group id is
+    # an old OR new doc id — id spaces are disjoint); doc_a < doc_b
+    # keeps one orientation per unordered pair, as in _expand_rep_pairs
+    rp_sym = (rp.unionByName(rp.select(F.col("gb").alias("ga"),
+                                       F.col("ga").alias("gb"),
+                                       "est_jaccard"))
+              .unionByName(diag))
+    return (rp_sym
+            .join(all_mem.select(F.col(id_col).alias("doc_a"),
+                                 F.col("grp_id").alias("ga")), "ga")
+            .join(all_mem.select(F.col(id_col).alias("doc_b"),
+                                 F.col("grp_id").alias("gb")), "gb")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
+def lsh_store_bucket_overflow(spark: SparkSession,
+                              new_docs: DataFrame, path: str, *,
+                              max_bucket: int = 10_000,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Overflow audit for :func:`lsh_store_pairs` /
+    :func:`dedup_against_store` (review r5: the probe capped silently
+    with no at-rest counterpart of ``minhash_bucket_overflow``): the
+    probed band buckets whose COMBINED (store + new) distinct-signature
+    count exceeds ``max_bucket`` — i.e. the buckets the cap excluded
+    from pairing — as (band, band_val, bucket_n). Run alongside any
+    capped probe and alert on a non-empty result; near-dups of the new
+    crawl inside these buckets were NOT detected."""
+    both, _, _, _ = _probe_combined(spark, new_docs, path,
+                                    text_col=text_col, id_col=id_col)
+    return (both.select("band", "band_val", "sigs").distinct()
+            .groupBy("band", "band_val")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket))
 
 
 def dedup_against_store(spark: SparkSession, new_docs: DataFrame,

@@ -410,3 +410,46 @@ def test_lsh_store_append_and_dedup_cycle(spark, tmp_path_factory,
     pairs3 = lsh_store_pairs(spark, third, path, threshold=0.5)
     got = {(r["doc_a"], r["doc_b"]) for r in pairs3.collect()}
     assert ("b02", "c00") in got
+
+
+def test_lsh_store_pairs_capped_equals_capped_recompute(spark,
+                                                        tmp_path_factory):
+    # review r5 repro: with max_bucket ENGAGED the probe must still
+    # equal the capped full recompute — the cap has to count DISTINCT
+    # signatures over the combined population (per-batch groups leave a
+    # signature shared across batches as two rows where the union
+    # recompute holds one representative; counting rows fired the cap
+    # early and MISSED pair (a0, b1))
+    from osmpbf_spark.operators.dedup import minhash_lsh_pairs
+    from osmpbf_spark.sources.store import (
+        lsh_store_bucket_overflow,
+        lsh_store_pairs,
+        write_lsh_store,
+    )
+    text = "the quick brown fox jumps over the lazy dog in the %s"
+    old = _corpus(spark, [("a0", text % "park"), ("a1", text % "yard")])
+    new = _corpus(spark, [("b0", text % "park"), ("b1", text % "rain")])
+    path = str(tmp_path_factory.mktemp("lshcap") / "store")
+    write_lsh_store(old, path, k=16, bands=8)
+
+    def pset(df):
+        return {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+                for r in df.collect()}
+    for cap in (3, 2, 1, None):
+        full = pset(minhash_lsh_pairs(old.unionByName(new), k=16,
+                                      bands=8, threshold=0.5,
+                                      max_bucket=cap))
+        old_only = pset(minhash_lsh_pairs(old, k=16, bands=8,
+                                          threshold=0.5, max_bucket=cap))
+        incr = pset(lsh_store_pairs(spark, new, path, threshold=0.5,
+                                    max_bucket=cap))
+        assert old_only | incr == full, (cap, full - (old_only | incr),
+                                         (old_only | incr) - full)
+    # uncapped: 4 distinct sigs all share buckets; ("a0","b1") found
+    assert any(p[:2] == ("a0", "b1") for p in incr)
+    # the audit names the buckets a tight cap excluded
+    over = lsh_store_bucket_overflow(spark, new, path, max_bucket=1)
+    rows = over.collect()
+    assert rows and all(r["bucket_n"] > 1 for r in rows)
+    assert lsh_store_bucket_overflow(spark, new, path,
+                                     max_bucket=10_000).isEmpty()
