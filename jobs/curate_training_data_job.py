@@ -100,6 +100,11 @@ def main():
                     "per band bucket); overflowing buckets are skipped "
                     "and reported as lsh_overflow_buckets")
     ap.add_argument("--ivf-k", type=int, default=8)
+    ap.add_argument("--pack-budget", type=int, default=0,
+                    help="if set, pack curated docs into fixed token "
+                    "windows of this size (pack-and-split) as the "
+                    "final stage")
+    ap.add_argument("--pack-strata", type=int, default=64)
     ap.add_argument("--ivf-sample-mod", type=int, default=1,
                     help="train centroids on hash_sample(id, m) — "
                     "m=1 trains on everything (small-scale default)")
@@ -265,6 +270,27 @@ def main():
         metrics["ivf_partitions"] = len(
             [d for d in os.listdir(ivf_path) if d.startswith("cid=")]) \
             if os.path.isdir(ivf_path) else None
+
+    # 7) sequence packing: curated documents laid end-to-end and split
+    # into fixed token windows — what actually feeds a training run.
+    # Uses the gate stage's precomputed n_tokens (no re-tokenization).
+    if args.pack_budget:
+        from osmpbf_spark.operators.packing import pack_sequences
+        packed_path = os.path.join(args.out, "packed")
+        pack_params = {"pack_budget": args.pack_budget,
+                       "pack_strata": args.pack_strata}
+        if not (args.resume and _stage_done(packed_path, pack_params)):
+            t0 = time.time()
+            (pack_sequences(curated, args.pack_budget,
+                            n_strata=args.pack_strata,
+                            token_count_col="n_tokens")
+             .write.mode("overwrite").parquet(packed_path))
+            _write_params(packed_path, pack_params)
+            metrics["pack_sec"] = round(time.time() - t0, 2)
+        packed = spark.read.parquet(packed_path)
+        metrics["packed_bins"] = (packed.select("stratum", "bin_no")
+                                  .distinct().count())
+        metrics["packed_slices"] = packed.count()
 
     print(json.dumps(metrics))
     spark.stop()

@@ -448,6 +448,64 @@ def lsh_store_bucket_overflow(spark: SparkSession,
             .filter(F.col("bucket_n") > max_bucket))
 
 
+def compact_lsh_store(spark: SparkSession, path: str) -> dict:
+    """Maintenance compaction for the LSH store (the Iceberg-compaction
+    analogue): merge identical-signature groups ACROSS append batches.
+
+    :func:`append_lsh_store` groups per batch, so a signature present
+    in N crawls holds N banding rows and N group ids — results stay
+    correct (identical signatures pair at est 1.0 through the band
+    join) but the "rows linear in DISTINCT signatures" invariant decays
+    and probed buckets carry duplicate representatives. Compaction
+    re-groups: the merged group id is the MIN of the member group ids
+    (each is its batch's min doc id, so the min over them is the global
+    min member), membership remaps through the group-id map, and both
+    tables rewrite in place with the same partitioned layout. Probe
+    results are IDENTICAL before and after (tested); bucket
+    populations shrink to true distinct-signature counts.
+
+    Returns {"reps_before", "reps_after"} row counts (per-band rows /
+    bands). 100 TB note: one shuffle on sigs over the REPRESENTATIVE
+    table (orders of magnitude smaller than the corpus) + one
+    broadcast-size remap join per table; run it on the cadence appends
+    accumulate, like any table-maintenance job."""
+    import json
+    import os
+
+    with open(_lsh_meta_path(path)) as f:
+        meta = json.load(f)
+    bands_path = os.path.join(path, "bands")
+    mem_path = os.path.join(path, "membership")
+    bands_df = spark.read.parquet(bands_path)
+    reps = bands_df.select("grp_id", "sigs").distinct()
+    n_before = reps.count()
+    remap = (reps.groupBy("sigs")
+             .agg(F.min("grp_id").alias("new_grp"),
+                  F.collect_set("grp_id").alias("olds"))
+             .select(F.explode("olds").alias("grp_id"), "new_grp"))
+    new_bands = (bands_df.join(remap, "grp_id")
+                 .filter(F.col("grp_id") == F.col("new_grp"))
+                 .select("grp_id", "sigs", "band", "band_val", "bvb"))
+    new_mem = (spark.read.parquet(mem_path)
+               .join(remap, "grp_id")
+               .select("doc_id", F.col("new_grp").alias("grp_id")))
+    # rewrite through temp dirs: Spark cannot overwrite a table it is
+    # reading in the same action
+    tmp_b, tmp_m = bands_path + ".compact", mem_path + ".compact"
+    (new_bands.repartition(meta["bands"] * meta["n_subbuckets"],
+                           "band", "bvb")
+     .write.mode("overwrite").partitionBy("band", "bvb").parquet(tmp_b))
+    new_mem.write.mode("overwrite").parquet(tmp_m)
+    n_after = (spark.read.parquet(tmp_b)
+               .select("grp_id", "sigs").distinct().count())
+    import shutil
+    shutil.rmtree(bands_path)
+    os.rename(tmp_b, bands_path)
+    shutil.rmtree(mem_path)
+    os.rename(tmp_m, mem_path)
+    return {"reps_before": n_before, "reps_after": n_after}
+
+
 def dedup_against_store(spark: SparkSession, new_docs: DataFrame,
                         path: str, *, threshold: float = 0.5,
                         max_bucket: int | None = 10_000,

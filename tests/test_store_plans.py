@@ -453,3 +453,40 @@ def test_lsh_store_pairs_capped_equals_capped_recompute(spark,
     assert rows and all(r["bucket_n"] > 1 for r in rows)
     assert lsh_store_bucket_overflow(spark, new, path,
                                      max_bucket=10_000).isEmpty()
+
+
+def test_lsh_store_compaction_merges_cross_batch_groups(
+        spark, tmp_path_factory):
+    # append groups per batch: the same signature in 3 crawls holds 3
+    # banding rows until compaction merges them (min group id = global
+    # min member); probe results identical before/after
+    from osmpbf_spark.sources.store import (
+        append_lsh_store,
+        compact_lsh_store,
+        lsh_store_pairs,
+        write_lsh_store,
+    )
+    t = "shared template boiler plate header footer legal contact %s"
+    b1 = _corpus(spark, [("a0", t % "terms"), ("a1", t % "terms"),
+                         ("a2", "unrelated text about deep sea life")])
+    b2 = _corpus(spark, [("b0", t % "terms"),
+                         ("b1", "novel musings on alpine railway")])
+    b3 = _corpus(spark, [("c0", t % "terms")])
+    path = str(tmp_path_factory.mktemp("lshcompact") / "store")
+    write_lsh_store(b1, path, k=16, bands=8)
+    append_lsh_store(b2, path)
+    append_lsh_store(b3, path)
+    probe = _corpus(spark, [("q0", t % "terms"),
+                            ("q1", "fresh quantum computing question")])
+
+    def pset(df):
+        return {tuple(r) for r in df.collect()}
+    before = pset(lsh_store_pairs(spark, probe, path, threshold=0.5))
+    stats = compact_lsh_store(spark, path)
+    after = pset(lsh_store_pairs(spark, probe, path, threshold=0.5))
+    assert before == after
+    # template sig spanned 3 batches (groups a0, b0, c0) + 2 uniques
+    assert stats == {"reps_before": 5, "reps_after": 3}
+    # q0 pairs with EVERY stored template member at est exactly 1.0
+    assert {("a0", "q0", 1.0), ("a1", "q0", 1.0),
+            ("b0", "q0", 1.0), ("c0", "q0", 1.0)} <= after
