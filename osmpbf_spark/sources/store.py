@@ -138,6 +138,92 @@ def read_ivf_topk(spark: SparkSession, path: str, queries: DataFrame,
             .select(query_id_col, id_col, "cos_sim", "rn"))
 
 
+def write_ivfpq_store(embeddings: DataFrame, centroids: DataFrame,
+                      codebooks: DataFrame, path: str, *,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> None:
+    """At-rest IVF-PQ layout (the production embedding-search shape —
+    Jégou et al. TPAMI 2011 §V): rows are (vec_id, codes) partitioned
+    by the vector's nearest COARSE centroid. The raw floats are not in
+    the store at all — a probe reads ~m bytes per vector (codes) from
+    only the probed cid partitions, vs 4·d bytes per vector from every
+    partition for a flat scan. At 100 TB of raw embeddings that is the
+    difference between a ~3 TB codes store and the full table.
+    Centroids + codebooks are the frozen constants every
+    :func:`read_ivfpq_topk` needs — persist them next to the store."""
+    from ..operators.knn import ivf_assign
+    from ..operators.pq import pq_encode
+    assign = ivf_assign(embeddings, centroids, 1,
+                        vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(embeddings, codebooks,
+                      vec_col=vec_col, id_col=id_col)
+    (codes.join(assign.select(id_col, "cid"), id_col)
+     .write.mode("overwrite").partitionBy("cid").parquet(path))
+
+
+def build_ivfpq_store(embeddings: DataFrame, k: int, m: int, ksub: int,
+                      path: str, *, iters: int = 4,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id"
+                      ) -> tuple[DataFrame, DataFrame]:
+    """Full offline IVF-PQ build: train the coarse quantizer and the m
+    per-subspace codebooks (both with the deterministic Lloyd trainer),
+    then write the cid-partitioned codes store. Returns (centroids,
+    codebooks). 100 TB note: both trainers run on a hash-sample
+    upstream; encode+write is the single full pass over the corpus."""
+    from ..operators.knn import train_centroids
+    from ..operators.pq import train_pq_codebooks
+    cent = train_centroids(embeddings, k, iters=iters,
+                           vec_col=vec_col, id_col=id_col)
+    books = train_pq_codebooks(embeddings, m, ksub, iters=iters,
+                               vec_col=vec_col, id_col=id_col)
+    write_ivfpq_store(embeddings, cent, books, path,
+                      vec_col=vec_col, id_col=id_col)
+    return cent, books
+
+
+def read_ivfpq_topk(spark: SparkSession, path: str, queries: DataFrame,
+                    k: int, centroids: DataFrame, codebooks: DataFrame,
+                    *, nprobe: int = 2, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """ANN over the at-rest IVF-PQ store → (query_id, vec_id, adist,
+    rn): each query probes its ``nprobe`` nearest coarse centroids'
+    partitions (plan-time partition pruning, same mechanics as
+    :func:`read_ivf_topk`) and ranks candidates by ADC over the stored
+    codes — the scan never touches raw vectors because the store holds
+    none. Deterministic: coarse assignment and ADC distances are
+    DECIMAL-routed with id tie-breaks. Plan shape: the codes scan joins
+    two BROADCAST dimensions (query→bucket map, per-query distance
+    table); the only shuffle is the (query_id, vec_id) partial-sum
+    aggregate."""
+    from ..operators.knn import ivf_assign
+    from ..operators.pq import pq_distance_table
+    from pyspark.sql import Window
+    q_assign = ivf_assign(queries, centroids, nprobe,
+                          vec_col=vec_col, id_col=query_id_col)
+    probed = [r["cid"] for r in
+              q_assign.select("cid").distinct().collect()]
+    dtab = F.broadcast(
+        pq_distance_table(queries, codebooks, vec_col=vec_col,
+                          query_id_col=query_id_col)
+        .withColumnRenamed("cid", "code"))
+    qbuckets = F.broadcast(q_assign.select(query_id_col,
+                                           F.col("cid").alias("_qcid")))
+    codes = (spark.read.parquet(path)
+             .filter(F.col("cid").isin(probed)))
+    pairs = (codes.join(qbuckets, codes["cid"] == qbuckets["_qcid"])
+             .select(query_id_col, id_col,
+                     F.posexplode("codes").alias("sub", "code"))
+             .join(dtab, [query_id_col, "sub", "code"])
+             .groupBy(query_id_col, id_col)
+             .agg(F.sum("pdist").alias("adist")))
+    win = Window.partitionBy(query_id_col).orderBy("adist", F.col(id_col))
+    return (pairs.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "adist", "rn"))
+
+
 # ---------------------------------------------------------------------------
 # At-rest LSH signature store (VERDICT r4 #2): incremental corpus-refresh
 # dedup. Real training pipelines dedup each NEW crawl against the existing

@@ -147,3 +147,52 @@ def test_bad_subspace_count_raises(corpus):
     df, _ = corpus
     with pytest.raises(ValueError, match="must divide"):
         train_pq_codebooks(df, 5, 4)
+
+
+def test_ivfpq_store_matches_numpy_mirror(corpus, tmp_path):
+    """build_ivfpq_store + read_ivfpq_topk vs an independent numpy
+    mirror of the whole serving pipeline (coarse probe → ADC rank), and
+    the two at-rest guarantees: the store holds codes only (no raw
+    vectors) and the probe scan partition-prunes on cid."""
+    from osmpbf_spark.sources.store import (
+        build_ivfpq_store,
+        read_ivfpq_topk,
+        scan_is_pruned,
+    )
+    df, x = corpus
+    spark = df.sparkSession
+    path = str(tmp_path / "ivfpq")
+    cent, books = build_ivfpq_store(df, 4, 4, 4, path, iters=2)
+    stored = spark.read.parquet(path)
+    assert sorted(stored.columns) == ["cid", "codes", "vec_id"]
+
+    queries = (df.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = read_ivfpq_topk(spark, path, queries, 5, cent, books, nprobe=2)
+    info = scan_is_pruned(got)
+    assert info["partition_filters"], info["plan"][:2000]
+
+    c = np.zeros((4, x.shape[1]))
+    for r in cent.collect():
+        c[r["cid"]] = r["cvec"]
+    dsub = x.shape[1] // 4
+    book = _codebook_array(books.collect(), 4, 4, dsub)
+    coarse = np.argmin(((x[:, None, :] - c[None]) ** 2).sum(-1), axis=1)
+    codes = np.stack([
+        np.argmin(((book[s][None] -
+                    x[:, s * dsub:(s + 1) * dsub, None].transpose(0, 2, 1))
+                   ** 2).sum(-1), axis=1)
+        for s in range(4)], axis=1)
+    expect = set()
+    for qid in range(3):
+        probes = np.argsort(((c - x[qid]) ** 2).sum(-1),
+                            kind="stable")[:2]
+        cand = [v for v in range(len(x)) if coarse[v] in probes]
+        adist = {v: sum(((x[qid, s * dsub:(s + 1) * dsub]
+                          - book[s][codes[v, s]]) ** 2).sum()
+                        for s in range(4)) for v in cand}
+        for rn, v in enumerate(sorted(cand,
+                                      key=lambda v: (adist[v], v))[:5]):
+            expect.add((qid, v, rn + 1))
+    assert {(r["query_id"], r["vec_id"], r["rn"])
+            for r in got.collect()} == expect
