@@ -1559,50 +1559,55 @@ def _duck_dec_dist2(a: str, b: str) -> str:
             f"(acc, t) -> CAST(acc + t AS DECIMAL(28,18)))")
 
 
-def _kmeans_cent_ctes(k: int, iters: int) -> str:
-    """Unrolled Lloyd k-means CTE chain ending in ``cent(cid, cvec)`` —
+def _kmeans_cent_ctes(k: int, iters: int, *, prefix: str = "k",
+                      vec: str = "embedding", out: str = "cent") -> str:
+    """Unrolled Lloyd k-means CTE chain ending in ``{out}(cid, cvec)`` —
     mirrors operators/knn.train_centroids step-for-step: Knuth-hash
     ordered init, DECIMAL(38,18) assignment distance with cid
     tie-break, DECIMAL-sum/DOUBLE-divide per-dim means, empty clusters
-    keep the previous centroid."""
+    keep the previous centroid. ``prefix`` namespaces the CTE names and
+    ``vec`` is the trained vector expression over ``embeddings`` — the
+    PQ leg renders one chain per subspace slice from this same
+    generator (defaults reproduce the kmeans-leg SQL byte-for-byte)."""
     from .operators.knn import (
         KMEANS_HASH_INMOD,
         KMEANS_HASH_MULT,
         KMEANS_HASH_OUTMOD,
     )
     im, mu, om = KMEANS_HASH_INMOD, KMEANS_HASH_MULT, KMEANS_HASH_OUTMOD
-    parts = [f"""kv AS (
-  SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+    p = prefix
+    parts = [f"""{p}v AS (
+  SELECT vec_id AS vid, [CAST(x AS DOUBLE) FOR x IN {vec}] AS v
   FROM embeddings),
-kinit AS (
+{p}init AS (
   SELECT vid, v,
          ROW_NUMBER() OVER (ORDER BY
            ((((vid % {im}) + {im}) % {im}) * {mu}) % {om}, vid) - 1 AS cid
-  FROM kv QUALIFY cid < {k}),
-kc0 AS (SELECT cid, v AS cvec FROM kinit)"""]
+  FROM {p}v QUALIFY cid < {k}),
+{p}c0 AS (SELECT cid, v AS cvec FROM {p}init)"""]
     for i in range(1, iters + 1):
         parts.append(f""",
-ka{i} AS (
+{p}a{i} AS (
   SELECT vid, v, cid FROM (
-    SELECT kv.vid, kv.v, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY kv.vid
-             ORDER BY {_duck_dec_dist2('kv.v', 'c.cvec')}, c.cid) AS rn
-    FROM kv, kc{i - 1} c) WHERE rn = 1),
-km{i} AS (
+    SELECT {p}v.vid, {p}v.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY {p}v.vid
+             ORDER BY {_duck_dec_dist2(f'{p}v.v', 'c.cvec')}, c.cid) AS rn
+    FROM {p}v, {p}c{i - 1} c) WHERE rn = 1),
+{p}m{i} AS (
   SELECT cid, dim, CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE)
          / COUNT(*) AS m
   FROM (SELECT cid, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
-        FROM ka{i})
+        FROM {p}a{i})
   GROUP BY cid, dim),
-kc{i} AS (
+{p}c{i} AS (
   SELECT p.cid, COALESCE(mm.cvec, p.cvec) AS cvec
-  FROM kc{i - 1} p LEFT JOIN (
+  FROM {p}c{i - 1} p LEFT JOIN (
     SELECT cid,
            [s['v'] FOR s IN
             list_sort(list(struct_pack(d := dim, v := m)))] AS cvec
-    FROM km{i} GROUP BY cid) mm ON mm.cid = p.cid)""")
+    FROM {p}m{i} GROUP BY cid) mm ON mm.cid = p.cid)""")
     parts.append(f""",
-cent AS (SELECT cid, cvec FROM kc{iters})""")
+{out} AS (SELECT cid, cvec FROM {p}c{iters})""")
     return "".join(parts)
 
 
@@ -1708,16 +1713,93 @@ def _ann_kmeans_leg(spark, sf_dir):
                     F.col("rn2").cast("long").alias("rn")))
 
 
+# PQ leg constants — embeddings are 64-dim; 4 subspaces of 16 dims, 4
+# codes each, 2 Lloyd iterations (kept small so the unrolled per-subspace
+# training CTEs stay tractable; queries = vec_id 30..32, disjoint from
+# the other legs' query ranges)
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DSUB = 4, 4, 2, 16
+
+
+def _pq_oracle() -> str:
+    """operators/pq.py mirrored step-for-step: one Lloyd CTE chain per
+    subspace slice (same generator as the kmeans leg), argmin encoding
+    with DECIMAL distance + cid tie-break, per-query ADC lookup table,
+    exact-decimal SUM, rank ascending with vec_id tie-break."""
+    chains = ",\n".join(
+        _kmeans_cent_ctes(
+            _PQ_KSUB, _PQ_ITERS, prefix=f"pq{s}",
+            vec=(f"list_slice(embedding, {1 + s * _PQ_DSUB}, "
+                 f"{(s + 1) * _PQ_DSUB})"),
+            out=f"pq{s}cent")
+        for s in range(_PQ_M))
+    cb_union = "\n  UNION ALL ".join(
+        f"SELECT {s} AS sub, cid, cvec FROM pq{s}cent"
+        for s in range(_PQ_M))
+    vals = ", ".join(f"({s})" for s in range(_PQ_M))
+    return f"""
+WITH {chains},
+pqcb AS (
+  {cb_union}),
+pqsv AS (
+  SELECT vec_id AS vid, s.sub,
+         [CAST(x AS DOUBLE) FOR x IN
+          list_slice(embedding, 1 + s.sub * {_PQ_DSUB},
+                     {_PQ_DSUB} + s.sub * {_PQ_DSUB})] AS sv
+  FROM embeddings, (VALUES {vals}) s(sub)),
+pqcodes AS (
+  SELECT vid, sub, cid AS code FROM (
+    SELECT v.vid, v.sub, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vid, v.sub
+             ORDER BY {_duck_dec_dist2('v.sv', 'c.cvec')}, c.cid) AS rn
+    FROM pqsv v JOIN pqcb c ON c.sub = v.sub) WHERE rn = 1),
+pqtab AS (
+  SELECT v.vid AS query_id, v.sub, c.cid AS code,
+         {_duck_dec_dist2('v.sv', 'c.cvec')} AS pdist
+  FROM pqsv v JOIN pqcb c ON c.sub = v.sub
+  WHERE v.vid >= 30 AND v.vid < 33),
+pqad AS (
+  SELECT t.query_id, c.vid AS vec_id, SUM(t.pdist) AS adist
+  FROM pqcodes c JOIN pqtab t ON t.sub = c.sub AND t.code = c.code
+  GROUP BY 1, 2),
+pqranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rn
+  FROM pqad)
+SELECT query_id, vec_id, rn FROM pqranked WHERE rn <= 3
+"""
+
+
+def _ann_pq_leg(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/pq.py): train 4
+    per-subspace codebooks with the deterministic Lloyd trainer, encode
+    the corpus to 4 codes/vector, rank by asymmetric distance. Every
+    step is DECIMAL-routed with id tie-breaks, so the DuckDB mirror is
+    exact with no rounding re-rank."""
+    from .operators.pq import pq_adc_topk, pq_encode, train_pq_codebooks
+    emb = _load(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, _PQ_M, _PQ_KSUB, iters=_PQ_ITERS)
+    codes = pq_encode(emb, books)
+    queries = (emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 33))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return (pq_adc_topk(codes, books, queries, 3)
+            .select("query_id", "vec_id",
+                    F.col("rn").cast("long").alias("rn")))
+
+
 def _ann_topk_oracle():
     return f"""
 WITH ivf AS ({_IVF_ORACLE}),
 lsh AS ({_lsh_topk_oracle()}),
-kme AS ({_KMEANS_ORACLE})
+kme AS ({_KMEANS_ORACLE}),
+pq AS ({_pq_oracle()})
 SELECT 'ivf' AS method, query_id, vec_id, rn FROM ivf
 UNION ALL
 SELECT 'lsh' AS method, query_id, vec_id, rn FROM lsh
 UNION ALL
 SELECT 'kmeans' AS method, query_id, vec_id, rn FROM kme
+UNION ALL
+SELECT 'pq' AS method, query_id, vec_id, rn FROM pq
 """
 
 
@@ -1727,9 +1809,10 @@ def q_ann_topk(spark, sf_dir):
     the driver checks at most 50 registry entries, so the former
     ``ann_ivf_topk`` + ``ann_lsh_topk`` queries are folded into a single
     union tagged by ``method``; round 4 adds the trained-centroid IVF
-    leg). Each leg keeps its full step-for-step DuckDB CTE oracle;
-    determinism arguments unchanged (frozen planes / pinned or
-    deterministically-trained centroids, ROUND(cs,4) re-rank, vec_id
+    leg, round 5 the product-quantization ADC leg). Each leg keeps its
+    full step-for-step DuckDB CTE oracle; determinism arguments
+    unchanged (frozen planes / pinned or deterministically-trained
+    centroids, ROUND(cs,4) re-rank or exact-decimal ADC, vec_id
     tie-break)."""
     ivf = _ann_ivf_leg(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "vec_id", "rn")
@@ -1737,7 +1820,9 @@ def q_ann_topk(spark, sf_dir):
         F.lit("lsh").alias("method"), "query_id", "vec_id", "rn")
     kme = _ann_kmeans_leg(spark, sf_dir).select(
         F.lit("kmeans").alias("method"), "query_id", "vec_id", "rn")
-    return ivf.unionByName(lsh).unionByName(kme)
+    pq = _ann_pq_leg(spark, sf_dir).select(
+        F.lit("pq").alias("method"), "query_id", "vec_id", "rn")
+    return ivf.unionByName(lsh).unionByName(kme).unionByName(pq)
 
 
 def all_queries():
