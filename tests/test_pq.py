@@ -171,6 +171,9 @@ def test_ivfpq_store_matches_numpy_mirror(corpus, tmp_path):
     got = read_ivfpq_topk(spark, path, queries, 5, cent, books, nprobe=2)
     info = scan_is_pruned(got)
     assert info["partition_filters"], info["plan"][:2000]
+    # codes-side joins must both be broadcasts (PLANS.md "IVF-PQ probe")
+    assert "BroadcastHashJoin" in info["plan"]
+    assert "SortMergeJoin" not in info["plan"]
 
     c = np.zeros((4, x.shape[1]))
     for r in cent.collect():

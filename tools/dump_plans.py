@@ -161,6 +161,26 @@ def main():
             "BroadcastHashJoin on cid.",
             fmt_exec(ivf, max_lines=40)))
 
+        from osmpbf_spark.sources.store import (
+            read_ivfpq_topk,
+            write_ivfpq_store,
+        )
+        from osmpbf_spark.operators.pq import train_pq_codebooks
+        books = train_pq_codebooks(emb, 4, 4, iters=1)
+        ivfpq_path = os.path.join(tmp, "ivfpq")
+        write_ivfpq_store(emb, cent, books, ivfpq_path)
+        ivfpq = read_ivfpq_topk(spark, ivfpq_path, qs, 3, cent, books,
+                                nprobe=2)
+        ivfpq.collect()
+        sections.append((
+            "IVF-PQ probe over the codes-only at-rest store",
+            "same PartitionFilters pruning as the IVF store, but the "
+            "scan reads (vec_id, codes) — no raw vectors at rest; the "
+            "per-query ADC lookup table and the query→bucket map are "
+            "both BroadcastHashJoins, and the only shuffle is the "
+            "(query_id, vec_id) partial-sum aggregate.",
+            fmt_exec(ivfpq, max_lines=46)))
+
         lsh_path = os.path.join(tmp, "lsh")
         corpus = spark.range(64).select(
             F.col("id").cast("string").alias("doc_id"),
