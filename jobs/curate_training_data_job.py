@@ -95,6 +95,13 @@ def main():
                     "exceeds this (Gopher-style boilerplate gate)")
     ap.add_argument("--keep-langs", default="",
                     help="comma-separated language codes; empty = all")
+    ap.add_argument("--refresh-stores", default="",
+                    help="directory holding the at-rest dedup stores "
+                    "(hash/ + lsh/). First run bootstraps them from "
+                    "this corpus; later runs treat --documents as a "
+                    "NEW crawl — dedup it against the stores and "
+                    "append the survivors, never re-hashing or "
+                    "re-signing the existing corpus")
     ap.add_argument("--lsh-max-bucket", type=int, default=10_000,
                     help="degenerate-LSH-bucket cap (representatives "
                     "per band bucket); overflowing buckets are skipped "
@@ -149,29 +156,91 @@ def main():
     # near-dup over the survivors — both anti-join a small drop list so
     # document payloads never shuffle
     dedup_path = os.path.join(args.out, "deduped")
-    dedup_params = {"lsh_max_bucket": args.lsh_max_bucket}
+    dedup_params = {"lsh_max_bucket": args.lsh_max_bucket,
+                    "refresh_stores": args.refresh_stores}
     overflow_sidecar = dedup_path.rstrip("/") + ".overflow.json"
     if not (args.resume and _stage_done(dedup_path, dedup_params)):
         t0 = time.time()
-        # exact survivors feed BOTH the near-dup pass and the overflow
-        # audit — persist so the md5 groupBy + anti-join run once
-        # (review r5: the unpersisted form paid exact dedup three times
-        # and the signature pipeline twice)
-        exact = dedup_documents(docs, method="exact").persist()
-        try:
-            near = dedup_documents(exact, method="minhash",
-                                   max_bucket=args.lsh_max_bucket)
-            near.write.mode("overwrite").parquet(dedup_path)
+        if args.refresh_stores:
+            # corpus-refresh mode: dedup THIS input against the at-rest
+            # stores (hash = exact, lsh = near-dup), then append the
+            # survivors — the existing corpus is never re-hashed or
+            # re-signed. The param sidecar is written AFTER the appends:
+            # a crash between the stage write and the appends leaves no
+            # sidecar, so the stage re-runs whole (hash re-appends are
+            # existence-idempotent; redundant LSH rows are correct and
+            # reclaimed by compact_lsh_store).
+            from osmpbf_spark.sources.store import (
+                append_hash_store,
+                append_lsh_store,
+                dedup_against_store,
+                dedup_exact_against_store,
+                lsh_store_bucket_overflow,
+                write_hash_store,
+                write_lsh_store,
+            )
+            hs = os.path.join(args.refresh_stores, "hash")
+            ls = os.path.join(args.refresh_stores, "lsh")
+            bootstrap = not os.path.exists(
+                os.path.join(hs, "_hash_meta.json"))
+            if bootstrap:
+                exact = dedup_documents(docs, method="exact").persist()
+                try:
+                    near = dedup_documents(
+                        exact, method="minhash",
+                        max_bucket=args.lsh_max_bucket)
+                    near.write.mode("overwrite").parquet(dedup_path)
+                    metrics["lsh_overflow_buckets"] = \
+                        minhash_bucket_overflow(
+                            exact,
+                            max_bucket=args.lsh_max_bucket).count()
+                finally:
+                    exact.unpersist()
+                survivors = spark.read.parquet(dedup_path)
+                write_hash_store(survivors, hs)
+                write_lsh_store(survivors, ls)
+                metrics["refresh_mode"] = "bootstrap"
+            else:
+                exact = dedup_exact_against_store(
+                    spark, docs, hs).persist()
+                try:
+                    near = dedup_against_store(
+                        spark, exact, ls,
+                        max_bucket=args.lsh_max_bucket)
+                    near.write.mode("overwrite").parquet(dedup_path)
+                    metrics["lsh_overflow_buckets"] = \
+                        lsh_store_bucket_overflow(
+                            spark, exact, ls,
+                            max_bucket=args.lsh_max_bucket).count()
+                finally:
+                    exact.unpersist()
+                survivors = spark.read.parquet(dedup_path)
+                append_hash_store(survivors, hs)
+                append_lsh_store(survivors, ls)
+                metrics["refresh_mode"] = "incremental"
             _write_params(dedup_path, dedup_params)
             metrics["dedup_sec"] = round(time.time() - t0, 2)
-            # loud degenerate-bucket audit (VERDICT r4 #1): buckets the
-            # cap excluded from pairing — non-zero means near-identical
-            # templates blew past signature-group compression and some
-            # near-dups may have survived dedup
-            metrics["lsh_overflow_buckets"] = minhash_bucket_overflow(
-                exact, max_bucket=args.lsh_max_bucket).count()
-        finally:
-            exact.unpersist()
+        else:
+            # exact survivors feed BOTH the near-dup pass and the
+            # overflow audit — persist so the md5 groupBy + anti-join
+            # run once (review r5: the unpersisted form paid exact
+            # dedup three times and the signature pipeline twice)
+            exact = dedup_documents(docs, method="exact").persist()
+            try:
+                near = dedup_documents(exact, method="minhash",
+                                       max_bucket=args.lsh_max_bucket)
+                near.write.mode("overwrite").parquet(dedup_path)
+                _write_params(dedup_path, dedup_params)
+                metrics["dedup_sec"] = round(time.time() - t0, 2)
+                # loud degenerate-bucket audit (VERDICT r4 #1): buckets
+                # the cap excluded from pairing — non-zero means
+                # near-identical templates blew past signature-group
+                # compression and some near-dups may have survived
+                metrics["lsh_overflow_buckets"] = \
+                    minhash_bucket_overflow(
+                        exact, max_bucket=args.lsh_max_bucket).count()
+            finally:
+                exact.unpersist()
         # persist the audit next to the stage so --resume re-emits it
         # (review r5: a resumed run silently omitted the one metric
         # that flags silently-skipped near-dups)

@@ -633,3 +633,168 @@ def dedup_against_store(spark: SparkSession, new_docs: DataFrame,
                    .select(F.col("node").alias(id_col)))
     drop = vs_old.unionByName(non_keepers).distinct()
     return new_docs.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# At-rest content-hash store: incremental EXACT dedup. The byte-identical
+# counterpart of the LSH signature store above — real corpus refreshes run
+# exact dedup of each new crawl against the existing corpus FIRST (it is
+# ~free and removes the bulk), then near-dup dedup on what remains. The
+# store holds one (content_hash, keeper) row per distinct document text,
+# hash-bucketed so a probe prunes partitions; at 10^12 documents the table
+# is ~24 bytes/distinct-doc — a per-mille of corpus bytes — and the corpus
+# itself is never re-hashed or shuffled.
+# ---------------------------------------------------------------------------
+
+
+def _hash_meta_path(path: str) -> str:
+    import os
+    return os.path.join(path, "_hash_meta.json")
+
+
+def _content_hashes(docs: DataFrame, *, text_col: str, id_col: str,
+                    n_buckets: int) -> DataFrame:
+    """(id_col, content_hash, hb): md5 of the text (the exact_dups key)
+    plus the store's hash bucket — pmod(xxhash64) so bucket skew is
+    uniform regardless of text distribution."""
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_hash")).withColumn(
+        "hb", F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)))
+
+
+def write_hash_store(docs: DataFrame, path: str, *, n_buckets: int = 256,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> None:
+    """Write the at-rest exact-dedup store for ``docs``: ONE row per
+    DISTINCT text — (content_hash, keeper = MIN doc id), partitioned by
+    ``hb = pmod(xxhash64(content_hash), n_buckets)``.
+
+    Layout mirrors the LSH store: partition pruning serves probes that
+    touch few buckets (spot lookups, small crawl shards); full-crawl
+    probes scan every bucket but each holds only 24-byte hash rows, not
+    documents. One shuffle (the hash groupBy), AQE-coalesced; the
+    repartition before write keeps ~one file per bucket dir (same tiny-
+    files lesson as write_lsh_store — at 100 TB raise the partition
+    count to target 100 MB–1 GB files per bucket)."""
+    import json
+
+    import os
+    h = _content_hashes(docs, text_col=text_col, id_col=id_col,
+                        n_buckets=n_buckets)
+    (h.groupBy("content_hash", "hb")
+     .agg(F.min(id_col).alias("keeper"))
+     .repartition(n_buckets, "hb")
+     .write.mode("overwrite").partitionBy("hb")
+     .parquet(os.path.join(path, "hashes")))
+    with open(_hash_meta_path(path), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+
+
+def append_hash_store(docs: DataFrame, path: str, *,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Append a new batch's distinct hashes (run AFTER
+    :func:`dedup_exact_against_store` decided what to keep, on the
+    SURVIVORS — so cross-batch duplicate hashes cannot arise in normal
+    operation; a hash appended twice anyway stays correct at probe time
+    because the probe's semi-join only asks existence, and
+    :func:`compact_hash_store` restores the one-row invariant)."""
+    import json
+    import os
+    with open(_hash_meta_path(path)) as f:
+        meta = json.load(f)
+    h = _content_hashes(docs, text_col=text_col, id_col=id_col,
+                        n_buckets=meta["n_buckets"])
+    (h.groupBy("content_hash", "hb")
+     .agg(F.min(id_col).alias("keeper"))
+     .repartition(meta["n_buckets"], "hb")
+     .write.mode("append").partitionBy("hb")
+     .parquet(os.path.join(path, "hashes")))
+
+
+def hash_store_hits(spark: SparkSession, new_docs: DataFrame, path: str,
+                    *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """New documents whose text already exists in the stored corpus →
+    (doc_id, content_hash, keeper = the stored winner).
+
+    Probe shape (the 100 TB story): the new crawl's distinct ``hb``
+    values prune the store's partitions (PartitionFilters — decisive for
+    small probes); the pruned scan then left-semi-joins a BROADCAST of
+    the new crawl's distinct hashes, so the store is filtered to the
+    (tiny) matched set without ever shuffling, and the matches broadcast
+    back onto the new side. Document payloads appear in no join."""
+    import functools
+    import json
+    import os
+    with open(_hash_meta_path(path)) as f:
+        meta = json.load(f)
+    newh = _content_hashes(new_docs, text_col=text_col, id_col=id_col,
+                           n_buckets=meta["n_buckets"])
+    probe_hb = [r["hb"] for r in newh.select("hb").distinct().collect()]
+    probe_pred = functools.reduce(
+        lambda acc, b: acc | (F.col("hb") == b), probe_hb, F.lit(False))
+    store = (spark.read.parquet(os.path.join(path, "hashes"))
+             .filter(probe_pred))
+    new_hashes = F.broadcast(newh.select("content_hash").distinct())
+    matched = F.broadcast(
+        store.join(new_hashes, "content_hash", "left_semi")
+        .groupBy("content_hash").agg(F.min("keeper").alias("keeper")))
+    return (newh.join(matched, "content_hash")
+            .select(id_col, "content_hash", "keeper"))
+
+
+def dedup_exact_against_store(spark: SparkSession, new_docs: DataFrame,
+                              path: str, *, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """The corpus-refresh EXACT dedup step: new documents surviving
+    byte-identical dedup against the stored corpus and each other.
+    Stored documents always win; among new-only duplicate groups the
+    MIN doc id is kept — identical semantics to
+    ``dedup_documents(old ∪ new, method="exact")`` restricted to the
+    new side, at the cost of hashing only the new crawl (tested as an
+    identity). Follow with :func:`append_hash_store` on the survivors
+    to complete the refresh cycle."""
+    import json
+
+    from pyspark.sql import Window
+    with open(_hash_meta_path(path)) as f:
+        meta = json.load(f)
+    newh = _content_hashes(new_docs, text_col=text_col, id_col=id_col,
+                           n_buckets=meta["n_buckets"])
+    vs_old = hash_store_hits(spark, new_docs, path, text_col=text_col,
+                             id_col=id_col).select(id_col)
+    # new-only duplicate groups: min id per hash keeps itself
+    intra = (newh.withColumn(
+        "_keep", F.min(id_col).over(Window.partitionBy("content_hash")))
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col))
+    drop = vs_old.unionByName(intra).distinct()
+    return new_docs.join(drop, id_col, "left_anti")
+
+
+def compact_hash_store(spark: SparkSession, path: str) -> dict:
+    """Maintenance compaction: restore the one-row-per-hash invariant
+    after out-of-band appends (merged keeper = MIN, the global winner),
+    rewriting in the same bucketed layout. Probe results are identical
+    before and after up to the keeper choice, which compaction makes
+    the global minimum. Returns {"rows_before", "rows_after"}."""
+    import json
+    import os
+    import shutil
+    with open(_hash_meta_path(path)) as f:
+        meta = json.load(f)
+    hp = os.path.join(path, "hashes")
+    cur = spark.read.parquet(hp)
+    n_before = cur.count()
+    merged = (cur.groupBy("content_hash", "hb")
+              .agg(F.min("keeper").alias("keeper"))
+              .select("content_hash", "keeper", "hb"))
+    tmp = hp + ".compact"
+    (merged.repartition(meta["n_buckets"], "hb")
+     .write.mode("overwrite").partitionBy("hb").parquet(tmp))
+    n_after = spark.read.parquet(tmp).count()
+    shutil.rmtree(hp)
+    os.rename(tmp, hp)
+    return {"rows_before": n_before, "rows_after": n_after}

@@ -97,3 +97,58 @@ def test_stage_params_sidecar(tmp_path):
     # corrupt sidecar → treated as stale, not an exception
     (stage / "..").joinpath("curated.params.json").write_text("{oops")
     assert not _stage_done(str(stage), params)
+
+
+def test_curate_job_refresh_stores_cycle(spark, tmp_path):
+    """--refresh-stores: first run bootstraps the at-rest hash + LSH
+    stores from the corpus; the second run treats its input as a NEW
+    crawl — exact/near dups of the STORED corpus are dropped without
+    re-signing it, survivors are appended."""
+    base = ("the quick brown fox jumps over the lazy dog in the %s "
+            "while the sun is shining bright over the green hills")
+    crawl1 = [("c1%02d" % i, t) for i, t in enumerate([
+        base % "park", base % "park",              # exact dup pair
+        base % "yard",                             # near-dup of park
+        "completely different text about deep sea fish and light",
+    ])]
+    crawl2 = [("c2%02d" % i, t) for i, t in enumerate([
+        base % "park",                             # exact dup of stored
+        base % "yard",                             # near-dup of stored
+        "fresh second crawl text about mountain goats and cold wind",
+        "fresh second crawl text about mountain goats and cold wind",
+    ])]
+    stores = str(tmp_path / "stores")
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    spark.createDataFrame(crawl1, "doc_id string, text string") \
+        .write.parquet(d1)
+    spark.createDataFrame(crawl2, "doc_id string, text string") \
+        .write.parquet(d2)
+
+    def run(docs, out):
+        r = subprocess.run(
+            [sys.executable, "jobs/curate_training_data_job.py",
+             "--documents", docs, "--out", out,
+             "--refresh-stores", stores],
+            cwd=REPO, capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    m1 = run(d1, str(tmp_path / "out1"))
+    assert m1["refresh_mode"] == "bootstrap"
+    # exact dup c101 dropped, near-dup c102 clustered with c100 →
+    # keepers c100 + c103
+    assert m1["after_dedup"] == 2
+    m2 = run(d2, str(tmp_path / "out2"))
+    assert m2["refresh_mode"] == "incremental"
+    # c200 exact-dups stored c100; c201 near-dups it; c203 exact-dups
+    # c202 within the crawl → only c202 survives
+    assert m2["after_dedup"] == 1
+    kept = spark.read.parquet(str(tmp_path / "out2" / "deduped"))
+    assert [r["doc_id"] for r in kept.collect()] == ["c202"]
+    # survivors were appended: a third crawl repeating c202 drops it
+    d3, out3 = str(tmp_path / "d3"), str(tmp_path / "out3")
+    spark.createDataFrame(
+        [("c300", "fresh second crawl text about mountain goats and "
+          "cold wind")], "doc_id string, text string").write.parquet(d3)
+    m3 = run(d3, out3)
+    assert m3["after_dedup"] == 0

@@ -490,3 +490,109 @@ def test_lsh_store_compaction_merges_cross_batch_groups(
     # q0 pairs with EVERY stored template member at est exactly 1.0
     assert {("a0", "q0", 1.0), ("a1", "q0", 1.0),
             ("b0", "q0", 1.0), ("c0", "q0", 1.0)} <= after
+
+
+# ---------------------------------------------------------------------------
+# at-rest content-hash store (exact-dedup refresh counterpart of the LSH
+# store)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hash_corpora(spark):
+    old = [("a%02d" % i, t) for i, t in enumerate([
+        "alpha text one", "alpha text one",       # internal exact dup
+        "beta text two", "gamma text three",
+    ])]
+    new = [("b%02d" % i, t) for i, t in enumerate([
+        "alpha text one",                          # dup of stored a00
+        "delta text four", "delta text four",      # new-only dup group
+        "epsilon text five",                       # fresh unique
+    ])]
+    return old, new
+
+
+def test_hash_store_dedup_matches_full_recompute(spark, tmp_path_factory,
+                                                 hash_corpora):
+    from osmpbf_spark.operators.dedup import dedup_documents
+    from osmpbf_spark.sources.store import (
+        dedup_exact_against_store,
+        write_hash_store,
+    )
+    old_rows, new_rows = hash_corpora
+    old, new = _corpus(spark, old_rows), _corpus(spark, new_rows)
+    path = str(tmp_path_factory.mktemp("hashstore") / "store")
+    write_hash_store(old, path, n_buckets=16)
+    surv = dedup_exact_against_store(spark, new, path)
+    got = {r["doc_id"] for r in surv.collect()}
+    # identity: full-union exact dedup restricted to the new side
+    full = dedup_documents(old.unionByName(new), method="exact")
+    want = {r["doc_id"] for r in full.collect() if r["doc_id"][0] == "b"}
+    assert got == want == {"b01", "b03"}
+
+
+def test_hash_store_hits_report_stored_keeper(spark, tmp_path_factory,
+                                              hash_corpora):
+    from osmpbf_spark.sources.store import hash_store_hits, write_hash_store
+    old_rows, new_rows = hash_corpora
+    old, new = _corpus(spark, old_rows), _corpus(spark, new_rows)
+    path = str(tmp_path_factory.mktemp("hashstore2") / "store")
+    write_hash_store(old, path, n_buckets=16)
+    hits = {(r["doc_id"], r["keeper"])
+            for r in hash_store_hits(spark, new, path).collect()}
+    # b00 duplicates the a00/a01 group whose stored keeper is a00
+    assert hits == {("b00", "a00")}
+
+
+def test_hash_store_probe_is_partition_pruned_and_broadcast(
+        spark, tmp_path_factory, hash_corpora):
+    from osmpbf_spark.sources.store import (
+        hash_store_hits,
+        scan_is_pruned,
+        write_hash_store,
+    )
+    old_rows, new_rows = hash_corpora
+    old = _corpus(spark, old_rows)
+    # single-doc probe: prunes to one hb partition
+    new = _corpus(spark, [("b00", "alpha text one")])
+    path = str(tmp_path_factory.mktemp("hashstore3") / "store")
+    write_hash_store(old, path, n_buckets=16)
+    res = hash_store_hits(spark, new, path)
+    info = scan_is_pruned(res)
+    assert info["partition_filters"]
+    assert "BroadcastHashJoin" in info["plan"]
+    # the store side must not shuffle: no hashpartitioning exchange
+    # feeds the store scan's join (broadcast legs only)
+    assert res.collect()[0]["keeper"] == "a00"
+
+
+def test_hash_store_append_and_compact_cycle(spark, tmp_path_factory,
+                                             hash_corpora):
+    import os
+    from osmpbf_spark.sources.store import (
+        append_hash_store,
+        compact_hash_store,
+        dedup_exact_against_store,
+        write_hash_store,
+    )
+    old_rows, new_rows = hash_corpora
+    old, new = _corpus(spark, old_rows), _corpus(spark, new_rows)
+    path = str(tmp_path_factory.mktemp("hashstore4") / "store")
+    write_hash_store(old, path, n_buckets=16)
+    surv = dedup_exact_against_store(spark, new, path)
+    append_hash_store(surv, path)
+    # the appended survivors are now stored: re-probing the same crawl
+    # keeps nothing (all hashes exist, stored side wins)
+    again = dedup_exact_against_store(spark, new, path)
+    assert again.count() == 0
+    # out-of-band duplicate append, then compaction restores the
+    # one-row-per-hash invariant with the global-min keeper
+    append_hash_store(_corpus(spark, [("z99", "alpha text one")]), path)
+    stats = compact_hash_store(spark, path)
+    assert stats["rows_after"] < stats["rows_before"]
+    hashes = spark.read.parquet(os.path.join(path, "hashes"))
+    per = (hashes.groupBy("content_hash").count()
+           .filter("count > 1").count())
+    assert per == 0
+    row = (hashes.filter("keeper in ('a00','z99')").collect())
+    assert {r["keeper"] for r in row} == {"a00"}
