@@ -106,6 +106,13 @@ def main():
                     help="degenerate-LSH-bucket cap (representatives "
                     "per band bucket); overflowing buckets are skipped "
                     "and reported as lsh_overflow_buckets")
+    ap.add_argument("--mix-langs", default="",
+                    help="language mixture targets as lang:frac pairs "
+                    "(e.g. 'en:0.7,de:0.3'); with --mix-budget, "
+                    "deterministically sample the curated corpus so "
+                    "each language contributes ≈ frac·budget tokens")
+    ap.add_argument("--mix-budget", type=int, default=0,
+                    help="total token budget for --mix-langs")
     ap.add_argument("--ivf-k", type=int, default=8)
     ap.add_argument("--pack-budget", type=int, default=0,
                     help="if set, pack curated docs into fixed token "
@@ -299,6 +306,35 @@ def main():
     metrics["total_tokens"] = curated.agg(
         F.sum("n_tokens")).collect()[0][0]
 
+    # 4b) optional language mixing: deterministic weighted sampling so
+    # each language lands ≈ frac·budget tokens (rates from ONE tiny
+    # per-lang aggregate; the row filter is a hash threshold — payloads
+    # never shuffle, and a smaller budget's sample nests in a larger's)
+    mixed = curated
+    if args.mix_langs and args.mix_budget:
+        from osmpbf_spark.functions.sampling import mix_corpus
+        targets = {k.strip(): float(v) for k, v in
+                   (p.split(":") for p in args.mix_langs.split(","))}
+        mix_path = os.path.join(args.out, "mixed")
+        mix_params = {"mix_langs": args.mix_langs,
+                      "mix_budget": args.mix_budget}
+        mix_sidecar = mix_path.rstrip("/") + ".report.json"
+        if not (args.resume and _stage_done(mix_path, mix_params)):
+            t0 = time.time()
+            sampled, rep = mix_corpus(curated, "lang", "n_tokens",
+                                      targets, args.mix_budget)
+            sampled.write.mode("overwrite").parquet(mix_path)
+            _write_params(mix_path, mix_params)
+            with open(mix_sidecar, "w") as f:
+                json.dump(rep, f)
+            metrics["mix_sec"] = round(time.time() - t0, 2)
+        with open(mix_sidecar) as f:
+            metrics["mix_report"] = json.load(f)
+        mixed = spark.read.parquet(mix_path)
+        metrics["after_mix"] = mixed.count()
+        metrics["mix_tokens"] = mixed.agg(
+            F.sum("n_tokens")).collect()[0][0]
+
     # 5) media features (real pure-numpy codecs through mapInArrow)
     if args.media:
         from osmpbf_spark.operators.multimodal import (
@@ -346,11 +382,15 @@ def main():
     if args.pack_budget:
         from osmpbf_spark.operators.packing import pack_sequences
         packed_path = os.path.join(args.out, "packed")
+        # mix params included: a different mixture changes the packing
+        # INPUT, so a resume under new mix settings must re-pack
         pack_params = {"pack_budget": args.pack_budget,
-                       "pack_strata": args.pack_strata}
+                       "pack_strata": args.pack_strata,
+                       "mix_langs": args.mix_langs,
+                       "mix_budget": args.mix_budget}
         if not (args.resume and _stage_done(packed_path, pack_params)):
             t0 = time.time()
-            (pack_sequences(curated, args.pack_budget,
+            (pack_sequences(mixed, args.pack_budget,
                             n_strata=args.pack_strata,
                             token_count_col="n_tokens")
              .write.mode("overwrite").parquet(packed_path))

@@ -152,3 +152,32 @@ def test_curate_job_refresh_stores_cycle(spark, tmp_path):
           "cold wind")], "doc_id string, text string").write.parquet(d3)
     m3 = run(d3, out3)
     assert m3["after_dedup"] == 0
+
+
+def test_curate_job_mix_stage_and_resume_invalidation(tmp_path):
+    """--mix-langs/--mix-budget: the mixture stage samples per-language
+    token shares and reports shortfalls; changing the budget on --resume
+    must re-run BOTH the mix stage and the packing stage that consumes
+    its output (stale-input invalidation via the param sidecars)."""
+    out = str(tmp_path / "curated")
+    cmd = [sys.executable, "jobs/curate_training_data_job.py",
+           "--documents", "/root/testdata/sf0.001/documents.parquet",
+           "--out", out, "--mix-langs", "en:0.6", "--pack-budget", "512"]
+    r1 = subprocess.run(cmd + ["--mix-budget", "20000"], cwd=REPO,
+                        capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert m1["mix_report"]["en"]["shortfall"] == 0
+    assert 0 < m1["after_mix"] < m1["after_quality_gate"]
+    # want 12000 of 22719 available en tokens; document-level sampling
+    # lands within ~15%
+    assert abs(m1["mix_tokens"] - 12000) / 12000 < 0.15
+    r2 = subprocess.run(cmd + ["--mix-budget", "10000", "--resume"],
+                        cwd=REPO, capture_output=True, text=True,
+                        timeout=600)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert "dedup_sec" not in m2                   # untouched stage skipped
+    assert "mix_sec" in m2 and "pack_sec" in m2    # both re-ran
+    # monotone sampling: the smaller budget's docs nest in the larger's
+    assert m2["after_mix"] < m1["after_mix"]

@@ -199,3 +199,36 @@ def test_ivfpq_store_matches_numpy_mirror(corpus, tmp_path):
             expect.add((qid, v, rn + 1))
     assert {(r["query_id"], r["vec_id"], r["rn"])
             for r in got.collect()} == expect
+
+
+def test_adc_rerank_operator_matches_numpy(corpus, trained):
+    """pq_adc_rerank_topk == numpy: ADC shortlist (default 10·k), then
+    exact-L2 re-rank with vec_id tie-break."""
+    from osmpbf_spark.operators.pq import pq_adc_rerank_topk
+    df, x = corpus
+    cb, codes = trained
+    m, ksub, dsub = 4, 4, x.shape[1] // 4
+    book = _codebook_array(cb.collect(), m, ksub, dsub)
+    queries = (df.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    k = 3
+    got = {}
+    for r in pq_adc_rerank_topk(codes, cb, queries, df, k).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rn"], r["vec_id"], r["d2"]))
+    # numpy mirror: ADC over codes → top-30 shortlist → exact d2 top-3
+    codes_np = np.array([r["codes"] for r in
+                         codes.orderBy("vec_id").collect()])
+    recon = np.stack([np.concatenate([book[s, codes_np[i, s]]
+                                      for s in range(m)])
+                      for i in range(len(x))])
+    for qid in range(5):
+        adist = ((recon - x[qid]) ** 2).sum(axis=1)
+        short = sorted(range(len(x)),
+                       key=lambda v: (adist[v], v))[:10 * k]
+        d2 = ((x - x[qid]) ** 2).sum(axis=1)
+        want = sorted(short, key=lambda v: (d2[v], v))[:k]
+        rows = sorted(got[qid])
+        assert [v for _, v, _ in rows] == want, qid
+        for rn, v, d in rows:
+            assert abs(d - d2[v]) < 1e-9

@@ -526,3 +526,70 @@ def test_candidate_edges_equal_closure_with_pairs(spark):
     cc_edges = {(r["node"], r["label"]) for r in
                 connected_components(edges, "doc_a", "doc_b").collect()}
     assert cc_pairs == cc_edges and len(cc_pairs) == 8
+
+
+def test_weighted_sample_monotone_and_partitioning_independent(spark):
+    from osmpbf_spark.functions.sampling import weighted_sample
+    df1 = spark.range(5000).select(F.col("id").cast("string").alias("k")) \
+        .repartition(1)
+    df8 = df1.repartition(8)
+
+    def keep(df, rate):
+        return {r["k"] for r in weighted_sample(df, "k", rate).collect()}
+
+    a, b = keep(df1, 0.3), keep(df8, 0.3)
+    assert a == b                                  # cluster-size invariant
+    assert keep(df1, 0.1) <= a <= keep(df1, 0.6)   # monotone nesting
+    assert 0.25 < len(a) / 5000 < 0.35             # calibrated rate
+    # independent draws under a different salt
+    c = {r["k"] for r in weighted_sample(df1, "k", 0.3,
+                                         salt="v2").collect()}
+    assert c != a and 0.25 < len(c) / 5000 < 0.35
+
+
+def test_mix_corpus_hits_target_token_fractions(spark):
+    from osmpbf_spark.functions.sampling import mix_corpus
+    # three "sources": web is abundant, code scarcer, books tiny
+    rows = []
+    for i in range(4000):
+        rows.append((f"w{i}", "web", 100))
+    for i in range(1000):
+        rows.append((f"c{i}", "code", 100))
+    for i in range(50):
+        rows.append((f"b{i}", "books", 100))
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tokens long")
+    budget = 200_000
+    sampled, rep = mix_corpus(
+        docs, "source", "n_tokens",
+        {"web": 0.5, "code": 0.4, "books": 0.1}, budget)
+    got = {r["source"]: r["toks"] for r in
+           sampled.groupBy("source")
+           .agg(F.sum("n_tokens").alias("toks")).collect()}
+    # web: want 100k of 400k → rate .25; code: want 80k of 100k → .8
+    assert abs(got["web"] - 100_000) / 100_000 < 0.1
+    assert abs(got["code"] - 80_000) / 80_000 < 0.1
+    # books cannot fill its 20k share: rate clamps, shortfall reported
+    assert rep["books"]["rate"] == 1.0
+    assert got["books"] == 5_000
+    assert rep["books"]["shortfall"] == 15_000
+    assert rep["web"]["shortfall"] == 0
+    # monotone in budget: the half-budget mix nests inside
+    half, _ = mix_corpus(docs, "source", "n_tokens",
+                         {"web": 0.5, "code": 0.4, "books": 0.1},
+                         budget // 2)
+    hs = {r["doc_id"] for r in half.collect()}
+    fs = {r["doc_id"] for r in sampled.collect()}
+    assert hs <= fs
+
+
+def test_mix_corpus_rejects_bad_targets(spark):
+    from osmpbf_spark.functions.sampling import mix_corpus
+    docs = spark.createDataFrame([("d", "web", 10)],
+                                 "doc_id string, source string, "
+                                 "n_tokens long")
+    with pytest.raises(ValueError):
+        mix_corpus(docs, "source", "n_tokens", {"web": 1.2}, 100)
+    with pytest.raises(ValueError):
+        mix_corpus(docs, "source", "n_tokens",
+                   {"web": 0.7, "code": 0.6}, 100)
