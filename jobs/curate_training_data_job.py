@@ -174,9 +174,13 @@ def main():
             # survivors — the existing corpus is never re-hashed or
             # re-signed. The param sidecar is written AFTER the appends:
             # a crash between the stage write and the appends leaves no
-            # sidecar, so the stage re-runs whole (hash re-appends are
-            # existence-idempotent; redundant LSH rows are correct and
-            # reclaimed by compact_lsh_store).
+            # sidecar, so the stage re-runs whole. The re-run is safe
+            # because the probes are idempotent for already-appended
+            # survivors: a document that is its own stored hash keeper
+            # is not a duplicate of itself, and LSH pair expansion
+            # excludes self-pairs — so the same survivors come back,
+            # re-appends are existence-idempotent (hash) or redundant
+            # rows reclaimed by compact_lsh_store (lsh).
             from osmpbf_spark.sources.store import (
                 append_hash_store,
                 append_lsh_store,
@@ -188,8 +192,14 @@ def main():
             )
             hs = os.path.join(args.refresh_stores, "hash")
             ls = os.path.join(args.refresh_stores, "lsh")
-            bootstrap = not os.path.exists(
-                os.path.join(hs, "_hash_meta.json"))
+            # BOTH metas must exist to run incrementally: a crash
+            # between the two bootstrap writes leaves only hash/, and
+            # treating that as incremental would probe a nonexistent
+            # LSH store; re-bootstrapping overwrites the half-written
+            # store cleanly (review r5)
+            bootstrap = not (
+                os.path.exists(os.path.join(hs, "_hash_meta.json"))
+                and os.path.exists(os.path.join(ls, "_lsh_meta.json")))
             if bootstrap:
                 exact = dedup_documents(docs, method="exact").persist()
                 try:
@@ -324,12 +334,19 @@ def main():
             sampled, rep = mix_corpus(curated, "lang", "n_tokens",
                                       targets, args.mix_budget)
             sampled.write.mode("overwrite").parquet(mix_path)
-            _write_params(mix_path, mix_params)
+            # report BEFORE params: the params sidecar is the stage's
+            # commit marker, so a crash in between re-runs the stage
+            # instead of leaving a resumable stage with no report
+            # (review r5)
             with open(mix_sidecar, "w") as f:
                 json.dump(rep, f)
+            _write_params(mix_path, mix_params)
             metrics["mix_sec"] = round(time.time() - t0, 2)
-        with open(mix_sidecar) as f:
-            metrics["mix_report"] = json.load(f)
+        try:
+            with open(mix_sidecar) as f:
+                metrics["mix_report"] = json.load(f)
+        except (OSError, ValueError):
+            pass                  # pre-sidecar stage dir: report unknown
         mixed = spark.read.parquet(mix_path)
         metrics["after_mix"] = mixed.count()
         metrics["mix_tokens"] = mixed.agg(

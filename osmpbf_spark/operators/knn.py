@@ -544,3 +544,28 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
     return (cand.withColumn("rn", F.row_number().over(win))
             .filter(F.col("rn") <= k)
             .select(query_id_col, id_col, "cos_sim", "rn"))
+
+
+def exact_l2_rerank(candidates: DataFrame, vectors: DataFrame,
+                    queries: DataFrame, k: int, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Exact-L2 re-rank of a candidate shortlist → (query_id, vec_id,
+    d2, rn), rn = 1..k by ascending Σ(q−v)² with id tie-break — the
+    shared final stage of every shortlist-then-refine ANN path (PQ ADC
+    re-rank, IVF-PQ store probes, recall benches). ``candidates`` needs
+    only (query_id_col, id_col); raw vectors are fetched by a
+    point-lookup equi-join on ``id_col`` (q·|shortlist| rows — orders
+    below any corpus scan) and queries ride a broadcast."""
+    fetched = (candidates.select(query_id_col, id_col)
+               .join(vectors.select(F.col(id_col),
+                                    F.col(vec_col).alias("e_vec")),
+                     id_col))
+    q = F.broadcast(queries.select(F.col(query_id_col),
+                                   F.col(vec_col).alias("q_vec")))
+    scored = (fetched.join(q, query_id_col)
+              .withColumn("d2", _dist2_arrays("q_vec", "e_vec")))
+    win = Window.partitionBy(query_id_col).orderBy("d2", F.col(id_col))
+    return (scored.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= k)
+            .select(query_id_col, id_col, "d2", "rn"))

@@ -225,18 +225,9 @@ def pq_adc_rerank_topk(codes: DataFrame, codebooks: DataFrame,
     (shortlist × d floats per query) is orders below the scan."""
     if shortlist is None:
         shortlist = 10 * k
-    from .knn import _dist2_arrays
+    from .knn import exact_l2_rerank
     cand = pq_adc_topk(codes, codebooks, queries, shortlist,
-                       id_col=id_col, query_id_col=query_id_col)
-    fetched = (cand.select(query_id_col, id_col)
-               .join(vectors.select(F.col(id_col),
-                                    F.col(vec_col).alias("e_vec")),
-                     id_col))
-    q = F.broadcast(queries.select(F.col(query_id_col),
-                                   F.col(vec_col).alias("q_vec")))
-    scored = (fetched.join(q, query_id_col)
-              .withColumn("d2", _dist2_arrays("q_vec", "e_vec")))
-    win = Window.partitionBy(query_id_col).orderBy("d2", F.col(id_col))
-    return (scored.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") <= k)
-            .select(query_id_col, id_col, "d2", "rn"))
+                       vec_col=vec_col, id_col=id_col,
+                       query_id_col=query_id_col)
+    return exact_l2_rerank(cand, vectors, queries, k, vec_col=vec_col,
+                           id_col=id_col, query_id_col=query_id_col)

@@ -713,30 +713,16 @@ def append_hash_store(docs: DataFrame, path: str, *,
      .parquet(os.path.join(path, "hashes")))
 
 
-def hash_store_hits(spark: SparkSession, new_docs: DataFrame, path: str,
-                    *, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """New documents whose text already exists in the stored corpus →
-    (doc_id, content_hash, keeper = the stored winner).
-
-    Probe shape (the 100 TB story): the new crawl's distinct ``hb``
-    values prune the store's partitions (PartitionFilters — decisive for
-    small probes); the pruned scan then left-semi-joins a BROADCAST of
-    the new crawl's distinct hashes, so the store is filtered to the
-    (tiny) matched set without ever shuffling, and the matches broadcast
-    back onto the new side. Document payloads appear in no join."""
-    import functools
-    import json
+def _hash_store_hits_from(spark: SparkSession, newh: DataFrame,
+                          path: str, *, id_col: str) -> DataFrame:
+    """Probe core over a precomputed ``_content_hashes`` table (callers
+    that also need ``newh`` for other legs hash the crawl ONCE — review
+    r5: the first draft re-derived it per consumer, md5-hashing the
+    full crawl ~5×)."""
     import os
-    with open(_hash_meta_path(path)) as f:
-        meta = json.load(f)
-    newh = _content_hashes(new_docs, text_col=text_col, id_col=id_col,
-                           n_buckets=meta["n_buckets"])
     probe_hb = [r["hb"] for r in newh.select("hb").distinct().collect()]
-    probe_pred = functools.reduce(
-        lambda acc, b: acc | (F.col("hb") == b), probe_hb, F.lit(False))
     store = (spark.read.parquet(os.path.join(path, "hashes"))
-             .filter(probe_pred))
+             .filter(F.col("hb").isin(probe_hb)))
     new_hashes = F.broadcast(newh.select("content_hash").distinct())
     matched = F.broadcast(
         store.join(new_hashes, "content_hash", "left_semi")
@@ -745,17 +731,49 @@ def hash_store_hits(spark: SparkSession, new_docs: DataFrame, path: str,
             .select(id_col, "content_hash", "keeper"))
 
 
+def hash_store_hits(spark: SparkSession, new_docs: DataFrame, path: str,
+                    *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """New documents whose text already exists in the stored corpus →
+    (doc_id, content_hash, keeper = the stored winner). A document that
+    IS its own stored keeper (its survivors were already appended)
+    reports a hit with keeper == doc_id — consumers that mean "drop
+    duplicates of OTHER documents" must exempt that case, as
+    :func:`dedup_exact_against_store` does.
+
+    Probe shape (the 100 TB story): the new crawl's distinct ``hb``
+    values prune the store's partitions (a plain IN predicate on the
+    single partition column lands in PartitionFilters — unlike the LSH
+    store's composite (band, bvb) key, no OR-chain needed); the pruned
+    scan then left-semi-joins a BROADCAST of the new crawl's distinct
+    hashes, so the store is filtered to the (tiny) matched set without
+    ever shuffling, and the matches broadcast back onto the new side.
+    Document payloads appear in no join."""
+    import json
+    with open(_hash_meta_path(path)) as f:
+        meta = json.load(f)
+    newh = _content_hashes(new_docs, text_col=text_col, id_col=id_col,
+                           n_buckets=meta["n_buckets"])
+    return _hash_store_hits_from(spark, newh, path, id_col=id_col)
+
+
 def dedup_exact_against_store(spark: SparkSession, new_docs: DataFrame,
                               path: str, *, text_col: str = "text",
                               id_col: str = "doc_id") -> DataFrame:
     """The corpus-refresh EXACT dedup step: new documents surviving
     byte-identical dedup against the stored corpus and each other.
-    Stored documents always win; among new-only duplicate groups the
-    MIN doc id is kept — identical semantics to
-    ``dedup_documents(old ∪ new, method="exact")`` restricted to the
-    new side, at the cost of hashing only the new crawl (tested as an
-    identity). Follow with :func:`append_hash_store` on the survivors
-    to complete the refresh cycle."""
+    A stored document beats any OTHER new document with the same text
+    (the at-rest corpus stays stable — unlike
+    ``dedup_documents(old ∪ new, "exact")``, which re-elects the global
+    MIN id and would evict an already-kept document whenever a new
+    crawl's id sorts lower); among new-only duplicate groups the MIN
+    doc id is kept. A document that is its own stored keeper is NOT a
+    duplicate of itself: re-running a crawl whose survivors were
+    already appended returns the same survivors (idempotent — this is
+    what makes the curation job's crash-between-write-and-append
+    recovery safe). The cost is hashing only the new crawl, once.
+    Follow with :func:`append_hash_store` on the survivors to complete
+    the refresh cycle."""
     import json
 
     from pyspark.sql import Window
@@ -763,8 +781,11 @@ def dedup_exact_against_store(spark: SparkSession, new_docs: DataFrame,
         meta = json.load(f)
     newh = _content_hashes(new_docs, text_col=text_col, id_col=id_col,
                            n_buckets=meta["n_buckets"])
-    vs_old = hash_store_hits(spark, new_docs, path, text_col=text_col,
-                             id_col=id_col).select(id_col)
+    _persist_bounded(newh)
+    hits = _hash_store_hits_from(spark, newh, path, id_col=id_col)
+    # keeper == own id ⇒ this document IS the stored copy, not a dup
+    vs_old = (hits.filter(F.col("keeper") != F.col(id_col))
+              .select(id_col))
     # new-only duplicate groups: min id per hash keeps itself
     intra = (newh.withColumn(
         "_keep", F.min(id_col).over(Window.partitionBy("content_hash")))

@@ -525,10 +525,31 @@ def test_hash_store_dedup_matches_full_recompute(spark, tmp_path_factory,
     write_hash_store(old, path, n_buckets=16)
     surv = dedup_exact_against_store(spark, new, path)
     got = {r["doc_id"] for r in surv.collect()}
-    # identity: full-union exact dedup restricted to the new side
+    # identity with full-union exact dedup restricted to the new side —
+    # which holds here because stored ids sort below new ids (the
+    # normal crawl ordering); see the stored-wins test below for the
+    # deliberate divergence when they don't
     full = dedup_documents(old.unionByName(new), method="exact")
     want = {r["doc_id"] for r in full.collect() if r["doc_id"][0] == "b"}
     assert got == want == {"b01", "b03"}
+
+
+def test_hash_store_stored_document_wins_over_lower_new_id(
+        spark, tmp_path_factory):
+    """Deliberate divergence from full-union recompute: the at-rest
+    corpus stays stable, so a stored keeper beats a NEW document with
+    a lower-sorting id (dedup_documents would re-elect the global min
+    and evict the already-kept document)."""
+    from osmpbf_spark.sources.store import (
+        dedup_exact_against_store,
+        write_hash_store,
+    )
+    old = _corpus(spark, [("z01", "shared text")])
+    new = _corpus(spark, [("a01", "shared text")])
+    path = str(tmp_path_factory.mktemp("hashstore5") / "store")
+    write_hash_store(old, path, n_buckets=16)
+    # a01 < z01 but the stored z01 wins; a01 is dropped
+    assert dedup_exact_against_store(spark, new, path).count() == 0
 
 
 def test_hash_store_hits_report_stored_keeper(spark, tmp_path_factory,
@@ -581,10 +602,17 @@ def test_hash_store_append_and_compact_cycle(spark, tmp_path_factory,
     write_hash_store(old, path, n_buckets=16)
     surv = dedup_exact_against_store(spark, new, path)
     append_hash_store(surv, path)
-    # the appended survivors are now stored: re-probing the same crawl
-    # keeps nothing (all hashes exist, stored side wins)
+    # idempotence (review r5): re-probing the SAME crawl after its
+    # survivors were appended returns the same survivors — each is its
+    # own stored keeper, and "a document is not a duplicate of itself";
+    # this is what makes the curation job's crash-recovery re-run safe
     again = dedup_exact_against_store(spark, new, path)
-    assert again.count() == 0
+    assert ({r["doc_id"] for r in again.collect()}
+            == {r["doc_id"] for r in surv.collect()} == {"b01", "b03"})
+    # a DIFFERENT crawl repeating a stored text is still dropped
+    third = dedup_exact_against_store(
+        spark, _corpus(spark, [("x01", "delta text four")]), path)
+    assert third.count() == 0
     # out-of-band duplicate append, then compaction restores the
     # one-row-per-hash invariant with the global-min keeper
     append_hash_store(_corpus(spark, [("z99", "alpha text one")]), path)

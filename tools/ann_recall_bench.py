@@ -209,24 +209,10 @@ def main():
             truth_l2)
 
         def store_rerank():
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
-
-            from osmpbf_spark.operators.knn import _dist2_arrays
+            from osmpbf_spark.operators.knn import exact_l2_rerank
             cand = read_ivfpq_topk(spark, path, queries, 10 * k, cent2,
                                    books2, nprobe=2)
-            fetched = (cand.select("query_id", "vec_id")
-                       .join(emb.select("vec_id",
-                                        F.col("embedding")
-                                        .alias("e_vec")), "vec_id"))
-            q = F.broadcast(queries.select(
-                "query_id", F.col("embedding").alias("q_vec")))
-            scored = (fetched.join(q, "query_id")
-                      .withColumn("d2", _dist2_arrays("q_vec", "e_vec")))
-            win = Window.partitionBy("query_id").orderBy(
-                "d2", F.col("vec_id"))
-            return (scored.withColumn("rn", F.row_number().over(win))
-                    .filter(F.col("rn") <= k).collect())
+            return exact_l2_rerank(cand, emb, queries, k).collect()
 
         leg("IVF-PQ store + re-rank (10k short)", store_rerank, truth_l2)
     finally:
