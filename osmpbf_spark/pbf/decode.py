@@ -355,15 +355,20 @@ def _table_take(table: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return table[idx]
 
 
-def _split_keys_vals(kv: np.ndarray, n_nodes: int, table: np.ndarray):
-    """DenseNodes keys_vals → (pair_counts per node, key strings, val strings).
+def _split_kv_id_pairs(kv: np.ndarray, n_nodes: int):
+    """DenseNodes keys_vals → (pair_counts per node, key ids, val ids) —
+    the segmentation step alone, no string-table access. Shared by the
+    decoded-tag path (TagIter) and the raw index-pair path
+    (DenseRawTagIter, src/dense.rs:345-369: pairwise walk of each node's
+    keys_vals slice, no resolution, no skipping).
 
     ``((<keyid> <valid>)* '0')*`` with tolerance for a missing trailing
     delimiter and for fewer groups than nodes (both tolerated by the
     reference's scan-to-delimiter, src/dense.rs:153-163).
     """
+    empty = np.empty(0, dtype=np.int64)
     if kv.size == 0:
-        return np.zeros(n_nodes, dtype=np.int64), None, None
+        return np.zeros(n_nodes, dtype=np.int64), empty, empty
     if kv[-1] != 0:
         kv = np.concatenate([kv, np.zeros(1, dtype=kv.dtype)])
     zero_pos = np.flatnonzero(kv == 0)
@@ -380,19 +385,29 @@ def _split_keys_vals(kv: np.ndarray, n_nodes: int, table: np.ndarray):
     even_len = 2 * (seg_lengths // 2)
     keep = ((seg_of_entry < n_nodes)
             & (pos_in_seg < np.repeat(even_len, seg_lengths)))
-    kept = nz[keep]
-    keys = _table_take(table, kept[0::2])
-    vals = _table_take(table, kept[1::2])
+    kept = nz[keep].astype(np.int64)
     m = min(n_segs, n_nodes)
     pair_counts = np.zeros(n_nodes, dtype=np.int64)
     pair_counts[:m] = seg_lengths[:m] // 2
+    return pair_counts, kept[0::2], kept[1::2]
+
+
+def _split_keys_vals(kv: np.ndarray, n_nodes: int, table: np.ndarray):
+    """DenseNodes keys_vals → (pair_counts per node, key strings, val
+    strings): segmentation (shared with the raw path) + string-table
+    resolution + silent-skip."""
+    if kv.size == 0:
+        return np.zeros(n_nodes, dtype=np.int64), None, None
+    pair_counts, key_ids, val_ids = _split_kv_id_pairs(kv, n_nodes)
+    keys = _table_take(table, key_ids)
+    vals = _table_take(table, val_ids)
     # silent-skip semantics for unresolvable (invalid-UTF-8) entries
     # (src/elements.rs:513-538): drop pairs whose key or val is None --
     # Arrow MAP keys cannot be null
     if keys.size and (_has_none(keys) or _has_none(vals)):
         good = np.array([k is not None and v is not None
                          for k, v in zip(keys, vals)])
-        seg_of_pair = np.repeat(np.arange(m), pair_counts[:m])
+        seg_of_pair = np.repeat(np.arange(n_nodes), pair_counts)
         pair_counts = np.bincount(seg_of_pair[good],
                                   minlength=n_nodes).astype(np.int64)
         keys = keys[good]
@@ -1231,3 +1246,235 @@ def decode_blob_batch(rows) -> pa.RecordBatch:
         block = decompress_blob(payload)
         per_blob.append((doc_id, blob_no, parse_primitive_block(block)))
     return chunks_to_batch(per_blob)
+
+
+# ---------------------------------------------------------------------------
+# Raw-access projections (SURVEY.md §2.3 P8/P12/P16)
+# ---------------------------------------------------------------------------
+# The reference exposes three bit-level debugging views that the normal
+# element scan deliberately resolves away:
+#   Way::raw_refs        — still-delta-coded refs   (src/elements.rs:219-221)
+#   raw_tags             — (key,val) string-table INDEX pairs, unresolved,
+#                          nothing skipped           (src/elements.rs:542-564,
+#                          src/dense.rs:345-369)
+#   raw_stringtable      — the per-block dictionary as raw bytes, NOT
+#                          assumed UTF-8              (src/block.rs:148-151)
+# These are projections of the same wire bytes the main scan reads, so they
+# get their own LEAN parser (the node-points pattern): no string-table
+# resolution, no cumsum, no Info decode — a debugging scan should not pay
+# for work it exists to bypass.
+
+RAW_ACCESS_SCHEMA = pa.schema([
+    ("element_type", pa.string()),
+    ("id", pa.int64()),
+    ("raw_key_ids", pa.list_(pa.int64())),
+    ("raw_val_ids", pa.list_(pa.int64())),
+    ("refs_delta", pa.list_(pa.int64())),
+    ("blob_no", pa.int64()),
+    ("doc_id", pa.string()),
+])
+
+STRINGTABLE_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("blob_no", pa.int64()),
+    ("sidx", pa.int32()),
+    ("value", pa.binary()),
+])
+
+_I64_EMPTY = np.empty(0, dtype=np.int64)
+
+
+def parse_block_raw(buf):
+    """PrimitiveBlock → per-chunk raw projections, in the reference's
+    emission order (nodes→dense→ways→relations per group, matching
+    parse_primitive_block).
+
+    Returns [(element_type, ids, pair_counts, key_ids, val_ids,
+    refs_lens, refs_delta)] where refs_lens/refs_delta are None for
+    non-way chunks (Way::raw_refs has no analogue on nodes/relations) and
+    refs_delta holds the sint64-decoded but NOT yet accumulated deltas —
+    exactly the slice raw_refs returns (src/elements.rs:219-221).
+    Raw tag pairs are zip-truncated to min(len(keys), len(vals)) like
+    RawTagIter (src/elements.rs:549-557); dense pairs walk each node's
+    keys_vals slice with no resolution and no skipping
+    (src/dense.rs:345-369), sharing _split_kv_id_pairs with the decoded
+    path so raw and decoded views segment identically by construction."""
+    group_bufs = []
+    for field_no, wt, value in scan_fields(buf):
+        if field_no == 2 and wt == WT_LEN:
+            group_bufs.append(value)
+
+    out = []
+
+    def _tagged_group(etype, bufs, *, id_zigzag, want_refs):
+        n = len(bufs)
+        ids = np.zeros(n, dtype=np.int64)
+        keys_b = [_EMPTY] * n
+        vals_b = [_EMPTY] * n
+        refs_b = [_EMPTY] * n if want_refs else None
+        for i, b in enumerate(bufs):
+            for f2, w2, v2 in scan_fields(b):
+                if f2 == 1 and w2 == WT_VARINT:
+                    # Node.id is sint64 (zigzag); Way/Relation.id is int64
+                    ids[i] = zigzag_decode(v2) if id_zigzag else (
+                        v2 if v2 < (1 << 63) else v2 - (1 << 64))
+                elif w2 != WT_LEN:
+                    continue
+                elif f2 == 2:
+                    keys_b[i] = v2
+                elif f2 == 3:
+                    vals_b[i] = v2
+                elif f2 == 8 and want_refs:
+                    refs_b[i] = v2
+        kv, kl = decode_packed_u64_segments(keys_b)
+        vv, vl = decode_packed_u64_segments(vals_b)
+        ksel, vsel, m = _seg_pair_select(kv.astype(np.int64), kl,
+                                         vv.astype(np.int64), vl)
+        if want_refs:
+            rv, rl = decode_packed_u64_segments(refs_b)
+            out.append((etype, ids, m, ksel, vsel,
+                        rl.astype(np.int64), unzigzag(rv)))
+        else:
+            out.append((etype, ids, m, ksel, vsel, None, None))
+
+    def _dense_group(dbuf):
+        id_buf = kv_buf = None
+        for f2, w2, v2 in scan_fields(dbuf):
+            if w2 != WT_LEN:
+                continue
+            if f2 == 1:
+                id_buf = v2
+            elif f2 == 10:
+                kv_buf = v2
+        ids = decode_packed_sint64_delta(id_buf) if id_buf is not None \
+            else _I64_EMPTY
+        kv = decode_packed_int64(kv_buf) if kv_buf is not None \
+            else _I64_EMPTY
+        pc, kid, vid = _split_kv_id_pairs(kv, len(ids))
+        out.append(("node", ids, pc, kid, vid, None, None))
+
+    for gbuf in group_bufs:
+        node_bufs, dense_bufs, way_bufs, rel_bufs = [], [], [], []
+        for field_no, wt, value in scan_fields(gbuf):
+            if wt != WT_LEN:
+                continue
+            if field_no == 1:
+                node_bufs.append(value)
+            elif field_no == 2:
+                dense_bufs.append(value)
+            elif field_no == 3:
+                way_bufs.append(value)
+            elif field_no == 4:
+                rel_bufs.append(value)
+        if node_bufs:
+            _tagged_group("node", node_bufs, id_zigzag=True,
+                          want_refs=False)
+        for dbuf in dense_bufs:
+            _dense_group(dbuf)
+        if way_bufs:
+            _tagged_group("way", way_bufs, id_zigzag=False, want_refs=True)
+        if rel_bufs:
+            _tagged_group("relation", rel_bufs, id_zigzag=False,
+                          want_refs=False)
+    return out
+
+
+def parse_block_stringtable(buf) -> list[bytes]:
+    """PrimitiveBlock → the per-block dictionary as raw bytes entries
+    (raw_stringtable, src/block.rs:148-151: ``&[Vec<u8>]`` — entries are
+    NOT assumed UTF-8, so invalid sequences survive here even though the
+    decoded-tag path silently skips them)."""
+    entries: list[bytes] = []
+    for field_no, wt, value in scan_fields(buf):
+        if field_no == 1 and wt == WT_LEN:
+            for f2, w2, v2 in scan_fields(value):
+                if f2 == 1 and w2 == WT_LEN:
+                    entries.append(bytes(v2))
+    return entries
+
+
+def _list_array(lens_parts, vals_parts, null_parts=None, n_rows=0):
+    """Segment lengths (+ optional per-row null mask) → Arrow list<int64>.
+
+    Null rows are encoded via None offsets (they contribute zero values),
+    so the builder stays fully vectorized."""
+    lens = (np.concatenate(lens_parts) if lens_parts
+            else np.zeros(n_rows, dtype=np.int64))
+    vals = np.concatenate(vals_parts) if vals_parts else _I64_EMPTY
+    offs = np.concatenate(([np.int64(0)], np.cumsum(lens)))
+    if null_parts is None:
+        off_arr = pa.array(offs.astype(np.int32), type=pa.int32())
+    else:
+        isnull = (np.concatenate(null_parts) if null_parts
+                  else np.zeros(n_rows, dtype=bool))
+        off_list = offs.astype(np.int32).tolist()
+        for i in np.flatnonzero(isnull):
+            off_list[int(i)] = None
+        off_arr = pa.array(off_list, type=pa.int32())
+    return pa.ListArray.from_arrays(off_arr, pa.array(vals,
+                                                      type=pa.int64()))
+
+
+def decode_raw_access_batch(rows) -> pa.RecordBatch:
+    """(doc_id, blob_no, blob_type, payload) iterable → raw-access batch
+    of RAW_ACCESS_SCHEMA."""
+    etypes, ids, blob_nos, doc_ids = [], [], [], []
+    tag_lens, key_vals, val_vals = [], [], []
+    refs_null, refs_lens, refs_vals = [], [], []
+    total = 0
+    for doc_id, blob_no, blob_type, payload in rows:
+        if blob_type != "OSMData":
+            continue
+        for (et, eids, pc, kid, vid, rl, rv) in parse_block_raw(
+                decompress_blob(payload)):
+            n = len(eids)
+            if n == 0:
+                continue
+            total += n
+            etypes.append(np.full(n, et, dtype=object))
+            ids.append(eids)
+            tag_lens.append(pc)
+            key_vals.append(kid)
+            val_vals.append(vid)
+            if rl is None:
+                refs_null.append(np.ones(n, dtype=bool))
+                refs_lens.append(np.zeros(n, dtype=np.int64))
+            else:
+                refs_null.append(np.zeros(n, dtype=bool))
+                refs_lens.append(rl)
+                refs_vals.append(rv)
+            blob_nos.append(np.full(n, blob_no, dtype=np.int64))
+            doc_ids.append(np.full(n, doc_id, dtype=object))
+    cat64 = (lambda p: np.concatenate(p) if p else _I64_EMPTY)
+    return pa.RecordBatch.from_arrays([
+        pa.array(_concat_obj(etypes, total), type=pa.string()),
+        pa.array(cat64(ids), type=pa.int64()),
+        _list_array(tag_lens, key_vals, n_rows=total),
+        _list_array(tag_lens, val_vals, n_rows=total),
+        _list_array(refs_lens, refs_vals, null_parts=refs_null,
+                    n_rows=total),
+        pa.array(cat64(blob_nos), type=pa.int64()),
+        pa.array(_concat_obj(doc_ids, total), type=pa.string()),
+    ], schema=RAW_ACCESS_SCHEMA)
+
+
+def decode_stringtable_batch(rows) -> pa.RecordBatch:
+    """(doc_id, blob_no, blob_type, payload) iterable → stringtable batch
+    of STRINGTABLE_SCHEMA (one row per dictionary entry, sidx = its
+    position — the index raw_tags pairs point into)."""
+    doc_ids, blob_nos, sidxs, values = [], [], [], []
+    for doc_id, blob_no, blob_type, payload in rows:
+        if blob_type != "OSMData":
+            continue
+        entries = parse_block_stringtable(decompress_blob(payload))
+        for i, e in enumerate(entries):
+            doc_ids.append(doc_id)
+            blob_nos.append(blob_no)
+            sidxs.append(i)
+            values.append(e)
+    return pa.RecordBatch.from_arrays([
+        pa.array(doc_ids, type=pa.string()),
+        pa.array(blob_nos, type=pa.int64()),
+        pa.array(sidxs, type=pa.int32()),
+        pa.array(values, type=pa.binary()),
+    ], schema=STRINGTABLE_SCHEMA)

@@ -220,6 +220,75 @@ def read_node_points(documents: DataFrame, media: DataFrame,
     return joined.mapInArrow(batches, NODE_POINTS_DDL)
 
 
+RAW_ACCESS_DDL = ("element_type string, id long, raw_key_ids array<long>, "
+                  "raw_val_ids array<long>, refs_delta array<long>, "
+                  "blob_no long, doc_id string")
+
+STRINGTABLE_DDL = "doc_id string, blob_no long, sidx int, value binary"
+
+
+def read_elements_raw(documents: DataFrame, media: DataFrame,
+                      *, broadcast_media: bool = False,
+                      decode_partitions: int | None = None,
+                      media_join: str = "broadcast_meta") -> DataFrame:
+    """Raw-access projection scan (SURVEY.md §2.3 P8/P12): per element,
+    the still-delta-coded way refs (Way::raw_refs,
+    src/elements.rs:219-221) and the unresolved string-table (key, val)
+    index pairs (raw_tags, src/elements.rs:542-564 /
+    src/dense.rs:345-369). ``refs_delta`` is NULL for non-way elements —
+    the accessor only exists on ways. Lean decode: skips string tables,
+    coordinates, Info, and all cumsum work (the node-points pattern)."""
+    from ..pbf.decode import decode_raw_access_batch
+
+    meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
+    joined = join_payloads(meta, media, broadcast_media=broadcast_media,
+                           media_join=media_join)
+    if decode_partitions:
+        joined = joined.repartition(decode_partitions, "blob_no")
+
+    def batches(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            out = decode_raw_access_batch(zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("blob_no").to_pylist(),
+                batch.column("blob_type").to_pylist(),
+                batch.column("payload").to_pylist()))
+            if out.num_rows:
+                yield out
+    return joined.mapInArrow(batches, RAW_ACCESS_DDL)
+
+
+def read_stringtables(documents: DataFrame, media: DataFrame,
+                      *, broadcast_media: bool = False,
+                      media_join: str = "broadcast_meta") -> DataFrame:
+    """Per-block dictionary scan (SURVEY.md §2.3 P16, raw_stringtable
+    src/block.rs:148-151): one row per string-table entry, as raw BYTES
+    (entries are not guaranteed UTF-8 — the decoded-tag path silently
+    skips invalid entries, this view preserves them). Join key for
+    resolving ``read_elements_raw`` index pairs is
+    (doc_id, blob_no, sidx)."""
+    from ..pbf.decode import decode_stringtable_batch
+
+    meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
+    joined = join_payloads(meta, media, broadcast_media=broadcast_media,
+                           media_join=media_join)
+
+    def batches(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            out = decode_stringtable_batch(zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("blob_no").to_pylist(),
+                batch.column("blob_type").to_pylist(),
+                batch.column("payload").to_pylist()))
+            if out.num_rows:
+                yield out
+    return joined.mapInArrow(batches, STRINGTABLE_DDL)
+
+
 HEADER_DDL = ("doc_id string, blob_no long, bbox_left double, "
               "bbox_right double, bbox_top double, bbox_bottom double, "
               "required_features array<string>, "

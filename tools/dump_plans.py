@@ -201,6 +201,24 @@ def main():
             "band/bvb); only matching buckets join, then the row-local "
             "zip_with estimate as in the in-memory path.",
             fmt_exec(lsh, max_lines=46)))
+
+        from osmpbf_spark.sources.store import (
+            hash_store_hits,
+            write_hash_store,
+        )
+        hash_path = os.path.join(tmp, "hash")
+        write_hash_store(corpus, hash_path, n_buckets=16)
+        probe = newc.limit(2)
+        hits = hash_store_hits(spark, probe, hash_path)
+        hits.collect()
+        sections.append((
+            "content-hash store probe (incremental EXACT dedup)",
+            "the crawl's distinct hash buckets prune the store "
+            "(PartitionFilters on hb — a plain IN on the single "
+            "partition column); the pruned scan left-semi-joins a "
+            "BROADCAST of the crawl's distinct hashes, so the stored "
+            "corpus is never shuffled and never re-hashed.",
+            fmt_exec(hits, max_lines=40)))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
