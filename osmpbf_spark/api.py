@@ -13,7 +13,10 @@ reference and its engine equivalent):
 | way.refs() (delta-decoded)               | refs column (decoded)       |
 | way.node_locations()                     | ref_locations column / way_node_locations() |
 | relation.members(), member.role()        | members column              |
-| element.tags() / raw_tags()              | tags MAP column (raw ids intentionally not exposed) |
+| element.tags()                           | tags MAP column             |
+| element.raw_tags() (unresolved ids)      | engine.elements_raw() → raw_key_ids / raw_val_ids |
+| way.raw_refs() (still delta-coded)       | engine.elements_raw() → refs_delta |
+| block.raw_stringtable()                  | engine.stringtables() (one row per entry, raw bytes) |
 | info().uid()/user()/visible()/deleted()  | uid/user/visible columns; deleted = NOT visible |
 | BlobReader / next_header_skip_blob       | engine.blob_metadata()      |
 | Blob::to_headerblock()                   | engine.header()             |
@@ -82,6 +85,20 @@ class Engine:
     def relations(self, **kwargs) -> DataFrame:
         return self.elements(**kwargs).filter(
             F.col("element_type") == "relation")
+
+    def elements_raw(self, **kwargs) -> DataFrame:
+        """Raw-access scan: unresolved string-table tag index pairs and
+        still-delta-coded way refs (Way::raw_refs,
+        src/elements.rs:219-221; raw_tags, src/elements.rs:542-564)."""
+        from .sources.documents import read_elements_raw
+        return read_elements_raw(self.documents, self.media, **kwargs)
+
+    def stringtables(self) -> DataFrame:
+        """Per-block dictionary as raw bytes (raw_stringtable,
+        src/block.rs:148-151); join key (doc_id, blob_no, sidx) resolves
+        ``elements_raw()`` index pairs."""
+        from .sources.documents import read_stringtables
+        return read_stringtables(self.documents, self.media)
 
     def header(self) -> DataFrame:
         from .sources.documents import read_header

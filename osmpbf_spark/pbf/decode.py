@@ -1407,10 +1407,11 @@ def _list_array(lens_parts, vals_parts, null_parts=None, n_rows=0):
     else:
         isnull = (np.concatenate(null_parts) if null_parts
                   else np.zeros(n_rows, dtype=bool))
-        off_list = offs.astype(np.int32).tolist()
-        for i in np.flatnonzero(isnull):
-            off_list[int(i)] = None
-        off_arr = pa.array(off_list, type=pa.int32())
+        # A null at offset position i marks row i null (rows contribute
+        # zero values, so offsets stay monotone); the final offset is
+        # never null.  Masked construction keeps this zero-copy.
+        off_arr = pa.array(offs.astype(np.int32),
+                           mask=np.append(isnull, False))
     return pa.ListArray.from_arrays(off_arr, pa.array(vals,
                                                       type=pa.int64()))
 

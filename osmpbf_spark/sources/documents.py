@@ -168,20 +168,28 @@ def join_payloads(meta: DataFrame, media: DataFrame, *,
     return joined.select(*columns)
 
 
+def _batch_decoder(decode_fn):
+    """mapInArrow generator over (doc_id, blob_no, blob_type, payload)
+    batches: skip empties, feed row tuples to ``decode_fn``, yield
+    non-empty output batches.  Shared by every blob-decode scan so
+    batch-handling fixes land in one place."""
+    def batches(iterator):
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            out = decode_fn(zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("blob_no").to_pylist(),
+                batch.column("blob_type").to_pylist(),
+                batch.column("payload").to_pylist(),
+            ))
+            if out.num_rows:
+                yield out
+    return batches
+
+
 def _decode_batches(iterator):
-    for batch in iterator:
-        n = batch.num_rows
-        if n == 0:
-            continue
-        rows = zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("blob_no").to_pylist(),
-            batch.column("blob_type").to_pylist(),
-            batch.column("payload").to_pylist(),
-        )
-        out = decode_blob_batch(rows)
-        if out.num_rows:
-            yield out
+    yield from _batch_decoder(decode_blob_batch)(iterator)
 
 
 NODE_POINTS_DDL = ("id long, lat_nano long, lon_nano long, blob_no long, "
@@ -206,18 +214,8 @@ def read_node_points(documents: DataFrame, media: DataFrame,
     if decode_partitions:
         joined = joined.repartition(decode_partitions, "blob_no")
 
-    def batches(it):
-        for batch in it:
-            if batch.num_rows == 0:
-                continue
-            out = decode_node_points_batch(zip(
-                batch.column("doc_id").to_pylist(),
-                batch.column("blob_no").to_pylist(),
-                batch.column("blob_type").to_pylist(),
-                batch.column("payload").to_pylist()))
-            if out.num_rows:
-                yield out
-    return joined.mapInArrow(batches, NODE_POINTS_DDL)
+    return joined.mapInArrow(_batch_decoder(decode_node_points_batch),
+                             NODE_POINTS_DDL)
 
 
 RAW_ACCESS_DDL = ("element_type string, id long, raw_key_ids array<long>, "
@@ -246,18 +244,8 @@ def read_elements_raw(documents: DataFrame, media: DataFrame,
     if decode_partitions:
         joined = joined.repartition(decode_partitions, "blob_no")
 
-    def batches(it):
-        for batch in it:
-            if batch.num_rows == 0:
-                continue
-            out = decode_raw_access_batch(zip(
-                batch.column("doc_id").to_pylist(),
-                batch.column("blob_no").to_pylist(),
-                batch.column("blob_type").to_pylist(),
-                batch.column("payload").to_pylist()))
-            if out.num_rows:
-                yield out
-    return joined.mapInArrow(batches, RAW_ACCESS_DDL)
+    return joined.mapInArrow(_batch_decoder(decode_raw_access_batch),
+                             RAW_ACCESS_DDL)
 
 
 def read_stringtables(documents: DataFrame, media: DataFrame,
@@ -275,18 +263,8 @@ def read_stringtables(documents: DataFrame, media: DataFrame,
     joined = join_payloads(meta, media, broadcast_media=broadcast_media,
                            media_join=media_join)
 
-    def batches(it):
-        for batch in it:
-            if batch.num_rows == 0:
-                continue
-            out = decode_stringtable_batch(zip(
-                batch.column("doc_id").to_pylist(),
-                batch.column("blob_no").to_pylist(),
-                batch.column("blob_type").to_pylist(),
-                batch.column("payload").to_pylist()))
-            if out.num_rows:
-                yield out
-    return joined.mapInArrow(batches, STRINGTABLE_DDL)
+    return joined.mapInArrow(_batch_decoder(decode_stringtable_batch),
+                             STRINGTABLE_DDL)
 
 
 HEADER_DDL = ("doc_id string, blob_no long, bbox_left double, "

@@ -194,17 +194,27 @@ def test_spark_raw_readers(spark):
     sts = read_stringtables(docs, media, broadcast_media=True)
     full = read_elements(docs, media, broadcast_media=True)
 
-    raw_rows = {(r["element_type"], r["id"]): r for r in raw.collect()}
-    full_rows = {(r["element_type"], r["id"]): r for r in full.collect()}
-    table = {r["sidx"]: bytes(r["value"]) for r in sts.collect()}
+    # Full join keys: the per-block dictionary is (doc_id, blob_no,
+    # sidx) — keying on sidx alone would silently resolve through the
+    # wrong block's table if the fixture ever grows a second data blob.
+    raw_rows = {(r["blob_no"], r["element_type"], r["id"]): r
+                for r in raw.collect()}
+    full_rows = {(r["blob_no"], r["element_type"], r["id"]): r
+                 for r in full.collect()}
+    st_rows = sts.collect()
+    table = {(r["blob_no"], r["sidx"]): bytes(r["value"]) for r in st_rows}
+    assert len(table) == len(st_rows)  # no key collisions
+    assert len(raw_rows) == raw.count() and len(full_rows) == full.count()
     assert set(raw_rows) == set(full_rows)
-    assert table[0] == b""
+    assert all(v == b"" for (_, sidx), v in table.items() if sidx == 0)
     for key, r in raw_rows.items():
+        blob_no, etype, _ = key
         f = full_rows[key]
-        if key[0] == "way":
+        if etype == "way":
             assert list(np.cumsum(r["refs_delta"])) == list(f["refs"])
         else:
             assert r["refs_delta"] is None
-        resolved = {table[k].decode("utf-8"): table[v].decode("utf-8")
+        resolved = {table[blob_no, k].decode("utf-8"):
+                    table[blob_no, v].decode("utf-8")
                     for k, v in zip(r["raw_key_ids"], r["raw_val_ids"])}
         assert resolved == dict(f["tags"] or {})
