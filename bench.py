@@ -204,8 +204,15 @@ def main():
                          "— two back-to-back r5 full-bench runs measured "
                          "0.601/0.580 there while UNTOUCHED queries "
                          "swung 20-35% between the same two runs "
-                         "(knn_join 6.96→5.20, headline 789k→908k); "
-                         "same-session variance exceeds the r3→r4 delta"),
+                         "(knn_join 6.96→5.20, headline 789k→908k). "
+                         "Late-r5 the drift worsened to ~1.8×: a full "
+                         "run read headline 363k while an interleaved "
+                         "HEAD-vs-HEAD~1 A/B of the same pip workload "
+                         "showed NO code delta (HEAD 4.52/4.41 s vs "
+                         "prev 6.57/3.88 s, identical 739,864 matches; "
+                         "single trials within one process ranged "
+                         "3.8-16.9 s) — read r5 numbers against the "
+                         "same-session 789-908k range, not one sample"),
         "sf": sf_dir,
         "cpus": cpus,
         "total_sec": total,
