@@ -371,27 +371,55 @@ def main():
         metrics["media_rows"] = spark.read.parquet(media_path).count()
 
     # 6) ANN index: deterministic k-means over a hash-sample, then ONE
-    # full pass writing the centroid-partitioned IVF store
+    # full pass writing the centroid-partitioned IVF store. In
+    # corpus-refresh mode the index is DURABLE (lives next to the dedup
+    # stores): the first run trains + builds it, later runs append the
+    # new crawl's vectors under the frozen centroids — the existing
+    # corpus is never re-read or re-assigned (append_ivf_store).
     if args.embeddings:
         from osmpbf_spark.operators.knn import train_centroids
-        from osmpbf_spark.sources.store import write_ivf_store
-        ivf_path = os.path.join(args.out, "ivf")
-        cent_path = os.path.join(args.out, "centroids")
+        from osmpbf_spark.sources.store import (
+            append_ivf_store,
+            ivf_store_stats,
+            write_ivf_store,
+        )
+        if args.refresh_stores:
+            ivf_path = os.path.join(args.refresh_stores, "ivf")
+            cent_path = os.path.join(args.refresh_stores, "centroids")
+        else:
+            ivf_path = os.path.join(args.out, "ivf")
+            cent_path = os.path.join(args.out, "centroids")
         ivf_params = {"ivf_k": args.ivf_k,
                       "ivf_sample_mod": args.ivf_sample_mod}
-        if not (args.resume and _stage_done(ivf_path, ivf_params)):
+        emb = spark.read.parquet(args.embeddings)
+        # the durable-index append is idempotent (skip_existing), so no
+        # per-run stage sidecar: a crash-recovered re-run re-appends
+        # safely; the centroids parquet is the bootstrap commit marker
+        if args.refresh_stores and os.path.isdir(cent_path):
             t0 = time.time()
-            emb = spark.read.parquet(args.embeddings)
+            cent = spark.read.parquet(cent_path)
+            append_ivf_store(emb, cent, ivf_path, skip_existing=True)
+            metrics["ivf_mode"] = "append"
+            metrics["ivf_sec"] = round(time.time() - t0, 2)
+        elif not (args.resume and _stage_done(ivf_path, ivf_params)):
+            t0 = time.time()
             sample = (hash_sample(emb, "vec_id", args.ivf_sample_mod)
                       if args.ivf_sample_mod > 1 else emb)
             cent = train_centroids(sample, args.ivf_k, iters=4)
-            cent.write.mode("overwrite").parquet(cent_path)
             write_ivf_store(emb, cent, ivf_path)
+            # centroids written AFTER the store: they are the refresh
+            # mode's bootstrap marker, so a crash in between re-builds
+            cent.write.mode("overwrite").parquet(cent_path)
             _write_params(ivf_path, ivf_params)
+            metrics["ivf_mode"] = "build"
             metrics["ivf_sec"] = round(time.time() - t0, 2)
-        metrics["ivf_partitions"] = len(
-            [d for d in os.listdir(ivf_path) if d.startswith("cid=")]) \
-            if os.path.isdir(ivf_path) else None
+        if os.path.isdir(ivf_path):
+            stats = ivf_store_stats(spark, ivf_path)
+            metrics["ivf_partitions"] = stats["partitions"]
+            metrics["ivf_rows"] = stats["rows"]
+            metrics["ivf_imbalance"] = stats["imbalance"]
+        else:
+            metrics["ivf_partitions"] = None
 
     # 7) sequence packing: curated documents laid end-to-end and split
     # into fixed token windows — what actually feeds a training run.

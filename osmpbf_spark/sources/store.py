@@ -103,6 +103,84 @@ def build_ivf_store(embeddings: DataFrame, k: int, path: str, *,
     return cent
 
 
+def append_ivf_store(embeddings: DataFrame, centroids: DataFrame,
+                     path: str, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     skip_existing: bool = False) -> None:
+    """Incremental ANN-index refresh: assign a NEW crawl's vectors to the
+    store's FROZEN centroids and append them into their cid partitions —
+    the existing corpus is never re-read or re-assigned (the embedding
+    analogue of ``append_hash_store`` / ``append_lsh_store``). The
+    centroids must be the store's own frozen constants; assigning against
+    retrained ones would put old and new vectors in different coordinate
+    spaces (rebuild instead — and watch :func:`ivf_store_stats` imbalance
+    to decide when drift warrants that rebuild).
+
+    ``skip_existing=True`` makes re-appending a crash-recovered batch
+    idempotent: new ids are anti-joined against ONLY the cid partitions
+    they assign to (plan-time partition pruning — never a full store
+    scan; the id projection of those partitions is small enough for
+    AQE's broadcast anti-join at sane batch sizes)."""
+    from ..operators.knn import ivf_assign
+    assign = ivf_assign(embeddings, centroids, 1,
+                        vec_col=vec_col, id_col=id_col)
+    rows = embeddings.join(assign.select(id_col, "cid"), id_col)
+    if skip_existing:
+        spark = embeddings.sparkSession
+        probed = [r["cid"] for r in
+                  rows.select("cid").distinct().collect()]
+        existing = (spark.read.parquet(path)
+                    .filter(F.col("cid").isin(probed))
+                    .select(id_col))
+        rows = rows.join(existing, id_col, "left_anti")
+    rows.write.mode("append").partitionBy("cid").parquet(path)
+
+
+def append_ivfpq_store(embeddings: DataFrame, centroids: DataFrame,
+                       codebooks: DataFrame, path: str, *,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       skip_existing: bool = False) -> None:
+    """:func:`append_ivf_store` for the codes-only IVF-PQ layout: encode
+    the new crawl with the store's frozen codebooks, assign with its
+    frozen coarse centroids, append codes into the cid partitions."""
+    from ..operators.knn import ivf_assign
+    from ..operators.pq import pq_encode
+    assign = ivf_assign(embeddings, centroids, 1,
+                        vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(embeddings, codebooks,
+                      vec_col=vec_col, id_col=id_col)
+    rows = codes.join(assign.select(id_col, "cid"), id_col)
+    if skip_existing:
+        spark = embeddings.sparkSession
+        probed = [r["cid"] for r in
+                  rows.select("cid").distinct().collect()]
+        existing = (spark.read.parquet(path)
+                    .filter(F.col("cid").isin(probed))
+                    .select(id_col))
+        rows = rows.join(existing, id_col, "left_anti")
+    rows.write.mode("append").partitionBy("cid").parquet(path)
+
+
+def ivf_store_stats(spark: SparkSession, path: str) -> dict:
+    """Operational health of an IVF(-PQ) store after appends: rows per
+    cid partition, total, and the imbalance ratio max/mean. The
+    aggregate groups on the PARTITION column only, so the scan reads
+    directory values + row counts, not vector data. A ratio drifting
+    well past its build-time value means the frozen centroids no longer
+    fit the corpus — hot partitions slow every probe that hashes into
+    them — and it's time to retrain + rebuild."""
+    rows = (spark.read.parquet(path).groupBy("cid").count()
+            .orderBy("cid").collect())
+    counts = {r["cid"]: r["count"] for r in rows}
+    total = sum(counts.values())
+    mean = total / len(counts) if counts else 0.0
+    return {"partitions": len(counts), "rows": total,
+            "per_cid": counts,
+            "imbalance": round(max(counts.values()) / mean, 3)
+            if counts else None}
+
+
 def read_ivf_topk(spark: SparkSession, path: str, queries: DataFrame,
                   k: int, centroids: DataFrame, *, nprobe: int = 2,
                   vec_col: str = "embedding", id_col: str = "vec_id",

@@ -123,35 +123,53 @@ def test_curate_job_refresh_stores_cycle(spark, tmp_path):
         .write.parquet(d1)
     spark.createDataFrame(crawl2, "doc_id string, text string") \
         .write.parquet(d2)
+    # per-crawl embedding batches: the durable ANN index under
+    # refresh-stores must build on crawl 1, then APPEND later crawls
+    # under the frozen centroids
+    def emb_table(path, ids):
+        spark.createDataFrame(
+            [(i, [float(i % 3), float(i % 5), 1.0, float(i) / 10])
+             for i in ids],
+            "vec_id bigint, embedding array<double>").write.parquet(path)
+    e1, e2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    emb_table(e1, range(4))
+    emb_table(e2, range(4, 10))
 
-    def run(docs, out):
-        r = subprocess.run(
-            [sys.executable, "jobs/curate_training_data_job.py",
-             "--documents", docs, "--out", out,
-             "--refresh-stores", stores],
-            cwd=REPO, capture_output=True, text=True, timeout=600)
+    def run(docs, out, emb=None):
+        cmd = [sys.executable, "jobs/curate_training_data_job.py",
+               "--documents", docs, "--out", out,
+               "--refresh-stores", stores, "--ivf-k", "2"]
+        if emb:
+            cmd += ["--embeddings", emb]
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True,
+                           text=True, timeout=600)
         assert r.returncode == 0, r.stderr[-2000:]
         return json.loads(r.stdout.strip().splitlines()[-1])
 
-    m1 = run(d1, str(tmp_path / "out1"))
+    m1 = run(d1, str(tmp_path / "out1"), emb=e1)
     assert m1["refresh_mode"] == "bootstrap"
+    assert m1["ivf_mode"] == "build" and m1["ivf_rows"] == 4
     # exact dup c101 dropped, near-dup c102 clustered with c100 →
     # keepers c100 + c103
     assert m1["after_dedup"] == 2
-    m2 = run(d2, str(tmp_path / "out2"))
+    m2 = run(d2, str(tmp_path / "out2"), emb=e2)
     assert m2["refresh_mode"] == "incremental"
+    assert m2["ivf_mode"] == "append" and m2["ivf_rows"] == 10
     # c200 exact-dups stored c100; c201 near-dups it; c203 exact-dups
     # c202 within the crawl → only c202 survives
     assert m2["after_dedup"] == 1
     kept = spark.read.parquet(str(tmp_path / "out2" / "deduped"))
     assert [r["doc_id"] for r in kept.collect()] == ["c202"]
-    # survivors were appended: a third crawl repeating c202 drops it
+    # survivors were appended: a third crawl repeating c202 drops it;
+    # re-submitting crawl 2's embeddings must append NOTHING
+    # (skip_existing idempotence — the crash-recovery guarantee)
     d3, out3 = str(tmp_path / "d3"), str(tmp_path / "out3")
     spark.createDataFrame(
         [("c300", "fresh second crawl text about mountain goats and "
           "cold wind")], "doc_id string, text string").write.parquet(d3)
-    m3 = run(d3, out3)
+    m3 = run(d3, out3, emb=e2)
     assert m3["after_dedup"] == 0
+    assert m3["ivf_mode"] == "append" and m3["ivf_rows"] == 10
 
 
 def test_curate_job_mix_stage_and_resume_invalidation(tmp_path):

@@ -232,3 +232,41 @@ def test_adc_rerank_operator_matches_numpy(corpus, trained):
         assert [v for _, v, _ in rows] == want, qid
         for rn, v, d in rows:
             assert abs(d - d2[v]) < 1e-9
+
+
+def test_append_ivfpq_store_incremental_refresh(corpus, tmp_path):
+    """Appending new vectors under the store's frozen centroids AND
+    codebooks must serve exactly like a store written from the union;
+    skip_existing re-appends are idempotent (codes-only rows)."""
+    from osmpbf_spark.sources.store import (
+        append_ivfpq_store,
+        read_ivfpq_topk,
+        write_ivfpq_store,
+    )
+    from osmpbf_spark.operators.knn import train_centroids
+    df, x = corpus
+    spark = df.sparkSession
+    old = df.filter(F.col("vec_id") < 150)
+    new = df.filter(F.col("vec_id") >= 150)
+    cent = train_centroids(old, 4, iters=2)
+    books = train_pq_codebooks(old, 4, 4, iters=2)
+    queries = (df.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    path = str(tmp_path / "ivfpq_inc")
+    write_ivfpq_store(old, cent, books, path)
+    append_ivfpq_store(new, cent, books, path)
+    got = read_ivfpq_topk(spark, path, queries, 5, cent, books, nprobe=2)
+
+    full = str(tmp_path / "ivfpq_full")
+    write_ivfpq_store(df, cent, books, full)
+    want = read_ivfpq_topk(spark, full, queries, 5, cent, books, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    n_before = spark.read.parquet(path).count()
+    assert n_before == df.count()
+    append_ivfpq_store(new, cent, books, path, skip_existing=True)
+    assert spark.read.parquet(path).count() == n_before
+    assert sorted(stored_cols := spark.read.parquet(path).columns) == \
+        ["cid", "codes", "vec_id"], stored_cols

@@ -279,6 +279,56 @@ def test_build_ivf_store_trains_and_serves(spark, tmp_path):
     assert c1 == c2
 
 
+def test_append_ivf_store_incremental_refresh(spark, tmp_path):
+    # corpus-refresh parity for the ANN index (the hash/LSH stores'
+    # append story, applied to embeddings): appending a new crawl under
+    # the FROZEN centroids must serve exactly like a store built from
+    # the union, and skip_existing re-appends must be idempotent
+    from osmpbf_spark.sources.store import (
+        append_ivf_store,
+        ivf_store_stats,
+        read_ivf_topk,
+        write_ivf_store,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    old = emb.filter(F.col("vec_id") < 40)
+    new = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    union = emb.filter(F.col("vec_id") < 60)
+    queries = (emb.filter((F.col("vec_id") >= 70) & (F.col("vec_id") < 73))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_store(old, cent, path)
+    append_ivf_store(new, cent, path)
+    got = read_ivf_topk(spark, path, queries, 5, cent, nprobe=3)
+
+    full = str(tmp_path / "ivf_full")
+    write_ivf_store(union, cent, full)
+    want = read_ivf_topk(spark, full, queries, 5, cent, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # crash-recovery idempotence: re-appending the same batch with
+    # skip_existing adds zero rows and leaves serving unchanged
+    n_before = spark.read.parquet(path).count()
+    assert n_before == union.count()
+    append_ivf_store(new, cent, path, skip_existing=True)
+    assert spark.read.parquet(path).count() == n_before
+    again = read_ivf_topk(spark, path, queries, 5, cent, nprobe=3)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+    # stats: totals reconcile and the imbalance ratio is well-formed
+    stats = ivf_store_stats(spark, path)
+    assert stats["rows"] == n_before
+    assert sum(stats["per_cid"].values()) == stats["rows"]
+    assert stats["imbalance"] >= 1.0
+    assert stats["partitions"] == len(stats["per_cid"])
+
+
 def test_minhash_self_join_reuses_exchange(spark):
     # scale audit (r4): the LSH band self-join's twin signature
     # pipelines must collapse to ONE execution via AQE's ReusedExchange
