@@ -125,15 +125,90 @@ def append_ivf_store(embeddings: DataFrame, centroids: DataFrame,
     assign = ivf_assign(embeddings, centroids, 1,
                         vec_col=vec_col, id_col=id_col)
     rows = embeddings.join(assign.select(id_col, "cid"), id_col)
-    if skip_existing:
-        spark = embeddings.sparkSession
-        probed = [r["cid"] for r in
-                  rows.select("cid").distinct().collect()]
-        existing = (spark.read.parquet(path)
-                    .filter(F.col("cid").isin(probed))
-                    .select(id_col))
-        rows = rows.join(existing, id_col, "left_anti")
-    rows.write.mode("append").partitionBy("cid").parquet(path)
+    _append_partitioned(rows, path, id_col, skip_existing)
+
+
+def _append_partitioned(rows: DataFrame, path: str, id_col: str,
+                        skip_existing: bool) -> None:
+    """Append cid-assigned rows; with ``skip_existing``, persist the
+    assignment so the probed-cid collect and the write share one
+    computation, and drop already-stored ids via the hash-store probe
+    shape: the pruned existing scan is SEMI-joined against the
+    BROADCAST new-id set (existing rows never shuffle; a plain
+    left-anti against the probed partitions would sort-merge their
+    full contents once they outgrow the broadcast threshold), and the
+    resulting hit set — bounded by the new crawl, not the store —
+    rides a broadcast anti-join back onto the new rows."""
+    if not skip_existing:
+        rows.write.mode("append").partitionBy("cid").parquet(path)
+        return
+    rows = rows.persist()
+    try:
+        (_fresh_appendable(rows, path, id_col)
+         .write.mode("append").partitionBy("cid").parquet(path))
+    finally:
+        rows.unpersist()
+
+
+def _fresh_appendable(rows: DataFrame, path: str, id_col: str) -> DataFrame:
+    """The skip_existing plan, exposed for PLANS.md: cid-pruned store
+    scan → broadcast semi against the new ids → broadcast anti back
+    onto the new rows."""
+    spark = rows.sparkSession
+    probed = [r["cid"] for r in
+              rows.select("cid").distinct().collect()]
+    hits = (spark.read.parquet(path)
+            .filter(F.col("cid").isin(probed))
+            .select(id_col)
+            .join(F.broadcast(rows.select(id_col)), id_col,
+                  "left_semi"))
+    return rows.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def compact_ivf_store(spark: SparkSession, path: str, *,
+                      rows_per_file: int = 1_000_000,
+                      id_col: str = "vec_id") -> dict:
+    """Store maintenance after many appends (the classic small-files
+    problem: each `append_ivf_store` adds task-count files per touched
+    cid partition, and probe cost grows with per-partition file opens).
+    Rewrites the store so each cid partition holds
+    ``ceil(cid_rows / rows_per_file)`` files — a deterministic
+    ``xxhash64(id) % n_files`` salt splits oversized partitions, so
+    repartitioning on (cid, salt) gives one write task per target file.
+    Tmp directory + rename swap: a crash mid-compaction leaves the
+    original store intact. Works for both the IVF (vectors) and IVF-PQ
+    (codes) layouts. Returns {files_before, files_after, rows}."""
+    import math
+    import os
+    import shutil
+
+    def _count_files(p):
+        return sum(1 for dirp, _, names in os.walk(p)
+                   for n in names
+                   if n.endswith(".parquet") and not n.startswith("_"))
+
+    before = _count_files(path)
+    store = spark.read.parquet(path)
+    counts = {r["cid"]: r["count"] for r in
+              store.groupBy("cid").count().collect()}
+    rows = sum(counts.values())
+    nf = [(int(c), max(1, math.ceil(n / rows_per_file)))
+          for c, n in counts.items()]
+    n_out = sum(f for _, f in nf)
+    nf_df = spark.createDataFrame(nf, "cid int, _nf int")
+    salted = (store.join(F.broadcast(nf_df), "cid")
+              .withColumn("_f", F.pmod(F.xxhash64(id_col), F.col("_nf"))))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (salted.repartition(n_out, "cid", "_f").drop("_nf", "_f")
+     .write.mode("overwrite").partitionBy("cid").parquet(tmp))
+    old = path.rstrip("/") + ".compact.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _count_files(path),
+            "rows": rows}
 
 
 def append_ivfpq_store(embeddings: DataFrame, centroids: DataFrame,
@@ -151,15 +226,7 @@ def append_ivfpq_store(embeddings: DataFrame, centroids: DataFrame,
     codes = pq_encode(embeddings, codebooks,
                       vec_col=vec_col, id_col=id_col)
     rows = codes.join(assign.select(id_col, "cid"), id_col)
-    if skip_existing:
-        spark = embeddings.sparkSession
-        probed = [r["cid"] for r in
-                  rows.select("cid").distinct().collect()]
-        existing = (spark.read.parquet(path)
-                    .filter(F.col("cid").isin(probed))
-                    .select(id_col))
-        rows = rows.join(existing, id_col, "left_anti")
-    rows.write.mode("append").partitionBy("cid").parquet(path)
+    _append_partitioned(rows, path, id_col, skip_existing)
 
 
 def ivf_store_stats(spark: SparkSession, path: str) -> dict:

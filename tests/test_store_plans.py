@@ -328,6 +328,63 @@ def test_append_ivf_store_incremental_refresh(spark, tmp_path):
     assert stats["imbalance"] >= 1.0
     assert stats["partitions"] == len(stats["per_cid"])
 
+    # plan pin (PLANS.md "IVF store append"): the skip_existing probe
+    # partition-prunes the store scan and keeps both joins broadcast —
+    # the stored vectors must never shuffle
+    from osmpbf_spark.operators.knn import ivf_assign
+    from osmpbf_spark.sources.store import _fresh_appendable, scan_is_pruned
+    assign = ivf_assign(new, cent, 1)
+    fresh = _fresh_appendable(
+        new.join(assign.select("vec_id", "cid"), "vec_id"),
+        path, "vec_id")
+    fresh.collect()
+    info = scan_is_pruned(fresh)
+    # the plan also holds unpartitioned embeddings.parquet scans (whose
+    # "PartitionFilters: []" would trip the blunt helper), so pin the
+    # STORE scan's cid pruning by its filter text instead
+    assert "PartitionFilters: [cid" in info["plan"], info["plan"][:2000]
+    assert "BroadcastHashJoin" in info["plan"]
+    assert "SortMergeJoin" not in info["plan"]
+
+
+def test_compact_ivf_store_and_empty_append(spark, tmp_path):
+    # many small appends → compaction restores few files per cid with
+    # identical contents; appending an EMPTY crawl is a no-op on both
+    # append paths
+    from osmpbf_spark.sources.store import (
+        append_ivf_store,
+        compact_ivf_store,
+        write_ivf_store,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cent = (emb.filter(F.col("vec_id") < 4)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec")))
+    path = str(tmp_path / "ivf_many")
+    write_ivf_store(emb.filter(F.col("vec_id") < 20), cent, path)
+    for lo in range(20, 60, 10):           # 4 small append batches
+        append_ivf_store(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 10)),
+            cent, path)
+    def _rows(df):
+        return sorted((r["vec_id"], r["cid"], tuple(r["embedding"]))
+                      for r in df.collect())
+
+    before = _rows(spark.read.parquet(path))
+    rep = compact_ivf_store(spark, path)
+    assert rep["rows"] == 60
+    assert rep["files_after"] <= cent.count()          # one per cid
+    assert rep["files_after"] < rep["files_before"]
+    after = spark.read.parquet(path)
+    assert _rows(after) == before
+    assert not any(p.endswith((".compact.tmp", ".compact.old"))
+                   for p in str(tmp_path).split())
+
+    empty = emb.filter(F.lit(False))
+    append_ivf_store(empty, cent, path)
+    append_ivf_store(empty, cent, path, skip_existing=True)
+    assert spark.read.parquet(path).count() == 60
+
 
 def test_minhash_self_join_reuses_exchange(spark):
     # scale audit (r4): the LSH band self-join's twin signature

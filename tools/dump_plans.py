@@ -219,6 +219,41 @@ def main():
             "BROADCAST of the crawl's distinct hashes, so the stored "
             "corpus is never shuffled and never re-hashed.",
             fmt_exec(hits, max_lines=40)))
+
+        from osmpbf_spark.operators.knn import ivf_assign
+        from osmpbf_spark.sources.store import (
+            _fresh_appendable,
+            write_ivf_store,
+        )
+        emb = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.pmod(F.xxhash64(F.col("id") * 7 + F.lit(i)),
+                              F.lit(100)) / 25.0).alias(f"c{i}")
+                      for i in range(8)]).alias("embedding"))
+        cent = spark.range(4).select(
+            F.col("id").alias("cid"),
+            F.array(*[(F.pmod(F.xxhash64(F.col("id") * 3 + F.lit(i)),
+                              F.lit(100)) / 25.0).alias(f"c{i}")
+                      for i in range(8)]).alias("cvec"))
+        ivf_path = os.path.join(tmp, "ivf")
+        write_ivf_store(emb.filter("vec_id < 48"), cent, ivf_path)
+        newv = emb.filter("vec_id >= 40")          # 8 dups + 16 fresh
+        assign = ivf_assign(newv, cent, 1)
+        fresh = _fresh_appendable(
+            newv.join(assign.select("vec_id", "cid"), "vec_id"),
+            ivf_path, "vec_id")
+        fresh.collect()
+        sections.append((
+            "IVF store append — skip_existing probe (incremental ANN "
+            "refresh)",
+            "the new crawl's assigned cids prune the store scan "
+            "(PartitionFilters on cid); the pruned id projection "
+            "left-semi-joins a BROADCAST of the new ids, and the "
+            "resulting hit set (bounded by the crawl, not the store) "
+            "rides a broadcast anti-join back onto the new rows — the "
+            "stored vectors never shuffle, so crash-recovered "
+            "re-appends cost one pruned scan.",
+            fmt_exec(fresh, max_lines=44)))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
