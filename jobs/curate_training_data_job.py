@@ -5,6 +5,8 @@ exists for, wired into one resumable job:
 
   1. exact dedup            (md5 groupBy, keep min doc_id)
   2. near-dup dedup         (MinHash→LSH→connected components→keeper)
+  2b. decontamination       (drop docs sharing word n-grams with an
+                             eval set, if --decontaminate-eval given)
   3. quality + language gate (stopword-marker langid, heuristic score)
   4. token accounting       (whitespace + BPE-ish counts, per-doc)
   5. media features         (real codecs via mapInArrow, if media given)
@@ -102,6 +104,16 @@ def main():
                     "NEW crawl — dedup it against the stores and "
                     "append the survivors, never re-hashing or "
                     "re-signing the existing corpus")
+    ap.add_argument("--decontaminate-eval", default="",
+                    help="parquet of eval-benchmark documents (doc_id, "
+                    "text — or the interleaved spans schema); training "
+                    "docs sharing word n-grams with it are dropped "
+                    "after dedup (GPT-3 appendix-C recipe)")
+    ap.add_argument("--decon-ngram", type=int, default=13,
+                    help="n-gram size for --decontaminate-eval")
+    ap.add_argument("--decon-min-hits", type=int, default=1,
+                    help="distinct shared n-grams required to drop a "
+                    "doc (>1 guards against incidental collisions)")
     ap.add_argument("--lsh-max-bucket", type=int, default=10_000,
                     help="degenerate-LSH-bucket cap (representatives "
                     "per band bucket); overflowing buckets are skipped "
@@ -150,21 +162,36 @@ def main():
     spark.sparkContext.setLogLevel("WARN")
     metrics: dict = {}
 
-    docs = spark.read.parquet(args.documents)
-    # the interleaved-documents schema carries text inside spans; a flat
-    # text table (doc_id, text) passes through unchanged
-    if "spans" in docs.columns:
-        docs = (docs.select("doc_id", F.expr(
-            "concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'),"
-            " s -> s.text))").alias("text")))
+    # Stage-param CHAIN: every stage's sidecar embeds a digest of all
+    # upstream stages' params, so changing ANY upstream knob on
+    # --resume re-runs every stage downstream of it — not just the one
+    # whose own flag changed (the mix→pack invalidation, generalized).
+    import hashlib
+    chain: list = [{"documents": args.documents}]
+
+    def _chained(own: dict) -> dict:
+        key = json.dumps(chain, sort_keys=True)
+        return dict(own,
+                    _upstream=hashlib.md5(key.encode()).hexdigest())
+
+    def _flat_text(df):
+        # the interleaved-documents schema carries text inside spans; a
+        # flat text table (doc_id, text) passes through unchanged
+        if "spans" in df.columns:
+            df = (df.select("doc_id", F.expr(
+                "concat_ws(' ', transform(filter(spans, "
+                "s -> s.kind = 'text'), s -> s.text))").alias("text")))
+        return df
+
+    docs = _flat_text(spark.read.parquet(args.documents))
     metrics["input_docs"] = docs.count()
 
     # 1+2) dedup: exact first (cheap hash shuffle), then transitive
     # near-dup over the survivors — both anti-join a small drop list so
     # document payloads never shuffle
     dedup_path = os.path.join(args.out, "deduped")
-    dedup_params = {"lsh_max_bucket": args.lsh_max_bucket,
-                    "refresh_stores": args.refresh_stores}
+    dedup_params = _chained({"lsh_max_bucket": args.lsh_max_bucket,
+                             "refresh_stores": args.refresh_stores})
     overflow_sidecar = dedup_path.rstrip("/") + ".overflow.json"
     if not (args.resume and _stage_done(dedup_path, dedup_params)):
         t0 = time.time()
@@ -273,18 +300,44 @@ def main():
             pass                 # pre-sidecar stage dir: metric unknown
     deduped = spark.read.parquet(dedup_path)
     metrics["after_dedup"] = deduped.count()
+    chain.append({"dedup": dedup_params})
+
+    # 2b) benchmark decontamination (GPT-3 appendix-C n-gram collision,
+    # operators/decontaminate): the eval set's n-gram hashes are tiny →
+    # broadcast; the corpus side is a row-local shingle projection
+    # semi-joined map-side, and payloads anti-join the small
+    # contaminated-id list — the dedup drop-list shape again.
+    decon_own = None
+    if args.decontaminate_eval:
+        from osmpbf_spark.operators.decontaminate import decontaminate
+        decon_path = os.path.join(args.out, "decontaminated")
+        decon_own = {"eval": args.decontaminate_eval,
+                     "n": args.decon_ngram,
+                     "min_hits": args.decon_min_hits}
+        decon_params = _chained(decon_own)
+        if not (args.resume and _stage_done(decon_path, decon_params)):
+            t0 = time.time()
+            ev = _flat_text(spark.read.parquet(args.decontaminate_eval))
+            (decontaminate(deduped, ev, n=args.decon_ngram,
+                           min_hits=args.decon_min_hits)
+             .write.mode("overwrite").parquet(decon_path))
+            _write_params(decon_path, decon_params)
+            metrics["decon_sec"] = round(time.time() - t0, 2)
+        deduped = spark.read.parquet(decon_path)
+        metrics["after_decontaminate"] = deduped.count()
+    chain.append({"decontaminate": decon_own})
 
     # 3+4) language/quality gate + token accounting — row-local Catalyst
     # built-ins (dual-rendered SQL), no Python in the hot path
     curated_path = os.path.join(args.out, "curated")
-    gate_params = {"min_quality": args.min_quality,
+    gate_params = _chained({"min_quality": args.min_quality,
                    "max_repetition": args.max_repetition,
                    "keep_langs": args.keep_langs,
                    "min_word_len": args.min_word_len,
                    "max_word_len": args.max_word_len,
                    "max_symbol_ratio": args.max_symbol_ratio,
                    "max_bullet_frac": args.max_bullet_frac,
-                   "max_ellipsis_frac": args.max_ellipsis_frac}
+                   "max_ellipsis_frac": args.max_ellipsis_frac})
     if not (args.resume and _stage_done(curated_path, gate_params)):
         t0 = time.time()
         prof = (deduped
@@ -313,6 +366,7 @@ def main():
         metrics["curate_sec"] = round(time.time() - t0, 2)
     curated = spark.read.parquet(curated_path)
     metrics["after_quality_gate"] = curated.count()
+    chain.append({"gate": gate_params})
     metrics["total_tokens"] = curated.agg(
         F.sum("n_tokens")).collect()[0][0]
 
@@ -326,8 +380,8 @@ def main():
         targets = {k.strip(): float(v) for k, v in
                    (p.split(":") for p in args.mix_langs.split(","))}
         mix_path = os.path.join(args.out, "mixed")
-        mix_params = {"mix_langs": args.mix_langs,
-                      "mix_budget": args.mix_budget}
+        mix_params = _chained({"mix_langs": args.mix_langs,
+                               "mix_budget": args.mix_budget})
         mix_sidecar = mix_path.rstrip("/") + ".report.json"
         if not (args.resume and _stage_done(mix_path, mix_params)):
             t0 = time.time()
@@ -424,15 +478,17 @@ def main():
     # 7) sequence packing: curated documents laid end-to-end and split
     # into fixed token windows — what actually feeds a training run.
     # Uses the gate stage's precomputed n_tokens (no re-tokenization).
+    chain.append({"mix": [args.mix_langs, args.mix_budget]})
+
     if args.pack_budget:
         from osmpbf_spark.operators.packing import pack_sequences
         packed_path = os.path.join(args.out, "packed")
         # mix params included: a different mixture changes the packing
         # INPUT, so a resume under new mix settings must re-pack
-        pack_params = {"pack_budget": args.pack_budget,
-                       "pack_strata": args.pack_strata,
-                       "mix_langs": args.mix_langs,
-                       "mix_budget": args.mix_budget}
+        pack_params = _chained({"pack_budget": args.pack_budget,
+                                "pack_strata": args.pack_strata,
+                                "mix_langs": args.mix_langs,
+                                "mix_budget": args.mix_budget})
         if not (args.resume and _stage_done(packed_path, pack_params)):
             t0 = time.time()
             (pack_sequences(mixed, args.pack_budget,

@@ -26,6 +26,7 @@ from .functions.text import (
     poly_hash_sql,
     quality_score_sql,
     repetition_ratio_sql,
+    shingles_sql,
     symbol_word_ratio_sql,
     tokens_sql,
 )
@@ -136,11 +137,18 @@ def q_zone_minmax(spark, sf_dir):
                  F.max("l_orderkey").alias("max_key")))
 
 
-@q("distinct_users", """
+DISTINCT_USERS_ORACLE = """
 SELECT event_type, COUNT(DISTINCT user_id) AS users
 FROM events GROUP BY event_type
-""")
+"""
+
+
 def q_distinct_users(spark, sf_dir):
+    """COUNT(DISTINCT) group agg. UNREGISTERED since round 5 (50-entry
+    driver cap — the slot went to ``decontaminate_docs``): the distinct
+    surface is already driver-covered by ``set_ops_users`` and
+    ``dedup_exact``; kept green as an API + pytest surface
+    (tests/test_more_ops.py::test_distinct_users)."""
     return (_load(spark, sf_dir, "events")
             .groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("users")))
@@ -694,6 +702,46 @@ def q_doc_profile(spark, sf_dir):
                     .alias("bullet_frac"),
                     F.expr(ellipsis_line_frac_sql("text"))
                     .alias("ellipsis_frac")))
+
+
+_DECON_N = 8          # n-gram size (13 is the GPT-3 default; 8 keeps the
+#                       ~40-word synthetic docs collide-able)
+_DECON_MIN_HITS = 2   # standard guard against single incidental collisions
+
+_DECON_ORACLE = f"""
+WITH corp AS (
+  SELECT DISTINCT doc_id, u.s
+  FROM documents,
+  UNNEST({shingles_sql('text', _DECON_N, 'duckdb')}) AS u(s)),
+corph AS (
+  SELECT doc_id, {poly_hash_sql('s', 'duckdb')} AS h FROM corp),
+evalh AS (
+  SELECT DISTINCT h FROM corph WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS eval_hits
+  FROM corph c JOIN evalh e USING (h) GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(h.eval_hits, CAST(0 AS BIGINT)) AS eval_hits,
+       COALESCE(h.eval_hits, CAST(0 AS BIGINT)) < {_DECON_MIN_HITS} AS kept
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@q("decontaminate_docs", _DECON_ORACLE)
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination audit (operators/decontaminate.py —
+    the GPT-3 appendix-C n-gram collision recipe): every document's
+    count of distinct word 8-grams shared with a deterministic pseudo
+    eval set (doc_id % 37 = 0) and whether it survives the
+    ``min_hits=2`` gate. Eval n-gram hashes are tiny → broadcast; the
+    corpus side is a row-local shingle/hash projection semi-joined
+    map-side, so only hit rows reach the count shuffle and document
+    payloads never move."""
+    from .operators.decontaminate import contamination_profile
+    docs = _load(spark, sf_dir, "documents")
+    return contamination_profile(
+        docs, docs.filter("doc_id % 37 = 0"),
+        n=_DECON_N, min_hits=_DECON_MIN_HITS)
 
 
 _MINHASH_K = 16

@@ -106,7 +106,8 @@ def build_ivf_store(embeddings: DataFrame, k: int, path: str, *,
 def append_ivf_store(embeddings: DataFrame, centroids: DataFrame,
                      path: str, *, vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     skip_existing: bool = False) -> None:
+                     skip_existing: bool = False,
+                     broadcast_new: bool = True) -> None:
     """Incremental ANN-index refresh: assign a NEW crawl's vectors to the
     store's FROZEN centroids and append them into their cid partitions —
     the existing corpus is never re-read or re-assigned (the embedding
@@ -125,11 +126,12 @@ def append_ivf_store(embeddings: DataFrame, centroids: DataFrame,
     assign = ivf_assign(embeddings, centroids, 1,
                         vec_col=vec_col, id_col=id_col)
     rows = embeddings.join(assign.select(id_col, "cid"), id_col)
-    _append_partitioned(rows, path, id_col, skip_existing)
+    _append_partitioned(rows, path, id_col, skip_existing, broadcast_new)
 
 
 def _append_partitioned(rows: DataFrame, path: str, id_col: str,
-                        skip_existing: bool) -> None:
+                        skip_existing: bool,
+                        broadcast_new: bool = True) -> None:
     """Append cid-assigned rows; with ``skip_existing``, persist the
     assignment so the probed-cid collect and the write share one
     computation, and drop already-stored ids via the hash-store probe
@@ -144,25 +146,34 @@ def _append_partitioned(rows: DataFrame, path: str, id_col: str,
         return
     rows = rows.persist()
     try:
-        (_fresh_appendable(rows, path, id_col)
+        (_fresh_appendable(rows, path, id_col, broadcast_new)
          .write.mode("append").partitionBy("cid").parquet(path))
     finally:
         rows.unpersist()
 
 
-def _fresh_appendable(rows: DataFrame, path: str, id_col: str) -> DataFrame:
+def _fresh_appendable(rows: DataFrame, path: str, id_col: str,
+                      broadcast_new: bool = True) -> DataFrame:
     """The skip_existing plan, exposed for PLANS.md: cid-pruned store
     scan → broadcast semi against the new ids → broadcast anti back
-    onto the new rows."""
+    onto the new rows. ``broadcast_new=False`` is the escape hatch for
+    a crawl too large to broadcast (billions of ids): the probe becomes
+    a shuffle semi/anti on the id — the pruned store partitions DO
+    shuffle then, which is still the right trade once the crawl side
+    outgrows executor memory."""
     spark = rows.sparkSession
     probed = [r["cid"] for r in
               rows.select("cid").distinct().collect()]
+    new_ids = rows.select(id_col)
+    if broadcast_new:
+        new_ids = F.broadcast(new_ids)
     hits = (spark.read.parquet(path)
             .filter(F.col("cid").isin(probed))
             .select(id_col)
-            .join(F.broadcast(rows.select(id_col)), id_col,
-                  "left_semi"))
-    return rows.join(F.broadcast(hits), id_col, "left_anti")
+            .join(new_ids, id_col, "left_semi"))
+    if broadcast_new:
+        hits = F.broadcast(hits)
+    return rows.join(hits, id_col, "left_anti")
 
 
 def compact_ivf_store(spark: SparkSession, path: str, *,
@@ -192,6 +203,8 @@ def compact_ivf_store(spark: SparkSession, path: str, *,
     counts = {r["cid"]: r["count"] for r in
               store.groupBy("cid").count().collect()}
     rows = sum(counts.values())
+    if rows == 0:       # nothing to rewrite (repartition(0) would throw)
+        return {"files_before": before, "files_after": before, "rows": 0}
     nf = [(int(c), max(1, math.ceil(n / rows_per_file)))
           for c, n in counts.items()]
     n_out = sum(f for _, f in nf)
@@ -215,7 +228,8 @@ def append_ivfpq_store(embeddings: DataFrame, centroids: DataFrame,
                        codebooks: DataFrame, path: str, *,
                        vec_col: str = "embedding",
                        id_col: str = "vec_id",
-                       skip_existing: bool = False) -> None:
+                       skip_existing: bool = False,
+                       broadcast_new: bool = True) -> None:
     """:func:`append_ivf_store` for the codes-only IVF-PQ layout: encode
     the new crawl with the store's frozen codebooks, assign with its
     frozen coarse centroids, append codes into the cid partitions."""
@@ -226,7 +240,7 @@ def append_ivfpq_store(embeddings: DataFrame, centroids: DataFrame,
     codes = pq_encode(embeddings, codebooks,
                       vec_col=vec_col, id_col=id_col)
     rows = codes.join(assign.select(id_col, "cid"), id_col)
-    _append_partitioned(rows, path, id_col, skip_existing)
+    _append_partitioned(rows, path, id_col, skip_existing, broadcast_new)
 
 
 def ivf_store_stats(spark: SparkSession, path: str) -> dict:

@@ -199,3 +199,48 @@ def test_curate_job_mix_stage_and_resume_invalidation(tmp_path):
     assert "mix_sec" in m2 and "pack_sec" in m2    # both re-ran
     # monotone sampling: the smaller budget's docs nest in the larger's
     assert m2["after_mix"] < m1["after_mix"]
+
+
+def test_curate_job_decontamination_stage(tmp_path):
+    """--decontaminate-eval: docs sharing word n-grams with the eval
+    parquet are dropped after dedup; changing the n-gram size on
+    --resume re-runs the decon stage AND the downstream gate (upstream
+    param chain), while the untouched dedup stage stays skipped."""
+    out = str(tmp_path / "curated")
+    ev = str(tmp_path / "eval")
+    # eval set = a slice of the corpus itself → guaranteed collisions
+    import duckdb
+    duckdb.sql(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id % 37 = 0) TO '{ev}' (FORMAT PARQUET)")
+    cmd = [sys.executable, "jobs/curate_training_data_job.py",
+           "--documents", "/root/testdata/sf0.001/documents.parquet",
+           "--out", out, "--decontaminate-eval", ev]
+    r1 = subprocess.run(cmd + ["--decon-ngram", "8"], cwd=REPO,
+                        capture_output=True, text=True, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert "decon_sec" in m1
+    assert 0 < m1["after_decontaminate"] < m1["after_dedup"]
+    assert m1["after_quality_gate"] <= m1["after_decontaminate"]
+
+    # resume with identical params: everything skipped
+    r2 = subprocess.run(cmd + ["--decon-ngram", "8", "--resume"],
+                        cwd=REPO, capture_output=True, text=True,
+                        timeout=600)
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "decon_sec" not in m2 and "curate_sec" not in m2
+    assert m2["after_decontaminate"] == m1["after_decontaminate"]
+
+    # resume with a LOOSER n-gram (smaller n → more collisions): decon
+    # re-runs, and the gate re-runs too because its input changed —
+    # even though no gate flag changed (chained invalidation)
+    r3 = subprocess.run(cmd + ["--decon-ngram", "5", "--resume"],
+                        cwd=REPO, capture_output=True, text=True,
+                        timeout=600)
+    m3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "dedup_sec" not in m3                    # untouched upstream
+    assert "decon_sec" in m3 and "curate_sec" in m3
+    assert m3["after_decontaminate"] <= m1["after_decontaminate"]

@@ -254,6 +254,27 @@ def main():
             "stored vectors never shuffle, so crash-recovered "
             "re-appends cost one pruned scan.",
             fmt_exec(fresh, max_lines=44)))
+
+        from osmpbf_spark.operators.decontaminate import decontaminate
+        corpus = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.concat(F.lit("w"),
+                         F.pmod(F.xxhash64(F.col("id") * 13 + F.lit(i)),
+                                F.lit(40)))
+                for i in range(20)]).alias("text"))
+        evald = corpus.filter("doc_id % 37 = 0")
+        decon = decontaminate(corpus, evald, n=5, min_hits=2)
+        decon.collect()
+        sections.append((
+            "Benchmark decontamination (n-gram collision vs eval set)",
+            "the eval set's distinct n-gram hashes BROADCAST into a "
+            "map-side left-semi against the corpus's row-local shingle "
+            "projection — only hit rows reach the (doc_id) count "
+            "shuffle, bounded by contamination volume, and the "
+            "contaminated-id list rides a broadcast anti-join back "
+            "onto the full documents (payloads never shuffle).",
+            fmt_exec(decon, max_lines=44)))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
