@@ -7,6 +7,10 @@ exists for, wired into one resumable job:
   2. near-dup dedup         (MinHash→LSH→connected components→keeper)
   2b. decontamination       (drop docs sharing word n-grams with an
                              eval set, if --decontaminate-eval given)
+  2c. semantic dedup        (SemDeDup: k-means clusters over the
+                             embedding column, within-cluster cosine,
+                             one keeper per group — if
+                             --semdedup-threshold given)
   3. quality + language gate (stopword-marker langid, heuristic score)
   4. token accounting       (whitespace + BPE-ish counts, per-doc)
   5. media features         (real codecs via mapInArrow, if media given)
@@ -114,6 +118,25 @@ def main():
     ap.add_argument("--decon-min-hits", type=int, default=1,
                     help="distinct shared n-grams required to drop a "
                     "doc (>1 guards against incidental collisions)")
+    ap.add_argument("--semdedup-threshold", type=float, default=None,
+                    help="enable SemDeDup (semantic dedup over the "
+                    "--embeddings column, Abbas et al. 2023): drop all "
+                    "but one of each within-cluster group of docs with "
+                    "pairwise cosine >= this (paper uses ~0.95+)")
+    ap.add_argument("--semdedup-k", type=int, default=16,
+                    help="SemDeDup cluster count (production: "
+                    "~|corpus|/k docs per cluster, paper used 50k)")
+    ap.add_argument("--semdedup-keep", default="min_id",
+                    choices=["min_id", "far_from_centroid"],
+                    help="keeper per duplicate group: deterministic "
+                    "min id, or the paper's least-centroid-aligned")
+    ap.add_argument("--semdedup-max-cluster", type=int, default=100_000,
+                    help="degenerate-cluster cap: clusters larger than "
+                    "this are excluded from pairing and reported as "
+                    "semdedup_overflow_clusters")
+    ap.add_argument("--semdedup-train-mod", type=int, default=1,
+                    help="train centroids on a deterministic 1/m hash "
+                    "sample of the embeddings (1 = train on all)")
     ap.add_argument("--lsh-max-bucket", type=int, default=10_000,
                     help="degenerate-LSH-bucket cap (representatives "
                     "per band bucket); overflowing buckets are skipped "
@@ -326,6 +349,62 @@ def main():
         deduped = spark.read.parquet(decon_path)
         metrics["after_decontaminate"] = deduped.count()
     chain.append({"decontaminate": decon_own})
+
+    # 2c) semantic dedup (SemDeDup, operators/semdedup): k-means
+    # clusters over the embedding column, within-cluster cosine pairs,
+    # one keeper per duplicate group. Centroids train on a
+    # deterministic hash-sample (driver-side k·d collect only);
+    # assignment is a broadcast map-side join; the drop list anti-joins
+    # payloads like every other dedup stage.
+    semdedup_own = None
+    if args.embeddings and args.semdedup_threshold is not None:
+        from osmpbf_spark.functions.sampling import hash_sample
+        from osmpbf_spark.operators.knn import train_centroids
+        from osmpbf_spark.operators.semdedup import (
+            semdedup_cluster_overflow,
+            semdedup_drop_ids,
+        )
+        sem_path = os.path.join(args.out, "semdeduped")
+        semdedup_own = {"threshold": args.semdedup_threshold,
+                        "k": args.semdedup_k,
+                        "keep": args.semdedup_keep,
+                        "max_cluster": args.semdedup_max_cluster,
+                        "embeddings": args.embeddings}
+        sem_params = _chained(semdedup_own)
+        sem_sidecar = sem_path.rstrip("/") + ".overflow.json"
+        if not (args.resume and _stage_done(sem_path, sem_params)):
+            t0 = time.time()
+            emb = spark.read.parquet(args.embeddings)
+            # survivors only: embeddings of already-dropped docs must
+            # not reintroduce their clusters' pair work
+            emb = emb.join(F.broadcast(deduped.select(
+                F.col("doc_id").alias("vec_id"))), "vec_id", "left_semi")
+            sample = hash_sample(emb, "vec_id",
+                                 args.semdedup_train_mod)
+            cent = train_centroids(sample, args.semdedup_k)
+            drop = (semdedup_drop_ids(
+                        emb, cent, threshold=args.semdedup_threshold,
+                        keep=args.semdedup_keep,
+                        max_cluster=args.semdedup_max_cluster)
+                    .withColumnRenamed("vec_id", "doc_id"))
+            (deduped.join(F.broadcast(drop), "doc_id", "left_anti")
+             .write.mode("overwrite").parquet(sem_path))
+            over = semdedup_cluster_overflow(
+                emb, cent,
+                max_cluster=args.semdedup_max_cluster).count()
+            with open(sem_sidecar, "w") as f:
+                json.dump({"overflow_clusters": over}, f)
+            _write_params(sem_path, sem_params)
+            metrics["semdedup_sec"] = round(time.time() - t0, 2)
+        try:
+            with open(sem_sidecar) as f:
+                metrics["semdedup_overflow_clusters"] = json.load(
+                    f)["overflow_clusters"]
+        except (OSError, ValueError):
+            pass
+        deduped = spark.read.parquet(sem_path)
+        metrics["after_semdedup"] = deduped.count()
+    chain.append({"semdedup": semdedup_own})
 
     # 3+4) language/quality gate + token accounting — row-local Catalyst
     # built-ins (dual-rendered SQL), no Python in the hot path

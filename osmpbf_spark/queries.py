@@ -1435,6 +1435,10 @@ def q_stream_pbf_decode(spark, sf_dir):
 _PLANES = [[(((i * 13 + jj * 7) % 11) - 5) / 5.0 for jj in range(64)]
            for i in range(4)]
 
+# SemDeDup leg: cluster count / Lloyd iterations (small enough for the
+# unrolled DuckDB CTE chain, ~125 vectors per cluster at the driver SF)
+_SEMDEDUP_K, _SEMDEDUP_ITERS = 4, 3
+
 
 def _duck_dot(a: str, b: str) -> str:
     return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
@@ -1457,6 +1461,14 @@ def _duck_sig_terms() -> str:
 
 
 def _emb_neardup_oracle(threshold=0.3):
+    """Union-tagged embedding near-dup oracle: the hyperplane-LSH leg
+    plus the SemDeDup leg (k-means clusters → within-cluster cosine,
+    operators/semdedup.py). The k-means CTE chain is the SAME generator
+    the ann_topk kmeans leg renders (``_kmeans_cent_ctes``), so trained
+    centroids are bit-identical across engines; assignment mirrors
+    operators/knn.ivf_assign (double-dist2 argmin, cid tie-break). Both
+    legs filter on the RAW double cosine (identical left-to-right fold
+    in both engines) and round to 6 places in the projection only."""
     sig_terms = _duck_sig_terms()
     norm = (f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
             f"[CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN embedding]), "
@@ -1467,24 +1479,64 @@ WITH sigs AS (
   FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND({_duck_dot('a.embedding', 'b.embedding')}
-               / (a.nrm * b.nrm), 6) AS cos_sim
-  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
-SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+         {_duck_dot('a.embedding', 'b.embedding')}
+               / (a.nrm * b.nrm) AS cs
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+lshp AS (
+  SELECT DISTINCT id_a, id_b, ROUND(cs, 6) AS cos_sim
+  FROM pairs WHERE cs >= {threshold}),
+{_kmeans_cent_ctes(_SEMDEDUP_K, _SEMDEDUP_ITERS,
+                   prefix='sd', out='sdcent')},
+sda AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {_duck_dist2('e.embedding', 'c.cvec')}, c.cid
+         ) AS crank
+  FROM embeddings e, sdcent c),
+sdb AS (
+  SELECT vec_id, embedding, cid, {norm} AS nrm
+  FROM sda WHERE crank = 1),
+sdp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_duck_dot('a.embedding', 'b.embedding')}
+               / (a.nrm * b.nrm) AS cs
+  FROM sdb a JOIN sdb b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+SELECT 'lsh' AS method, id_a, id_b, cos_sim FROM lshp
+UNION ALL
+SELECT 'semdedup' AS method, id_a, id_b, ROUND(cs, 6) AS cos_sim
+FROM sdp WHERE cs >= {threshold}
 """
 
 
-@q("embedding_neardup", _emb_neardup_oracle())
+@q("embedding_neardup", None)
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding near-duplicate pairs: hyperplane-LSH bucket join + exact
-    cosine refine (operators/dedup.py), mirrored in DuckDB with the same
-    fixed planes and left-to-right double math."""
+    """Embedding near-duplicate pairs, union-tagged by method (the
+    ann_topk convention):
+
+    - 'lsh': hyperplane-LSH bucket join + exact cosine refine
+      (operators/dedup.embedding_neardup_pairs), fixed ``_PLANES``;
+    - 'semdedup': the SemDeDup recipe (Abbas et al. 2023,
+      operators/semdedup.py) — deterministic k-means clusters
+      (operators/knn.train_centroids, the ann_topk kmeans leg's
+      trainer) then within-cluster pairwise cosine.
+
+    Both mirrored step-for-step in DuckDB with the same fixed planes /
+    unrolled Lloyd CTEs and left-to-right double math. Driver
+    embeddings are random (max pair cosine ~0.47), so the
+    demonstration threshold is 0.3; production near-dup uses ~0.95+."""
     from .operators.dedup import embedding_neardup_pairs
+    from .operators.knn import train_centroids
+    from .operators.semdedup import semdedup_pairs
     emb = _load(spark, sf_dir, "embeddings")
-    # driver embeddings are random (max pair cosine ~0.47), so the
-    # demonstration threshold is 0.3; production near-dup uses ~0.95+
-    return embedding_neardup_pairs(emb, _PLANES, threshold=0.3,
+    lsh = (embedding_neardup_pairs(emb, _PLANES, threshold=0.3,
                                    max_bucket=None)
+           .select(F.lit("lsh").alias("method"),
+                   "id_a", "id_b", "cos_sim"))
+    cent = train_centroids(emb, _SEMDEDUP_K, iters=_SEMDEDUP_ITERS)
+    sd = (semdedup_pairs(emb, cent, threshold=0.3, max_cluster=None)
+          .select(F.lit("semdedup").alias("method"),
+                  "id_a", "id_b", "cos_sim"))
+    return lsh.unionByName(sd)
 
 
 def _media_golden_oracle():
@@ -1663,6 +1715,12 @@ _KMEANS_ORACLE = f"""
 WITH {_kmeans_cent_ctes(4, 3)},
 {_ivf_serving_sql('vec_id >= 20 AND vec_id < 23')}
 """
+
+# late-bound oracle for the union-tagged embedding_neardup row: its
+# semdedup leg renders the kmeans CTE chain, whose generator is defined
+# just above (after the @q registration site)
+REGISTRY["embedding_neardup"] = (REGISTRY["embedding_neardup"][0],
+                                 _emb_neardup_oracle())
 
 
 def _ann_ivf_leg(spark, sf_dir):

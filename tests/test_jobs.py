@@ -244,3 +244,43 @@ def test_curate_job_decontamination_stage(tmp_path):
     assert "dedup_sec" not in m3                    # untouched upstream
     assert "decon_sec" in m3 and "curate_sec" in m3
     assert m3["after_decontaminate"] <= m1["after_decontaminate"]
+
+
+def test_curate_job_semdedup_stage(tmp_path):
+    """--semdedup-threshold: SemDeDup drops within-cluster cosine
+    duplicates after dedup; identical-param resume skips the stage; a
+    tighter threshold on --resume re-runs semdedup and the downstream
+    gate while the untouched dedup stage stays skipped."""
+    out = str(tmp_path / "curated")
+    cmd = [sys.executable, "jobs/curate_training_data_job.py",
+           "--documents", "/root/testdata/sf0.001/documents.parquet",
+           "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+           "--out", out, "--semdedup-k", "4"]
+    r1 = subprocess.run(cmd + ["--semdedup-threshold", "0.3"],
+                        cwd=REPO, capture_output=True, text=True,
+                        timeout=900)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert "semdedup_sec" in m1
+    assert m1["semdedup_overflow_clusters"] == 0
+    assert 0 < m1["after_semdedup"] < m1["after_dedup"]
+
+    r2 = subprocess.run(cmd + ["--semdedup-threshold", "0.3",
+                               "--resume"],
+                        cwd=REPO, capture_output=True, text=True,
+                        timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert "semdedup_sec" not in m2 and "curate_sec" not in m2
+    assert m2["after_semdedup"] == m1["after_semdedup"]
+
+    # LOOSER threshold drops more; dedup stays skipped, gate re-runs
+    r3 = subprocess.run(cmd + ["--semdedup-threshold", "0.25",
+                               "--resume"],
+                        cwd=REPO, capture_output=True, text=True,
+                        timeout=900)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    m3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert "dedup_sec" not in m3
+    assert "semdedup_sec" in m3 and "curate_sec" in m3
+    assert m3["after_semdedup"] <= m1["after_semdedup"]

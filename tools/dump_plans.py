@@ -275,6 +275,29 @@ def main():
             "contaminated-id list rides a broadcast anti-join back "
             "onto the full documents (payloads never shuffle).",
             fmt_exec(decon, max_lines=44)))
+
+        from osmpbf_spark.operators.semdedup import semdedup_pairs
+        emb = spark.range(400).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.pmod(F.xxhash64(F.col("id") * 7 + F.lit(i)),
+                              F.lit(1000)).cast("double") / 500 - 1)
+                      for i in range(8)]).alias("embedding"))
+        cent = spark.createDataFrame(
+            [(c, [(((c * 11 + i * 5) % 13) - 6) / 6.0
+                  for i in range(8)]) for c in range(4)],
+            "cid long, cvec array<double>")
+        sd = semdedup_pairs(emb, cent, threshold=0.8,
+                            max_cluster=100_000)
+        sd.collect()
+        sections.append((
+            "SemDeDup within-cluster pair generation",
+            "centroids are a BROADCAST dimension (assignment is "
+            "map-side — the embedding table never shuffles to learn "
+            "its cid); the within-cluster self-join shuffles both "
+            "sides ONCE on cid, candidates are bounded by cluster "
+            "size (the SemDeDup recipe's point) with the shared "
+            "degenerate-bucket cap excluding collapsed clusters.",
+            fmt_exec(sd, max_lines=44)))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
