@@ -95,6 +95,9 @@ def _prev_bench():
 
 
 def main():
+    # sampled before any Spark work: external-contention evidence that
+    # travels with the numbers (see vs_prev_note)
+    host_load_1m = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_nodes = int(os.environ.get("SPARK_GRAFT_BENCH_NODES", "2000000"))
@@ -108,9 +111,14 @@ def main():
                                        block_elements=500)
     read_elements(wdocs, wmedia).count()
 
+    # queries retired from the driver registry (50-entry cap) but kept
+    # as bench headlines for round-over-round comparability
+    from osmpbf_spark.queries import q_region_rollup
+    retired = {"region_rollup": (q_region_rollup, None)}
+
     queries = {}
     for name in BENCH_QUERIES:
-        fn, _ = REGISTRY[name]
+        fn, _ = REGISTRY.get(name) or retired[name]
         queries[name] = round(_median_time(
             lambda: _materialize(fn(spark, sf_dir))), 3)
 
@@ -212,7 +220,17 @@ def main():
                          "prev 6.57/3.88 s, identical 739,864 matches; "
                          "single trials within one process ranged "
                          "3.8-16.9 s) — read r5 numbers against the "
-                         "same-session 789-908k range, not one sample"),
+                         "same-session 789-908k range, not one sample. "
+                         "host_load_1m below is the 1-minute loadavg "
+                         "sampled BEFORE this run started — this VM "
+                         "idles at ~0 when the host is quiet, so a "
+                         "nonzero value is EXTERNAL contention eating "
+                         "that many cores (an end-r5 quiet-VM run read "
+                         "headline 486k under load 5.9 with every "
+                         "untouched-since-r1 query uniformly ~1.3× "
+                         "slower — the signature of stolen cores, not "
+                         "a plan change)"),
+        "host_load_1m": host_load_1m,
         "sf": sf_dir,
         "cpus": cpus,
         "total_sec": total,

@@ -11,7 +11,9 @@ exists for, wired into one resumable job:
                              embedding column, within-cluster cosine,
                              one keeper per group — if
                              --semdedup-threshold given)
-  3. quality + language gate (stopword-marker langid, heuristic score)
+  3. quality + language gate (stopword-marker langid, heuristic score,
+                             Gopher signals, optional CCNet-style LM
+                             perplexity vs --ppl-reference)
   4. token accounting       (whitespace + BPE-ish counts, per-doc)
   5. media features         (real codecs via mapInArrow, if media given)
   6. ANN index build        (k-means trainer → centroid-partitioned
@@ -99,6 +101,18 @@ def main():
     ap.add_argument("--max-repetition", type=float, default=0.5,
                     help="drop docs whose repeated-bigram fraction "
                     "exceeds this (Gopher-style boilerplate gate)")
+    ap.add_argument("--ppl-reference", default="",
+                    help="parquet of trusted reference documents "
+                    "(CCNet recipe: Wikipedia-like); a bigram LM is "
+                    "trained on it and every doc scored — docs with "
+                    "perplexity above --max-ppl are dropped")
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="perplexity gate threshold (requires "
+                    "--ppl-reference); docs without bigrams score "
+                    "NULL and pass")
+    ap.add_argument("--lm-min-count", type=int, default=2,
+                    help="prune LM bigrams rarer than this so the "
+                    "model broadcasts (scoring stays map-side)")
     ap.add_argument("--keep-langs", default="",
                     help="comma-separated language codes; empty = all")
     ap.add_argument("--refresh-stores", default="",
@@ -416,7 +430,10 @@ def main():
                    "max_word_len": args.max_word_len,
                    "max_symbol_ratio": args.max_symbol_ratio,
                    "max_bullet_frac": args.max_bullet_frac,
-                   "max_ellipsis_frac": args.max_ellipsis_frac})
+                   "max_ellipsis_frac": args.max_ellipsis_frac,
+                   "ppl_reference": args.ppl_reference,
+                   "max_ppl": args.max_ppl,
+                   "lm_min_count": args.lm_min_count})
     if not (args.resume and _stage_done(curated_path, gate_params)):
         t0 = time.time()
         prof = (deduped
@@ -429,6 +446,23 @@ def main():
                 .withColumn("symbol_ratio", symbol_word_ratio("text"))
                 .withColumn("bullet_frac", bullet_line_frac("text"))
                 .withColumn("ellipsis_frac", ellipsis_line_frac("text")))
+        if args.ppl_reference and args.max_ppl is not None:
+            # CCNet-style LM gate (operators/lm): bigram LM trained on
+            # the trusted reference, pruned so it broadcasts — scoring
+            # is map-side, the corpus never shuffles for its ppl
+            from osmpbf_spark.operators.lm import (
+                perplexity,
+                prune_lm,
+                train_bigram_lm,
+            )
+            ref = _flat_text(spark.read.parquet(args.ppl_reference))
+            lm = prune_lm(train_bigram_lm(ref), args.lm_min_count)
+            prof = prof.join(
+                perplexity(prof.select("doc_id", "text"), lm)
+                .select("doc_id", "ppl"), "doc_id", "left")
+        else:
+            prof = prof.withColumn(
+                "ppl", F.lit(None).cast("double"))
         gated = prof.filter(
             (F.col("quality") >= args.min_quality)
             & (F.col("rep_bigram") <= args.max_repetition)
@@ -437,6 +471,11 @@ def main():
             & (F.col("symbol_ratio") <= args.max_symbol_ratio)
             & (F.col("bullet_frac") <= args.max_bullet_frac)
             & (F.col("ellipsis_frac") <= args.max_ellipsis_frac))
+        if args.max_ppl is not None:
+            # NULL ppl (no bigrams / no reference) passes — absence of
+            # evidence is not a drop signal
+            gated = gated.filter(F.col("ppl").isNull()
+                                 | (F.col("ppl") <= args.max_ppl))
         if args.keep_langs:
             keep = [s.strip() for s in args.keep_langs.split(",") if s]
             gated = gated.filter(F.col("lang").isin(keep))

@@ -200,16 +200,23 @@ def q_ways_and_deps_tpch(spark, sf_dir):
                  F.expr(_dsum("l_quantity")).alias("sum_qty")))
 
 
-@q("region_rollup", """
+REGION_ROLLUP_ORACLE = """
 SELECT r.r_name AS region, COUNT(*) AS customers,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
-""")
+"""
+
+
 def q_region_rollup(spark, sf_dir):
-    """Broadcast-join chain over the small dimensions."""
+    """Broadcast-join chain over the small dimensions. UNREGISTERED
+    since round 5 (50-entry driver cap — the slot went to
+    ``lm_perplexity``): the broadcast-dimension join + grouped-agg
+    surface stays driver-covered by ``region_rollup_cube`` (same join
+    chain, richer grouping); kept green as a bench.py headline query
+    and pytest surface (tests/test_more_ops.py)."""
     c = _load(spark, sf_dir, "customer")
     n = F.broadcast(_load(spark, sf_dir, "nation"))
     r = F.broadcast(_load(spark, sf_dir, "region"))
@@ -742,6 +749,24 @@ def q_decontaminate_docs(spark, sf_dir):
     return contamination_profile(
         docs, docs.filter("doc_id % 37 = 0"),
         n=_DECON_N, min_hits=_DECON_MIN_HITS)
+
+
+from .operators.lm import perplexity_oracle_sql  # noqa: E402
+
+
+@q("lm_perplexity", perplexity_oracle_sql("lang = 'en'"))
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py): a
+    Laplace-smoothed bigram LM trained on the trusted slice (the
+    ``lang = 'en'`` documents, standing in for CCNet's Wikipedia) and
+    every document's perplexity under it. Per-term log-probs are
+    quantized then DECIMAL-summed (partition-order-independent per the
+    repo invariant); the pruned-LM path broadcasts the model so
+    scoring is map-side — the corpus never shuffles."""
+    from .operators.lm import perplexity, train_bigram_lm
+    docs = _load(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter("lang = 'en'"))
+    return perplexity(docs, lm)
 
 
 _MINHASH_K = 16

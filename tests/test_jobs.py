@@ -284,3 +284,43 @@ def test_curate_job_semdedup_stage(tmp_path):
     assert "dedup_sec" not in m3
     assert "semdedup_sec" in m3 and "curate_sec" in m3
     assert m3["after_semdedup"] <= m1["after_semdedup"]
+
+
+def test_curate_job_perplexity_gate(tmp_path):
+    """--ppl-reference/--max-ppl: a CCNet-style LM gate inside the
+    quality stage — a tight threshold drops docs, the ppl column lands
+    in the curated output, and loosening the threshold on --resume
+    re-runs the gate only."""
+    out = str(tmp_path / "curated")
+    ref = str(tmp_path / "ref")
+    import duckdb
+    duckdb.sql(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE lang = 'en') TO '{ref}' (FORMAT PARQUET)")
+    cmd = [sys.executable, "jobs/curate_training_data_job.py",
+           "--documents", "/root/testdata/sf0.001/documents.parquet",
+           "--out", out, "--ppl-reference", ref]
+    r1 = subprocess.run(cmd + ["--max-ppl", "1e9"], cwd=REPO,
+                        capture_output=True, text=True, timeout=900)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+
+    # the curated table carries the ppl column, scored for real
+    import glob
+    con = duckdb.connect()
+    files = glob.glob(os.path.join(out, "curated", "*.parquet"))
+    n_scored = con.sql(
+        "SELECT COUNT(*) FROM read_parquet(?) WHERE ppl IS NOT NULL",
+        params=[files]).fetchone()[0]
+    assert n_scored > 0
+
+    # tighten on --resume: only the gate re-runs, and it drops docs
+    # (ppl is always > 1 wherever a bigram exists, and sf0.001 has no
+    # bigram-less docs, so max-ppl=1 drops every scored doc)
+    r2 = subprocess.run(cmd + ["--max-ppl", "1", "--resume"],
+                        cwd=REPO, capture_output=True, text=True,
+                        timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert "dedup_sec" not in m2 and "curate_sec" in m2
+    assert m2["after_quality_gate"] < m1["after_quality_gate"]

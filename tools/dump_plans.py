@@ -288,6 +288,24 @@ def main():
             "cid long, cvec array<double>")
         sd = semdedup_pairs(emb, cent, threshold=0.8,
                             max_cluster=100_000)
+        from osmpbf_spark.operators.lm import (
+            perplexity,
+            prune_lm,
+            train_bigram_lm,
+        )
+        lm = prune_lm(train_bigram_lm(corpus.filter("doc_id < 40")),
+                      min_count=1)
+        ppl = perplexity(corpus, lm)
+        ppl.collect()
+        sections.append((
+            "LM perplexity scoring (pruned model broadcast)",
+            "the pruned bigram/prefix/vocab tables all BROADCAST, so "
+            "the corpus's exploded bigram stream scores map-side "
+            "(three BroadcastHashJoins, no corpus shuffle); only the "
+            "per-doc (doc_id, quantized-log) aggregate shuffles, with "
+            "map-side partial combine.",
+            fmt_exec(ppl, max_lines=44)))
+
         sd.collect()
         sections.append((
             "SemDeDup within-cluster pair generation",
