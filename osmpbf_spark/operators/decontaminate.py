@@ -20,8 +20,10 @@ tiny by construction, which fixes the distributed shape completely:
   ``dedup.dedup_documents`` keepers and the store probes.
 
 Shingling and hashing reuse the dual-rendered ``shingles_sql`` /
-``poly_hash_sql`` renderers, so the DuckDB oracle runs the IDENTICAL
-expressions (single source of truth, CLAUDE.md invariant).
+``wide_hash_sql`` renderers, so the DuckDB oracle runs the IDENTICAL
+expressions (single source of truth, CLAUDE.md invariant). The hash is
+the ~62-bit wide form, not MinHash's mod-1e9 — at web scale the small
+modulus measurably drops clean documents (see ``wide_hash_sql``).
 """
 
 from __future__ import annotations
@@ -29,24 +31,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import poly_hash_sql, shingles_sql
-from .dedup import _shingle_hashes
+from ..functions.text import (
+    HASH_MOD2,
+    _poly2_sql,
+    poly_hash_sql,
+    shingles_sql,
+)
+
+
+def _shingles(docs: DataFrame, *, n: int, text_col: str,
+              id_col: str | None) -> DataFrame:
+    """Row-local distinct word-``n``-gram projection (array_distinct
+    BEFORE the explode — no shuffle), shingle string retained for the
+    staged hashing below."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode_outer(F.expr(
+            f"array_distinct({shingles_sql(text_col, n)})"))
+        .alias("shingle")]
+    return docs.select(*cols).filter(F.col("shingle").isNotNull())
+
+
+def _eval_hash_pairs(eval_docs: DataFrame, *, n: int,
+                     text_col: str) -> DataFrame:
+    """Distinct (h1, h2) hash pairs of the eval set's ``n``-grams —
+    together the ~62-bit wide hash (see ``wide_hash_sql``): mod-1e9
+    alone measurably false-drops clean documents at corpus scale
+    (1,567 phantom hits on a 1M-doc synthetic, within 0.1% of the
+    birthday bound — tools/decon_scale_bench.py). The eval side is
+    tiny, so it pays both folds up front."""
+    return (_shingles(eval_docs, n=n, text_col=text_col, id_col=None)
+            .select(F.expr(poly_hash_sql("shingle")).alias("h1"),
+                    F.expr(_poly2_sql("shingle", "spark")).alias("h2"))
+            .distinct())
 
 
 def eval_ngram_hashes(eval_docs: DataFrame, *, n: int = 13,
                       text_col: str = "text") -> DataFrame:
-    """Distinct polynomial hashes of the eval set's word ``n``-grams —
-    the broadcast side of every decontamination probe. Eval documents
-    shorter than ``n`` tokens contribute nothing (they have no
-    ``n``-gram to collide on; pick a smaller ``n`` for short-answer
+    """Distinct wide (~62-bit) hashes of the eval set's word
+    ``n``-grams — the broadcast side of every decontamination probe,
+    and the values an at-rest eval-hash store would persist. Eval
+    documents shorter than ``n`` tokens contribute nothing (they have
+    no ``n``-gram to collide on; pick a smaller ``n`` for short-answer
     benchmarks)."""
-    return (eval_docs.select(
-        F.explode_outer(F.expr(
-            f"array_distinct({shingles_sql(text_col, n)})"))
-        .alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-        .select(F.expr(poly_hash_sql("shingle")).alias("h"))
-        .distinct())
+    return (_eval_hash_pairs(eval_docs, n=n, text_col=text_col)
+            .select((F.col("h1") * HASH_MOD2 + F.col("h2")).alias("h"))
+            .distinct())
 
 
 def contamination_hits(docs: DataFrame, eval_docs: DataFrame, *,
@@ -56,11 +85,20 @@ def contamination_hits(docs: DataFrame, eval_docs: DataFrame, *,
     shared with the eval set — only documents with at least one hit
     appear. The count shuffle carries hit rows alone (the semi-join
     runs map-side against the broadcast eval hashes)."""
-    evalh = eval_ngram_hashes(eval_docs, n=n, text_col=text_col)
-    return (_shingle_hashes(docs, shingle_n=n, text_col=text_col,
-                            id_col=id_col)
-            .select(id_col, "h")
-            .join(F.broadcast(evalh), "h", "left_semi")
+    ev = _eval_hash_pairs(eval_docs, n=n, text_col=text_col)
+    # staged refine: the corpus pays ONE hash fold per shingle; the
+    # second fold runs only on first-stage survivors (true hits plus
+    # the ~|corpus n-grams|·|eval|/1e9 birthday collisions — measured
+    # 5.5k rows of 28M at 1M docs), restoring single-fold throughput
+    # while matching on the full wide hash. Both joins are map-side
+    # against the broadcast eval pairs.
+    cand = (_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+            .withColumn("h1", F.expr(poly_hash_sql("shingle")))
+            .join(F.broadcast(ev.select("h1").distinct()),
+                  "h1", "left_semi"))
+    return (cand
+            .withColumn("h2", F.expr(_poly2_sql("shingle", "spark")))
+            .join(F.broadcast(ev), ["h1", "h2"], "left_semi")
             .groupBy(id_col)
             .agg(F.count("*").alias("eval_hits")))
 

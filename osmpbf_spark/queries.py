@@ -29,6 +29,7 @@ from .functions.text import (
     shingles_sql,
     symbol_word_ratio_sql,
     tokens_sql,
+    wide_hash_sql,
 )
 from .operators.dedup import exact_dups, minhash_lsh_pairs, simhash
 from .operators.knn import cosine_topk, grid_knn
@@ -721,7 +722,7 @@ WITH corp AS (
   FROM documents,
   UNNEST({shingles_sql('text', _DECON_N, 'duckdb')}) AS u(s)),
 corph AS (
-  SELECT doc_id, {poly_hash_sql('s', 'duckdb')} AS h FROM corp),
+  SELECT doc_id, {wide_hash_sql('s', 'duckdb')} AS h FROM corp),
 evalh AS (
   SELECT DISTINCT h FROM corph WHERE doc_id % 37 = 0),
 hits AS (

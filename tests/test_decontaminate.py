@@ -109,3 +109,34 @@ def test_distinct_users_retired_oracle(spark):
             f"FROM '{sf_dir}/events.parquet'")
     want = sorted(tuple(r) for r in con.sql(DISTINCT_USERS_ORACLE).fetchall())
     assert got == want
+
+
+def test_wide_hash_defeats_mod1e9_collisions(spark):
+    """'Aa' and 'BB' collide under the 31-base mod-1e9+7 poly hash
+    (65·31+97 == 66·31+66 == 2112 — the classic Java-hash collision
+    family), which at web scale produced measured phantom drops
+    (tools/decon_scale_bench.py found 1,567 on a 1M-doc corpus, within
+    0.1% of the birthday-bound prediction). The wide 62-bit hash keeps
+    the collider distinct, so the clean doc survives."""
+    from osmpbf_spark.functions.text import poly_hash_sql, wide_hash_sql
+    aa, bb = "'Aa'", "'BB'"
+    row = (spark.range(1)
+           .selectExpr(poly_hash_sql(aa) + " AS p1",
+                       poly_hash_sql(bb) + " AS p2",
+                       wide_hash_sql(aa) + " AS w1",
+                       wide_hash_sql(bb) + " AS w2")
+           .collect()[0])
+    assert row["p1"] == row["p2"]          # the narrow hash collides
+    assert row["w1"] != row["w2"]          # the wide hash does not
+
+    docs = _docs(spark, [(1, "Aa")])       # clean doc, 1-gram 'Aa'
+    ev = _docs(spark, [(100, "BB")])       # eval contains only 'BB'
+    assert contamination_hits(docs, ev, n=1).count() == 0
+    assert decontaminate(docs, ev, n=1).count() == 1
+
+    # DuckDB renders the identical wide hash
+    import duckdb
+    d = duckdb.sql(
+        "SELECT " + wide_hash_sql(aa, "duckdb") + ", "
+        + wide_hash_sql(bb, "duckdb")).fetchone()
+    assert d == (row["w1"], row["w2"])
