@@ -113,6 +113,11 @@ def main():
     ap.add_argument("--lm-min-count", type=int, default=2,
                     help="prune LM bigrams rarer than this so the "
                     "model broadcasts (scoring stays map-side)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPs/phone shapes to typed "
+                    "placeholders in the curated text (row-local "
+                    "regex, Dolma-style); per-doc match counts land "
+                    "in an n_pii column and the total in metrics")
     ap.add_argument("--keep-langs", default="",
                     help="comma-separated language codes; empty = all")
     ap.add_argument("--refresh-stores", default="",
@@ -183,8 +188,10 @@ def main():
         ellipsis_line_frac,
         langid,
         mean_word_length,
+        pii_count,
         quality_score,
         repetition_ratio,
+        scrub_pii,
         symbol_word_ratio,
         token_count,
     )
@@ -433,9 +440,16 @@ def main():
                    "max_ellipsis_frac": args.max_ellipsis_frac,
                    "ppl_reference": args.ppl_reference,
                    "max_ppl": args.max_ppl,
-                   "lm_min_count": args.lm_min_count})
+                   "lm_min_count": args.lm_min_count,
+                   "scrub_pii": args.scrub_pii})
     if not (args.resume and _stage_done(curated_path, gate_params)):
         t0 = time.time()
+        if args.scrub_pii:
+            # count on the ORIGINAL text, then redact — every later
+            # signal (tokens, quality, LM) sees what training will see
+            deduped = (deduped
+                       .withColumn("n_pii", pii_count("text"))
+                       .withColumn("text", scrub_pii("text")))
         prof = (deduped
                 .withColumn("lang", langid("text"))
                 .withColumn("quality", quality_score("text"))
@@ -487,6 +501,9 @@ def main():
     chain.append({"gate": gate_params})
     metrics["total_tokens"] = curated.agg(
         F.sum("n_tokens")).collect()[0][0]
+    if "n_pii" in curated.columns:
+        metrics["pii_redactions"] = curated.agg(
+            F.sum("n_pii")).collect()[0][0]
 
     # 4b) optional language mixing: deterministic weighted sampling so
     # each language lands ≈ frac·budget tokens (rates from ONE tiny

@@ -310,3 +310,70 @@ def char_ngrams_sql(expr: str, n: int, dialect: str = "spark") -> str:
                 f" - {n - 1}, 1)), i -> substring({expr}, i, {n})))")
     return (f"list_distinct([substring({expr}, i, {n}) FOR i IN "
             f"range(1, GREATEST(length({expr}) - {n - 1}, 1) + 1)])")
+
+
+# PII scrubbing (the Dolma/C4-style pre-release redaction pass):
+# conservative, high-precision patterns — an email-shaped token, a
+# dotted-quad, an international-prefixed or xxx-xxx-xxxx phone. Order
+# matters (emails contain dots; scrub them before the IP pattern could
+# ever see a dotted domain). Each pattern avoids constructs where Java
+# regex (Spark) and RE2 (DuckDB) diverge: no backreferences, no
+# lookaround, explicit character classes.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4",
+     r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone",
+     r"\+\d[\d\- ]{6,14}\d|\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def _pat(pattern: str, dialect: str) -> str:
+    """The pattern as a string literal for either engine: Spark SQL
+    literals eat one level of backslash escaping; DuckDB's do not."""
+    if dialect == "spark":
+        return "'" + pattern.replace("\\", "\\\\") + "'"
+    return "'" + pattern + "'"
+
+
+def scrub_pii_sql(expr: str, dialect: str = "spark") -> str:
+    """Text with every PII match replaced by its typed placeholder —
+    nested regexp_replace in pattern order (DuckDB needs the explicit
+    'g' flag for replace-all; Spark replaces all by default)."""
+    out = expr
+    for _, pattern, repl in PII_PATTERNS:
+        if dialect == "spark":
+            out = (f"regexp_replace({out}, {_pat(pattern, dialect)}, "
+                   f"'{repl}')")
+        else:
+            out = (f"regexp_replace({out}, {_pat(pattern, dialect)}, "
+                   f"'{repl}', 'g')")
+    return out
+
+
+def scrub_pii(text_col: str) -> Column:
+    return F.expr(scrub_pii_sql(text_col, "spark"))
+
+
+def pii_count_sql(expr: str, dialect: str = "spark") -> str:
+    """Total PII matches in the ORIGINAL text (counted before any
+    scrub, in the same pattern order — the audit metric a redaction
+    pass logs). regexp_extract_all exists in both engines; 0 for NULL
+    or match-free text."""
+    parts = []
+    for _, pattern, _ in PII_PATTERNS:
+        if dialect == "spark":
+            parts.append(
+                f"size(regexp_extract_all({expr}, "
+                f"{_pat(pattern, dialect)}, 0))")
+        else:
+            parts.append(
+                f"len(regexp_extract_all({expr}, "
+                f"{_pat(pattern, dialect)}))")
+    total = " + ".join(f"GREATEST({p}, 0)" for p in parts)
+    return f"CAST(COALESCE({total}, 0) AS BIGINT)"
+
+
+def pii_count(text_col: str) -> Column:
+    return F.expr(pii_count_sql(text_col, "spark"))

@@ -324,3 +324,33 @@ def test_curate_job_perplexity_gate(tmp_path):
     m2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert "dedup_sec" not in m2 and "curate_sec" in m2
     assert m2["after_quality_gate"] < m1["after_quality_gate"]
+
+
+def test_curate_job_pii_scrub(tmp_path):
+    """--scrub-pii: redactions counted and applied before every
+    downstream signal; the curated text carries placeholders."""
+    out = str(tmp_path / "curated")
+    src = str(tmp_path / "docs")
+    import duckdb
+    duckdb.sql(
+        "COPY (SELECT * REPLACE (CASE WHEN doc_id % 10 = 0 THEN "
+        "text || ' mail me at user' || doc_id || '@example.com' "
+        "ELSE text END AS text) FROM "
+        "'/root/testdata/sf0.001/documents.parquet') "
+        f"TO '{src}' (FORMAT PARQUET)")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate_training_data_job.py",
+         "--documents", src, "--out", out, "--scrub-pii"],
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["pii_redactions"] > 0
+    import glob
+    files = glob.glob(os.path.join(out, "curated", "*.parquet"))
+    con = duckdb.connect()
+    leaked, scrubbed = con.sql(
+        "SELECT COUNT(*) FILTER (text LIKE '%@example.com%'), "
+        "COUNT(*) FILTER (text LIKE '%<EMAIL>%') "
+        "FROM read_parquet(?)", params=[files]).fetchone()
+    assert leaked == 0 and scrubbed > 0
+    assert m["pii_redactions"] == scrubbed

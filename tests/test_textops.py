@@ -593,3 +593,51 @@ def test_mix_corpus_rejects_bad_targets(spark):
     with pytest.raises(ValueError):
         mix_corpus(docs, "source", "n_tokens",
                    {"web": 0.7, "code": 0.6}, 100)
+
+
+def test_pii_scrub_and_count_parity(spark):
+    # PII redaction (the Dolma/C4-style pre-release pass): emails,
+    # dotted-quads, international/US phone shapes scrubbed to typed
+    # placeholders; pii_count counts matches in the ORIGINAL text.
+    # Dual-rendered parity incl. NULL/empty and a no-PII doc.
+    import duckdb
+
+    from osmpbf_spark.functions.text import (
+        pii_count,
+        pii_count_sql,
+        scrub_pii,
+        scrub_pii_sql,
+    )
+    docs = [
+        ("email", "contact me at jane.doe+spam@example.co.uk today"),
+        ("ip", "server at 192.168.0.1 and 10.0.0.255 responded"),
+        ("phone", "call +4915123456789 or 555-867-5309 now"),
+        ("mixed", "a@b.io from 1.2.3.4 dialing +12025550123"),
+        ("clean", "no personal data in this sentence at all"),
+        # user@dotted-quad: NOT an email under the TLD-requiring
+        # pattern (high precision beats recall in redaction) — the IP
+        # rule catches the address part instead
+        ("order", "root@127.0.0.1 logged in"),
+        ("empty", ""),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: (r["scrubbed"], r["n_pii"]) for r in
+           df.select("doc_id",
+                     scrub_pii("text").alias("scrubbed"),
+                     pii_count("text").alias("n_pii")).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+    want = {r[0]: (r[1], r[2]) for r in con.sql(
+        f"SELECT doc_id, {scrub_pii_sql('text', 'duckdb')}, "
+        f"{pii_count_sql('text', 'duckdb')} FROM t").fetchall()}
+    assert got == want
+    assert got["email"] == ("contact me at <EMAIL> today", 1)
+    assert got["ip"] == ("server at <IP> and <IP> responded", 2)
+    assert got["phone"] == ("call <PHONE> or <PHONE> now", 2)
+    assert got["mixed"] == ("<EMAIL> from <IP> dialing <PHONE>", 3)
+    assert got["clean"][1] == 0 and got["clean"][0] == docs[4][1]
+    assert got["order"] == ("root@<IP> logged in", 1)
+    assert got["empty"] == ("", 0)
+    assert got["nul"] == (None, 0)
