@@ -177,6 +177,20 @@ def main():
                     help="train centroids on hash_sample(id, m) — "
                     "m=1 trains on everything (small-scale default)")
     args = ap.parse_args()
+    # fail fast on misconfiguration (review r5): half of a flag pair
+    # would otherwise silently disable its gate mid-pipeline
+    if bool(args.ppl_reference) != (args.max_ppl is not None):
+        ap.error("--ppl-reference and --max-ppl must be given together")
+    if args.mix_langs:
+        for part in args.mix_langs.split(","):
+            bits = part.split(":")
+            try:
+                if len(bits) != 2:
+                    raise ValueError(part)
+                float(bits[1])
+            except ValueError:
+                ap.error(f"--mix-langs entry {part!r} is not "
+                         "lang:fraction")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -306,8 +320,6 @@ def main():
                 append_hash_store(survivors, hs)
                 append_lsh_store(survivors, ls)
                 metrics["refresh_mode"] = "incremental"
-            _write_params(dedup_path, dedup_params)
-            metrics["dedup_sec"] = round(time.time() - t0, 2)
         else:
             # exact survivors feed BOTH the near-dup pass and the
             # overflow audit — persist so the md5 groupBy + anti-join
@@ -318,8 +330,6 @@ def main():
                 near = dedup_documents(exact, method="minhash",
                                        max_bucket=args.lsh_max_bucket)
                 near.write.mode("overwrite").parquet(dedup_path)
-                _write_params(dedup_path, dedup_params)
-                metrics["dedup_sec"] = round(time.time() - t0, 2)
                 # loud degenerate-bucket audit (VERDICT r4 #1): buckets
                 # the cap excluded from pairing — non-zero means
                 # near-identical templates blew past signature-group
@@ -331,10 +341,15 @@ def main():
                 exact.unpersist()
         # persist the audit next to the stage so --resume re-emits it
         # (review r5: a resumed run silently omitted the one metric
-        # that flags silently-skipped near-dups)
+        # that flags silently-skipped near-dups) — and write it BEFORE
+        # the params sidecar, which is the stage's commit marker: a
+        # crash in between re-runs the stage instead of resuming one
+        # whose audit is lost (the mix-stage ordering rule)
         with open(overflow_sidecar, "w") as f:
             json.dump({"lsh_overflow_buckets":
                        metrics["lsh_overflow_buckets"]}, f)
+        _write_params(dedup_path, dedup_params)
+        metrics["dedup_sec"] = round(time.time() - t0, 2)
     else:
         try:
             with open(overflow_sidecar) as f:
@@ -397,9 +412,12 @@ def main():
             t0 = time.time()
             emb = spark.read.parquet(args.embeddings)
             # survivors only: embeddings of already-dropped docs must
-            # not reintroduce their clusters' pair work
-            emb = emb.join(F.broadcast(deduped.select(
-                F.col("doc_id").alias("vec_id"))), "vec_id", "left_semi")
+            # not reintroduce their clusters' pair work. NOT a forced
+            # broadcast — the survivor set is the BIG side of the
+            # pipeline (unlike the drop lists every other stage
+            # broadcasts); a key semi-join lets AQE pick (review r5)
+            emb = emb.join(deduped.select(
+                F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
             sample = hash_sample(emb, "vec_id",
                                  args.semdedup_train_mod)
             cent = train_centroids(sample, args.semdedup_k)
@@ -578,8 +596,13 @@ def main():
         else:
             ivf_path = os.path.join(args.out, "ivf")
             cent_path = os.path.join(args.out, "centroids")
+        # embeddings path included: --resume with a different input must
+        # rebuild, not reuse the stale index (review r5). Deliberately
+        # NOT _chained: the index is built from the raw embeddings
+        # table alone, so document-stage knobs never invalidate it.
         ivf_params = {"ivf_k": args.ivf_k,
-                      "ivf_sample_mod": args.ivf_sample_mod}
+                      "ivf_sample_mod": args.ivf_sample_mod,
+                      "embeddings": args.embeddings}
         emb = spark.read.parquet(args.embeddings)
         # the durable-index append is idempotent (skip_existing), so no
         # per-run stage sidecar: a crash-recovered re-run re-appends

@@ -100,9 +100,17 @@ def _exploded_subvectors(vectors: DataFrame, d: int, m: int,
                     F.posexplode(slices).alias("sub", "subvec")))
 
 
+def _codebook_m(codebooks: DataFrame) -> int:
+    """Subspace count of a codebook table — ONE tiny max aggregate.
+    Serving paths that already know m (train parameters, store
+    metadata) should pass it instead: review r5 found every serving
+    call paying a blocking distinct-count job per codebook read."""
+    return codebooks.agg(F.max("sub")).collect()[0][0] + 1
+
+
 def pq_encode(vectors: DataFrame, codebooks: DataFrame, *,
-              vec_col: str = "embedding", id_col: str = "vec_id"
-              ) -> DataFrame:
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              m: int | None = None) -> DataFrame:
     """Encode every vector to its PQ codes → (id_col, codes: array<int>),
     codes[s] = argmin over the subspace-s codebook (DECIMAL distance,
     cid tie-break).
@@ -115,7 +123,8 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame, *,
     code arrays. The vectors themselves cross the wire zero times.
     """
     d = _vec_dim(vectors, vec_col)
-    m = codebooks.select("sub").distinct().count()
+    if m is None:
+        m = _codebook_m(codebooks)
     subs = _exploded_subvectors(vectors, d, m, vec_col, id_col, "_pq_id")
     cb = F.broadcast(codebooks.select("sub", "cid", "cvec"))
     assigned = (subs.join(cb, "sub")
@@ -133,13 +142,15 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame, *,
 
 def pq_distance_table(queries: DataFrame, codebooks: DataFrame, *,
                       vec_col: str = "embedding",
-                      query_id_col: str = "query_id") -> DataFrame:
+                      query_id_col: str = "query_id",
+                      m: int | None = None) -> DataFrame:
     """Per-query ADC lookup table → (query_id, sub, cid, pdist) with
     pdist = Σ(q_sub − cvec)² in DECIMAL(28,18). q·m·ksub rows — driver-
     scale metadata for any realistic query batch; callers broadcast it.
     """
     d = _vec_dim(queries, vec_col)
-    m = codebooks.select("sub").distinct().count()
+    if m is None:
+        m = _codebook_m(codebooks)
     qsubs = _exploded_subvectors(queries, d, m, vec_col, query_id_col,
                                  query_id_col)
     cb = F.broadcast(codebooks.select("sub", "cid", "cvec"))
@@ -151,7 +162,8 @@ def pq_distance_table(queries: DataFrame, codebooks: DataFrame, *,
 def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
                 queries: DataFrame, k: int, *,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                m: int | None = None) -> DataFrame:
     """Approximate k-NN by asymmetric distance computation over PQ codes
     → (query_id, vec_id, adist, rn), rn = 1..k per query ranked by
     ascending approximate squared L2 distance (exact-decimal, vec_id
@@ -169,7 +181,7 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
     """
     dtab = F.broadcast(
         pq_distance_table(queries, codebooks, vec_col=vec_col,
-                          query_id_col=query_id_col))
+                          query_id_col=query_id_col, m=m))
     pairs = (codes
              .select(F.col(id_col),
                      F.posexplode("codes").alias("sub", "cid"))
@@ -206,7 +218,8 @@ def pq_adc_rerank_topk(codes: DataFrame, codebooks: DataFrame,
                        queries: DataFrame, vectors: DataFrame, k: int, *,
                        shortlist: int | None = None,
                        vec_col: str = "embedding", id_col: str = "vec_id",
-                       query_id_col: str = "query_id") -> DataFrame:
+                       query_id_col: str = "query_id",
+                       m: int | None = None) -> DataFrame:
     """ADC shortlist + EXACT re-rank — the standard production PQ recipe
     (Jégou et al. TPAMI 2011 §V.C): :func:`pq_adc_topk` ranks a
     ``shortlist`` (default 10·k) by approximate distance, then the raw
@@ -228,6 +241,6 @@ def pq_adc_rerank_topk(codes: DataFrame, codebooks: DataFrame,
     from .knn import exact_l2_rerank
     cand = pq_adc_topk(codes, codebooks, queries, shortlist,
                        vec_col=vec_col, id_col=id_col,
-                       query_id_col=query_id_col)
+                       query_id_col=query_id_col, m=m)
     return exact_l2_rerank(cand, vectors, queries, k, vec_col=vec_col,
                            id_col=id_col, query_id_col=query_id_col)

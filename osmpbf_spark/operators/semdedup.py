@@ -62,6 +62,23 @@ def _clustered(embeddings: DataFrame, centroids: DataFrame, *,
         assign.select(id_col, "cid"), id_col)
 
 
+def _pairs_from_clustered(cl: DataFrame, *, threshold: float,
+                          vec_col: str, id_col: str,
+                          max_cluster: int | None) -> DataFrame:
+    capped = _bucket_cap(cl, ["cid"], max_cluster)
+    a = capped.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("v_a"), "cid")
+    b = capped.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("v_b"), "cid")
+    return (a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim",
+                        _dot("v_a", "v_b") / (_norm("v_a") * _norm("v_b")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("cos_sim", 6).alias("cos_sim")))
+
+
 def semdedup_pairs(embeddings: DataFrame, centroids: DataFrame, *,
                    threshold: float = 0.95,
                    vec_col: str = "embedding",
@@ -75,18 +92,9 @@ def semdedup_pairs(embeddings: DataFrame, centroids: DataFrame, *,
     constant set."""
     cl = _clustered(embeddings, centroids, vec_col=vec_col,
                     id_col=id_col)
-    cl = _bucket_cap(cl, ["cid"], max_cluster)
-    a = cl.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).alias("v_a"), "cid")
-    b = cl.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).alias("v_b"), "cid")
-    return (a.join(b, "cid")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos_sim",
-                        _dot("v_a", "v_b") / (_norm("v_a") * _norm("v_b")))
-            .filter(F.col("cos_sim") >= threshold)
-            .select("id_a", "id_b",
-                    F.round("cos_sim", 6).alias("cos_sim")))
+    return _pairs_from_clustered(cl, threshold=threshold,
+                                 vec_col=vec_col, id_col=id_col,
+                                 max_cluster=max_cluster)
 
 
 def semdedup_cluster_overflow(embeddings: DataFrame,
@@ -118,28 +126,39 @@ def semdedup_drop_ids(embeddings: DataFrame, centroids: DataFrame, *,
     broken on id."""
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown keep policy: {keep!r}")
-    pairs = semdedup_pairs(embeddings, centroids, threshold=threshold,
-                           vec_col=vec_col, id_col=id_col,
-                           max_cluster=max_cluster)
-    labels = connected_components(pairs, "id_a", "id_b")
-    if keep == "min_id":
-        # label IS the component minimum — drop everything above it
-        return (labels.filter(F.col("node") != F.col("label"))
-                .select(F.col("node").alias(id_col)))
+    # the clustered frame (assignment = the stage's most expensive
+    # scan) is computed ONCE and persisted: the pair join reads it
+    # twice and the far-from-centroid branch a third time — the
+    # unpersisted form re-ran ivf_assign for each (review r5)
     cl = _clustered(embeddings, centroids, vec_col=vec_col,
-                    id_col=id_col)
-    cent = F.broadcast(centroids.select("cid", "cvec"))
-    scored = (labels
-              .join(cl, labels["node"] == cl[id_col])
-              .join(cent, "cid")
-              .withColumn("cent_cos",
-                          _dot(vec_col, "cvec")
-                          / (_norm(vec_col) * _norm("cvec"))))
-    w = Window.partitionBy("label").orderBy(
-        F.col("cent_cos"), F.col("node"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") > 1)
-            .select(F.col("node").alias(id_col)))
+                    id_col=id_col).persist()
+    try:
+        pairs = _pairs_from_clustered(cl, threshold=threshold,
+                                      vec_col=vec_col, id_col=id_col,
+                                      max_cluster=max_cluster)
+        labels = connected_components(pairs, "id_a", "id_b")
+        if keep == "min_id":
+            # label IS the component minimum — drop everything above it
+            return (labels.filter(F.col("node") != F.col("label"))
+                    .select(F.col("node").alias(id_col)))
+        cent = F.broadcast(centroids.select("cid", "cvec"))
+        scored = (labels
+                  .join(cl, labels["node"] == cl[id_col])
+                  .join(cent, "cid")
+                  .withColumn("cent_cos",
+                              _dot(vec_col, "cvec")
+                              / (_norm(vec_col) * _norm("cvec"))))
+        w = Window.partitionBy("label").orderBy(
+            F.col("cent_cos"), F.col("node"))
+        return (scored.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") > 1)
+                .select(F.col("node").alias(id_col)))
+    finally:
+        # connected_components materialized its rounds eagerly, and the
+        # returned plans re-read cl only through the persisted blocks'
+        # lifetime — the caller's next ACTION may recompute, but the
+        # in-function multi-read is what the persist pays for
+        cl.unpersist()
 
 
 def semdedup(docs: DataFrame, embeddings: DataFrame,

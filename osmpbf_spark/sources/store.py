@@ -408,7 +408,14 @@ def _persist_bounded(*dfs: DataFrame, cap: int = 8) -> None:
             df.persist()
             _PROBE_CACHE.append(df)
         while len(_PROBE_CACHE) > cap:
-            _PROBE_CACHE.pop(0).unpersist()
+            try:
+                _PROBE_CACHE.pop(0).unpersist()
+            except Exception:
+                # entry from a since-stopped SparkSession: its blocks
+                # died with the session — dropping the reference is the
+                # whole eviction (the pip cover cache's guard, which
+                # this re-implementation originally dropped; review r5)
+                pass
 
 
 def _lsh_meta_path(path: str) -> str:
@@ -743,11 +750,22 @@ def compact_lsh_store(spark: SparkSession, path: str) -> dict:
     new_mem.write.mode("overwrite").parquet(tmp_m)
     n_after = (spark.read.parquet(tmp_b)
                .select("grp_id", "sigs").distinct().count())
+    # swap via rename-to-.old (the compact_ivf_store pattern, review
+    # r5): both live dirs move aside FIRST (metadata-only renames),
+    # then both tmps move in, then the .olds are deleted — a crash
+    # mid-swap leaves the .old copies on disk for manual recovery
+    # instead of a silently inconsistent bands/membership pair
+    # (production = one Iceberg snapshot commit across both tables)
     import shutil
-    shutil.rmtree(bands_path)
+    old_b, old_m = bands_path + ".compact.old", mem_path + ".compact.old"
+    shutil.rmtree(old_b, ignore_errors=True)
+    shutil.rmtree(old_m, ignore_errors=True)
+    os.rename(bands_path, old_b)
+    os.rename(mem_path, old_m)
     os.rename(tmp_b, bands_path)
-    shutil.rmtree(mem_path)
     os.rename(tmp_m, mem_path)
+    shutil.rmtree(old_b)
+    shutil.rmtree(old_m)
     return {"reps_before": n_before, "reps_after": n_after}
 
 
@@ -975,6 +993,11 @@ def compact_hash_store(spark: SparkSession, path: str) -> dict:
     (merged.repartition(meta["n_buckets"], "hb")
      .write.mode("overwrite").partitionBy("hb").parquet(tmp))
     n_after = spark.read.parquet(tmp).count()
-    shutil.rmtree(hp)
+    # rename-to-.old swap, not rmtree-then-rename: a crash between the
+    # two would otherwise destroy the store (review r5)
+    old = hp + ".compact.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(hp, old)
     os.rename(tmp, hp)
+    shutil.rmtree(old)
     return {"rows_before": n_before, "rows_after": n_after}
