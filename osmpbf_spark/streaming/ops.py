@@ -212,3 +212,77 @@ def stream_dedup(events: DataFrame, key_cols: list[str], *,
         return (events.withWatermark(ts_col, within_watermark)
                 .dropDuplicatesWithinWatermark(key_cols))
     return events.dropDuplicates(key_cols)
+
+
+def stream_curate(doc_stream: DataFrame, hash_store: str, lsh_store: str,
+                  out_dir: str, checkpoint_dir: str, *,
+                  threshold: float = 0.5, max_bucket: int | None = 10_000,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  gate=None, available_now: bool = True):
+    """Continuous corpus refresh: every micro-batch of crawled documents
+    is exact-deduped against the at-rest content-hash store, near-deduped
+    against the at-rest LSH signature store, optionally ``gate``-filtered
+    (a DataFrame→DataFrame quality gate), then appended to BOTH stores
+    and written to ``out_dir/epoch=<id>/``. Returns the started query.
+
+    This is the streaming face of the ``--refresh-stores`` job mode: the
+    dedup state lives in the at-rest stores, NOT in Spark streaming
+    state, so executor memory stays bounded no matter how much corpus
+    has flowed through (contrast :func:`stream_dedup`, whose exactness
+    is bounded by its watermark horizon). Each batch signs/hashes only
+    itself and probes only the store partitions its keys land in.
+
+    Crash recovery (a batch re-runs whenever the checkpoint commit
+    didn't land): survivors are REPRODUCED identically — a survivor
+    already appended is its own stored keeper, so the exact probe keeps
+    it, and its stored signature group is itself, so the LSH probe's
+    only new pair is the self-pair, which the pair join's
+    ``doc_a < doc_b`` drops (the idempotence contract of
+    ``dedup_exact_against_store`` / ``dedup_against_store``, tested).
+    The per-epoch output directory is overwritten, and a double-append
+    leaves both stores semantically intact (duplicate hash rows only
+    answer existence; duplicate band rows only duplicate candidate
+    pairs — ``compact_*_store`` restores the tight form).
+
+    Both stores must exist (bootstrap with ``write_hash_store`` +
+    ``write_lsh_store`` on the initial corpus, or the curation job's
+    ``--refresh-stores`` first run).
+    """
+    import os
+
+    from ..sources.store import (
+        append_hash_store,
+        append_lsh_store,
+        dedup_against_store,
+        dedup_exact_against_store,
+    )
+
+    def _refresh_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not batch.head(1):          # empty trigger — nothing to do
+            return
+        surv = dedup_exact_against_store(
+            spark, batch, hash_store, text_col=text_col, id_col=id_col)
+        surv = dedup_against_store(
+            spark, surv, lsh_store, threshold=threshold,
+            max_bucket=max_bucket, text_col=text_col, id_col=id_col)
+        if gate is not None:
+            surv = gate(surv)
+        surv = surv.persist()          # output write + two appends
+        try:
+            (surv.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"epoch={epoch_id}")))
+            # appends AFTER the output write: a crash anywhere in this
+            # block re-runs the epoch; see idempotence note above
+            append_hash_store(surv, hash_store,
+                              text_col=text_col, id_col=id_col)
+            append_lsh_store(surv, lsh_store,
+                             text_col=text_col, id_col=id_col)
+        finally:
+            surv.unpersist()
+
+    writer = (doc_stream.writeStream.foreachBatch(_refresh_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -682,3 +682,90 @@ def test_png_property_roundtrip():
         assert got.shape == want.shape and (got == want).all()
 
     case()
+
+
+def test_stream_curate_incremental_refresh(spark, tmp_path):
+    """stream_curate: two micro-batches of crawled docs deduped against
+    the at-rest stores; each batch's survivors refresh the stores BEFORE
+    the next batch probes them (a crawl-2 copy of a crawl-1 survivor is
+    dropped), and the streamed result equals the batch-mode refresh
+    sequence run store-step by store-step."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osmpbf_spark.sources.store import (
+        append_hash_store,
+        append_lsh_store,
+        dedup_against_store,
+        dedup_exact_against_store,
+        write_hash_store,
+        write_lsh_store,
+    )
+    from osmpbf_spark.streaming.ops import stream_curate
+
+    def sentence(seed: str) -> str:
+        return " ".join(f"{seed}w{i}" for i in range(40))
+
+    base = [(f"b{i}", sentence(f"base{i}")) for i in range(6)]
+    crawl1 = [
+        ("c100", base[0][1]),                       # exact dup vs store
+        ("c101", sentence("base1")[:-1] + "X"),     # near-dup vs store
+        ("c102", sentence("uniq1")),                # kept
+        ("c103", sentence("pair")),                 # intra-crawl exact…
+        ("c104", sentence("pair")),                 # …dup: c103 kept
+        ("c105", sentence("uniq2")),                # kept
+    ]
+    crawl2 = [
+        ("c200", sentence("uniq1")),                # dup of a c1 SURVIVOR
+        ("c201", sentence("uniq2")[:-1] + "X"),     # near-dup of c105
+        ("c202", sentence("uniq3")),                # kept
+    ]
+
+    def bootstrap(tag):
+        hs = str(tmp_path / f"hash_{tag}")
+        ls = str(tmp_path / f"lsh_{tag}")
+        docs = spark.createDataFrame(base, "doc_id string, text string")
+        write_hash_store(docs, hs, n_buckets=8)
+        write_lsh_store(docs, ls, n_subbuckets=4)
+        return hs, ls
+
+    # --- streaming run: one file per micro-batch, mtime-ordered
+    hs_s, ls_s = bootstrap("stream")
+    src = tmp_path / "crawl_src"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate((crawl1, crawl2)):
+        f = str(src / f"crawl{i + 1}.parquet")
+        pq.write_table(pa.table({"doc_id": [r[0] for r in rows],
+                                 "text": [r[1] for r in rows]}), f)
+        os.utime(f, (now + i * 10, now + i * 10))
+    stream = (spark.readStream.schema("doc_id string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = str(tmp_path / "curated")
+    q = stream_curate(stream, hs_s, ls_s, out,
+                      str(tmp_path / "ckpt_curate"))
+    q.awaitTermination(300)
+
+    epochs = sorted(os.listdir(out))
+    streamed = {e: {r["doc_id"] for r in
+                    spark.read.parquet(os.path.join(out, e)).collect()}
+                for e in epochs if e.startswith("epoch=")}
+    got_by_batch = [s for _, s in sorted(streamed.items())]
+    assert sorted(set().union(*got_by_batch)) == \
+        ["c102", "c103", "c105", "c202"]
+    assert got_by_batch == [{"c102", "c103", "c105"}, {"c202"}]
+
+    # --- batch-mode mirror on fresh stores: identical survivors
+    hs_b, ls_b = bootstrap("batch")
+    for rows, want in ((crawl1, {"c102", "c103", "c105"}),
+                       (crawl2, {"c202"})):
+        batch = spark.createDataFrame(rows, "doc_id string, text string")
+        surv = dedup_exact_against_store(spark, batch, hs_b)
+        surv = dedup_against_store(spark, surv, ls_b)
+        got = {r["doc_id"] for r in surv.select("doc_id").collect()}
+        assert got == want
+        append_hash_store(surv, hs_b)
+        append_lsh_store(surv, ls_b)
