@@ -33,6 +33,13 @@ Distributed shape (the 100 TB audit):
   ~|corpus|/k small, and overflowing clusters are excluded loudly via
   :func:`semdedup_cluster_overflow` rather than silently exploding the
   shuffle;
+- SIZING k (measured, curation_scale_bench): total dim-ops ≈ assignment
+  n·k·d + pairs n·(n/k)·d/2, minimized at k* ≈ √(n/2) — and the
+  interpreted-HOF cosine path sustains ~75M dim-ops/s/host, so a
+  too-small k is a cost CLIFF, not a degradation: k=32 at n=250k is
+  ~10⁹ pairs (≈14 min) where k=512 is ~6×10⁷ (≈1 min). The paper's 50k
+  clusters for 600M embeddings follows the same rule (√(6e8/2) ≈ 17k,
+  rounded up because their clusters are size-skewed);
 - duplicate groups come from the shared
   :func:`operators.dedup.connected_components` (min-label with the
   O(log n) star-contraction fallback), shuffling only (id, label)
