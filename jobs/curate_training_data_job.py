@@ -142,9 +142,11 @@ def main():
                     "--embeddings column, Abbas et al. 2023): drop all "
                     "but one of each within-cluster group of docs with "
                     "pairwise cosine >= this (paper uses ~0.95+)")
-    ap.add_argument("--semdedup-k", type=int, default=16,
-                    help="SemDeDup cluster count (production: "
-                    "~|corpus|/k docs per cluster, paper used 50k)")
+    ap.add_argument("--semdedup-k", type=int, default=None,
+                    help="SemDeDup cluster count; default auto-sizes "
+                    "k ~ sqrt(n/2) from the survivor embedding count "
+                    "(the measured cost optimum — too-small k is a "
+                    "quadratic pair-join cliff, see operators/semdedup)")
     ap.add_argument("--semdedup-keep", default="min_id",
                     choices=["min_id", "far_from_centroid"],
                     help="keeper per duplicate group: deterministic "
@@ -418,9 +420,19 @@ def main():
             # broadcasts); a key semi-join lets AQE pick (review r5)
             emb = emb.join(deduped.select(
                 F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+            # auto-size k from the SURVIVOR count (one narrow count
+            # job) — guessing low is a quadratic pair-join cliff, see
+            # operators/semdedup.auto_k
+            sem_k = args.semdedup_k
             sample = hash_sample(emb, "vec_id",
                                  args.semdedup_train_mod)
-            cent = train_centroids(sample, args.semdedup_k)
+            if sem_k is None:
+                from osmpbf_spark.operators.semdedup import auto_k
+                sem_k = auto_k(emb.count())
+                if args.semdedup_train_mod > 1:
+                    # k seeds must exist in the TRAINING sample
+                    sem_k = max(1, min(sem_k, sample.count()))
+            cent = train_centroids(sample, sem_k)
             drop = (semdedup_drop_ids(
                         emb, cent, threshold=args.semdedup_threshold,
                         keep=args.semdedup_keep,
@@ -432,14 +444,17 @@ def main():
                 emb, cent,
                 max_cluster=args.semdedup_max_cluster).count()
             with open(sem_sidecar, "w") as f:
-                json.dump({"overflow_clusters": over}, f)
+                json.dump({"overflow_clusters": over, "k": sem_k}, f)
             _write_params(sem_path, sem_params)
             metrics["semdedup_sec"] = round(time.time() - t0, 2)
         try:
             with open(sem_sidecar) as f:
-                metrics["semdedup_overflow_clusters"] = json.load(
-                    f)["overflow_clusters"]
-        except (OSError, ValueError):
+                _sem_side = json.load(f)
+            metrics["semdedup_overflow_clusters"] = \
+                _sem_side["overflow_clusters"]
+            if "k" in _sem_side:
+                metrics["semdedup_k"] = _sem_side["k"]
+        except (OSError, ValueError, KeyError):
             pass
         deduped = spark.read.parquet(sem_path)
         metrics["after_semdedup"] = deduped.count()

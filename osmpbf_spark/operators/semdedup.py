@@ -58,6 +58,34 @@ from .dedup import _bucket_cap, bucket_overflow, connected_components
 from .knn import _dot, _norm, ivf_assign
 
 
+def auto_k(n: int, *, k_min: int = 16, k_max: int = 65_536) -> int:
+    """Cost-optimal cluster count for SemDeDup over ``n`` vectors.
+
+    Total per-dimension work is assignment (n·k·d) plus within-cluster
+    pairs (n·(n/k)·d/2 for balanced clusters), minimized at
+    k* = sqrt(n/2). The curve is a CLIFF below k*, not a gentle slope —
+    measured at n=250k (curation_scale_bench / BENCH_NEWOPS r5): k=32
+    is ~10⁹ cosine pairs (≈14 min on this host) where k=512 is ~6×10⁷
+    (≈1 min) — so callers that don't know their corpus size should use
+    this instead of guessing. Clamped to [k_min, k_max]: tiny inputs
+    still get enough clusters for the keeper semantics to be
+    interesting, and k_max bounds the broadcast centroid table
+    (k·d doubles) and the k·d driver collect in ``train_centroids``
+    (65,536×1,024-dim ≈ 0.5 GiB — the practical broadcast ceiling;
+    above that, shard the corpus and run per-shard).
+
+    Skewed real-world clusters make the optimum drift upward (the
+    SemDeDup paper's 50k clusters for 600M embeddings ≈ 2.9× this
+    rule's 17k) — the per-cluster ``max_cluster`` cap plus
+    :func:`semdedup_cluster_overflow` stay the loud backstop either
+    way.
+    """
+    if n <= 0:
+        return 1
+    # k can never exceed n (train_centroids needs k distinct seeds)
+    return max(1, min(n, k_max, max(k_min, round((n / 2) ** 0.5))))
+
+
 def _clustered(embeddings: DataFrame, centroids: DataFrame, *,
                vec_col: str, id_col: str) -> DataFrame:
     """(id_col, vec_col, cid): each vector tagged with its nearest

@@ -285,6 +285,20 @@ def test_curate_job_semdedup_stage(tmp_path):
     assert "semdedup_sec" in m3 and "curate_sec" in m3
     assert m3["after_semdedup"] <= m1["after_semdedup"]
 
+    # no --semdedup-k: k auto-sizes to auto_k(survivors) — clamps to
+    # k_min=16 at this scale — and the chosen k lands in the metrics
+    out_auto = str(tmp_path / "curated_auto")
+    r4 = subprocess.run(
+        [sys.executable, "jobs/curate_training_data_job.py",
+         "--documents", "/root/testdata/sf0.001/documents.parquet",
+         "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+         "--out", out_auto, "--semdedup-threshold", "0.3"],
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    m4 = json.loads(r4.stdout.strip().splitlines()[-1])
+    assert m4["semdedup_k"] == 16
+    assert 0 < m4["after_semdedup"] <= m4["after_dedup"]
+
 
 def test_curate_job_perplexity_gate(tmp_path):
     """--ppl-reference/--max-ppl: a CCNet-style LM gate inside the

@@ -153,3 +153,20 @@ def test_driver_row_parity_sf0001(spark):
     assert got == want
     assert any(m == "semdedup" for m, *_ in got)
     assert any(m == "lsh" for m, *_ in got)
+
+
+def test_auto_k_rule():
+    """auto_k = clamp(sqrt(n/2)): the measured cost optimum
+    (BENCH_NEWOPS r5 — too-small k is a quadratic pair-join cliff),
+    never exceeding n (train_centroids needs k seeds) nor the
+    broadcast-ceiling k_max."""
+    from osmpbf_spark.operators.semdedup import auto_k
+
+    assert auto_k(250_000) == 354            # sqrt(125,000) = 353.55
+    assert auto_k(2 * 512 * 512) == 512      # exact optimum
+    assert auto_k(100) == 16                 # k_min clamp
+    assert auto_k(10) == 10                  # never above n
+    assert auto_k(0) == 1
+    assert auto_k(10**13) == 65_536          # k_max broadcast ceiling
+    vals = [auto_k(n) for n in range(1, 5000, 7)]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))  # monotone
