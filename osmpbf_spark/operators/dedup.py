@@ -682,15 +682,21 @@ def embedding_neardup_pairs(embeddings: DataFrame, planes, *,
     refine candidates."""
     from .knn import _dot, _norm, hyperplane_signature
     sig = hyperplane_signature(embeddings, planes, vec_col=vec_col)
-    sig = _bucket_cap(sig, ["sig"], max_bucket)
+    # per-ROW norm hoisted above the self-join: bit-identical values,
+    # one interpreted HOF fold per pair instead of three
+    sig = _bucket_cap(sig, ["sig"], max_bucket).withColumn(
+        "nrm", _norm(vec_col))
     a = sig.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("v_a"), "sig")
+                   F.col(vec_col).alias("v_a"),
+                   F.col("nrm").alias("nrm_a"), "sig")
     b = sig.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("v_b"), "sig")
+                   F.col(vec_col).alias("v_b"),
+                   F.col("nrm").alias("nrm_b"), "sig")
     return (a.join(b, "sig")
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cos_sim",
-                        _dot("v_a", "v_b") / (_norm("v_a") * _norm("v_b")))
+                        _dot("v_a", "v_b")
+                        / (F.col("nrm_a") * F.col("nrm_b")))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
             .distinct())

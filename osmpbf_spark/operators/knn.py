@@ -291,13 +291,19 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int, *,
 
     Returns (query_id, vec_id, cos_sim, rn).
     """
+    # norms hoisted to one per query / corpus ROW (bit-identical values
+    # — same float sequence — but each joined pair pays one interpreted
+    # HOF fold, the dot, instead of three; corpus rows fan out by
+    # |queries|, so the hoist is ~3x off the scoring term)
     q = F.broadcast(queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("q_vec")))
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_nrm", _norm("q_vec")))
     scored = (embeddings.select(F.col(id_col), F.col(vec_col).alias("e_vec"))
+              .withColumn("e_nrm", _norm("e_vec"))
               .join(q)
               .withColumn("cos_sim",
                           _dot("q_vec", "e_vec")
-                          / (_norm("q_vec") * _norm("e_vec"))))
+                          / (F.col("q_nrm") * F.col("e_nrm"))))
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.col(id_col))
     return (scored.withColumn("rn", F.row_number().over(win))
@@ -479,16 +485,20 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
                           vec_col=vec_col, id_col=id_col)
     e_bucketed = (embeddings.select(F.col(id_col),
                                     F.col(vec_col).alias("e_vec"))
+                  .withColumn("e_nrm", _norm("e_vec"))
                   .join(e_assign.select(id_col, "cid"), id_col))
     q_assign = ivf_assign(queries, centroids, nprobe,
                           vec_col=vec_col, id_col=query_id_col)
     q = F.broadcast(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+        .withColumn("q_nrm", _norm("q_vec"))
         .join(q_assign.select(query_id_col, "cid"), query_id_col))
+    # per-row norms hoisted above the bucket join (bit-identical; one
+    # HOF fold per candidate instead of three — see cosine_topk)
     cand = (e_bucketed.join(q, "cid")
             .withColumn("cos_sim",
                         _dot("q_vec", "e_vec")
-                        / (_norm("q_vec") * _norm("e_vec"))))
+                        / (F.col("q_nrm") * F.col("e_nrm"))))
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.col(id_col))
     return (cand.withColumn("rn", F.row_number().over(win))
@@ -533,12 +543,16 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int,
         q_sig.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
                      F.explode(F.expr(marr)).alias("_mask"), "sig")
         .select(query_id_col, "q_vec",
-                F.expr("sig ^ _mask").alias("sig")))
+                F.expr("sig ^ _mask").alias("sig"))
+        .withColumn("q_nrm", _norm("q_vec")))
+    # per-row norms hoisted above the bucket-probe join (bit-identical;
+    # one HOF fold per candidate instead of three — see cosine_topk)
     cand = (e_sig.select(F.col(id_col), F.col(vec_col).alias("e_vec"), "sig")
+            .withColumn("e_nrm", _norm("e_vec"))
             .join(q, "sig")
             .withColumn("cos_sim",
                         _dot("q_vec", "e_vec")
-                        / (_norm("q_vec") * _norm("e_vec"))))
+                        / (F.col("q_nrm") * F.col("e_nrm"))))
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.col(id_col))
     return (cand.withColumn("rn", F.row_number().over(win))

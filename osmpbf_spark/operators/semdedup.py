@@ -100,15 +100,24 @@ def _clustered(embeddings: DataFrame, centroids: DataFrame, *,
 def _pairs_from_clustered(cl: DataFrame, *, threshold: float,
                           vec_col: str, id_col: str,
                           max_cluster: int | None) -> DataFrame:
-    capped = _bucket_cap(cl, ["cid"], max_cluster)
+    # norms hoisted to one per ROW before the self-join (bit-identical
+    # — same float sequence — but the per-PAIR HOF cost drops from
+    # three interpreted aggregate folds to one; pairs outnumber rows by
+    # the cluster size, so this is ~3x off the stage's dominant term;
+    # the DuckDB oracle CTE has always had this shape)
+    capped = _bucket_cap(cl, ["cid"], max_cluster).withColumn(
+        "nrm", _norm(vec_col))
     a = capped.select(F.col(id_col).alias("id_a"),
-                      F.col(vec_col).alias("v_a"), "cid")
+                      F.col(vec_col).alias("v_a"),
+                      F.col("nrm").alias("nrm_a"), "cid")
     b = capped.select(F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("v_b"), "cid")
+                      F.col(vec_col).alias("v_b"),
+                      F.col("nrm").alias("nrm_b"), "cid")
     return (a.join(b, "cid")
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cos_sim",
-                        _dot("v_a", "v_b") / (_norm("v_a") * _norm("v_b")))
+                        _dot("v_a", "v_b")
+                        / (F.col("nrm_a") * F.col("nrm_b")))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b",
                     F.round("cos_sim", 6).alias("cos_sim")))

@@ -283,13 +283,17 @@ def read_ivf_topk(spark: SparkSession, path: str, queries: DataFrame,
     q = F.broadcast(
         queries.select(F.col(query_id_col),
                        F.col(vec_col).alias("q_vec"))
+        .withColumn("q_nrm", _norm("q_vec"))
         .join(q_assign.select(query_id_col, "cid"), query_id_col))
+    # per-row norms hoisted above the probe join (bit-identical; one
+    # HOF fold per candidate instead of three — see knn.cosine_topk)
     cand = (emb.select(F.col(id_col), F.col(vec_col).alias("e_vec"),
                        "cid")
+            .withColumn("e_nrm", _norm("e_vec"))
             .join(q, "cid")
             .withColumn("cos_sim",
                         _dot("q_vec", "e_vec")
-                        / (_norm("q_vec") * _norm("e_vec"))))
+                        / (F.col("q_nrm") * F.col("e_nrm"))))
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.col(id_col))
     return (cand.withColumn("rn", F.row_number().over(win))
