@@ -421,15 +421,20 @@ def train_centroids(vectors: DataFrame, k: int, *, iters: int = 4,
         dims = {len(c) for c in cents}
         if len(dims) != 1:
             raise ValueError(f"ragged embedding dims {sorted(dims)}")
-        win = Window.partitionBy("vid").orderBy("d2", "cid")
         for _ in range(iters):
             cdf = F.broadcast(spark.createDataFrame(
                 list(enumerate(cents)), "cid int, cvec array<double>"))
+            # argmin via lexicographic struct MIN (same result as the
+            # former row_number over orderBy(d2, cid) — cid is unique
+            # so ties never reach v), partial-combined map-side: the
+            # per-iteration exchange carries n rows, not n·k sorted
+            # candidates (see ivf_assign)
             assign = (v.join(cdf)
                       .withColumn("d2", _dec_dist2_arrays("v", "cvec"))
-                      .withColumn("rn", F.row_number().over(win))
-                      .filter(F.col("rn") == 1)
-                      .select("cid", "v"))
+                      .groupBy("vid")
+                      .agg(F.min(F.struct("d2", "cid", "v")).alias("_m"))
+                      .select(F.col("_m.cid").alias("cid"),
+                              F.col("_m.v").alias("v")))
             means = (assign
                      .select("cid", F.posexplode("v").alias("dim", "val"))
                      .groupBy("cid", "dim")
@@ -449,19 +454,46 @@ def train_centroids(vectors: DataFrame, k: int, *, iters: int = 4,
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1, *,
-               vec_col: str = "embedding", id_col: str = "vec_id"
-               ) -> DataFrame:
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               keep_vec: bool = False) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids
     (id, cid, crank). Centroids (cid, cvec) are a small broadcast
     dimension — deterministic constants supplied by the caller (e.g. a
     fixed sample, or offline k-means output), so assignments are
-    parallelism-independent. Ties break on cid."""
+    parallelism-independent. Ties break on cid.
+
+    ``keep_vec`` (nprobe=1 only) also returns the vector column, riding
+    the argmin struct — callers that would otherwise join the
+    assignment back onto the vectors by id (one more n-row shuffle
+    join) get (id, cid, crank, vec) in the same single aggregate."""
     c = F.broadcast(centroids.select(F.col("cid"),
                                      F.col("cvec")))
+    scored = (vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
+              .join(c)
+              .withColumn("cdist2", _dist2_arrays("_v", "cvec")))
+    if nprobe == 1:
+        # argmin as a lexicographic struct MIN, not a window
+        # row_number: identical result (min over (cdist2, cid) == the
+        # window's first row over orderBy(cdist2, cid); cid is unique
+        # so ties cannot reach deeper fields) but the aggregate
+        # partial-combines MAP-SIDE — the broadcast join emits all k
+        # candidate rows of a vector in one partition, so the exchange
+        # moves n rows instead of sorting n·k (k=512 means 512x less
+        # assignment shuffle; this is every big-side caller: semdedup
+        # clustering, IVF build/append, ivf_topk's corpus leg)
+        fields = ["cdist2", "cid"] + (["_v"] if keep_vec else [])
+        out = (scored
+               .groupBy(id_col)
+               .agg(F.min(F.struct(*fields)).alias("_m"))
+               .select(id_col, F.col("_m.cid").alias("cid"),
+                       F.lit(1).alias("crank"),
+                       *([F.col("_m._v").alias(vec_col)]
+                         if keep_vec else [])))
+        return out
+    if keep_vec:
+        raise ValueError("keep_vec requires nprobe=1")
     win = Window.partitionBy(id_col).orderBy("cdist2", "cid")
-    return (vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
-            .join(c)
-            .withColumn("cdist2", _dist2_arrays("_v", "cvec"))
+    return (scored
             .withColumn("crank", F.row_number().over(win))
             .filter(F.col("crank") <= nprobe)
             .select(id_col, "cid", "crank"))
@@ -481,12 +513,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int,
 
     Returns (query_id, vec_id, cos_sim, rn); fully deterministic given
     fixed centroids (assignment and ranking tie-break on ids)."""
-    e_assign = ivf_assign(embeddings, centroids, 1,
-                          vec_col=vec_col, id_col=id_col)
-    e_bucketed = (embeddings.select(F.col(id_col),
-                                    F.col(vec_col).alias("e_vec"))
-                  .withColumn("e_nrm", _norm("e_vec"))
-                  .join(e_assign.select(id_col, "cid"), id_col))
+    # keep_vec: the corpus vector rides the assignment argmin, so the
+    # bucketed corpus needs no join back onto the embedding table
+    e_bucketed = (ivf_assign(embeddings, centroids, 1, vec_col=vec_col,
+                             id_col=id_col, keep_vec=True)
+                  .select(F.col(id_col), F.col(vec_col).alias("e_vec"),
+                          "cid")
+                  .withColumn("e_nrm", _norm("e_vec")))
     q_assign = ivf_assign(queries, centroids, nprobe,
                           vec_col=vec_col, id_col=query_id_col)
     q = F.broadcast(

@@ -89,12 +89,12 @@ def auto_k(n: int, *, k_min: int = 16, k_max: int = 65_536) -> int:
 def _clustered(embeddings: DataFrame, centroids: DataFrame, *,
                vec_col: str, id_col: str) -> DataFrame:
     """(id_col, vec_col, cid): each vector tagged with its nearest
-    centroid — a broadcast map-side assignment (no shuffle of the
-    embedding table)."""
-    assign = ivf_assign(embeddings, centroids, 1,
-                        vec_col=vec_col, id_col=id_col)
-    return embeddings.select(id_col, vec_col).join(
-        assign.select(id_col, "cid"), id_col)
+    centroid — a broadcast map-side assignment; ``keep_vec`` carries
+    the vector through the argmin aggregate, so there is no join back
+    onto the embedding table (one shuffle total, n rows)."""
+    return ivf_assign(embeddings, centroids, 1, vec_col=vec_col,
+                      id_col=id_col, keep_vec=True
+                      ).select(id_col, vec_col, "cid")
 
 
 def _pairs_from_clustered(cl: DataFrame, *, threshold: float,
