@@ -6,11 +6,14 @@ the shape of the interleaved-documents media spans. Two tiers of codec:
 * **Real, in-repo, pure numpy** — binary netpbm images (P5/P6),
   8-bit PNG (stdlib zlib inflate + all five scanline filters, palette
   included), baseline JPEG (:mod:`.jpeg` — Huffman + dequant + IDCT +
-  chroma upsampling, VERDICT r2 #3) and PCM WAV audio decode fully
+  chroma upsampling, VERDICT r2 #3), GIF 87a/89a (variable-width LZW,
+  palette, interlace, animation compositing — round 5), MJPEG-in-AVI
+  video (:mod:`.video` — header-only container walk + selective
+  per-frame JPEG decode, round 5) and PCM WAV audio decode fully
   here: header parse, pixel/sample arrays, nearest-neighbour resize,
-  luminance-histogram / FFT-band feature extraction. No external
-  libraries needed, so these paths are REAL and tested end-to-end
-  (decode → resize → features → Arrow batch).
+  luminance-histogram / FFT-band / sampled-frame feature extraction.
+  No external libraries needed, so these paths are REAL and tested
+  end-to-end (decode → resize → features → Arrow batch).
 * **Unsupported variants** (float/ADPCM WAV, unknown containers)
   profile via a deterministic digest-derived stand-in instead of
   failing the job. Rounds 4-5 made the previously-profiled variants
@@ -55,10 +58,14 @@ def sniff_media_type(p: bytes) -> str:
         return "image/x-portable-graymap"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "audio/wav"
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        return "video/x-msvideo"
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return "image/png"
     if p[:2] == b"\xff\xd8":
         return "image/jpeg"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     return "application/octet-stream"
 
 
@@ -439,6 +446,375 @@ def encode_png(img: np.ndarray, *, interlace: bool = False,
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — variable-width LZW, palette, interlace, animation.
+# Public spec: GIF89a (CompuServe, 1990); LZW details per spec appendix.
+# ---------------------------------------------------------------------------
+
+def _gif_subblocks(p: bytes, pos: int,
+                   collect: bool = True) -> tuple[bytes, int]:
+    """Walk a GIF data-sub-block chain starting at ``pos`` → (joined
+    bytes, position after the 0 terminator). ``collect=False`` skips by
+    length only — the header-only pass over 100 TB of media never
+    touches payload bytes."""
+    parts = [] if collect else None
+    while True:
+        if pos >= len(p):
+            raise ValueError("GIF sub-block chain truncated")
+        n = p[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(p):
+            raise ValueError("GIF sub-block truncated")
+        if collect:
+            parts.append(p[pos:pos + n])
+        pos += n
+    return (b"".join(parts) if collect else b""), pos
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    n_pixels: int) -> np.ndarray:
+    """GIF variable-width LZW → pixel-index array (uint8). Codes are
+    LSB-first; width grows 1 bit whenever the next table slot reaches
+    the current code range, capped at 12; CLEAR resets; table entries
+    are (prefix code, suffix byte) pairs walked back through a stack
+    (no O(n²) string copies)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    suffix[:clear] = np.arange(clear, dtype=np.uint8)
+    width = min_code_size + 1
+    next_code = eoi + 1
+    out = bytearray()
+    stack = bytearray()
+    prev = -1
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            raise ValueError("GIF LZW stream ended before EOI")
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("GIF LZW first code is not a root")
+            out.append(code)
+            prev = code
+            continue
+        if code > next_code or code == clear or code == eoi:
+            raise ValueError("GIF LZW code out of range")
+        walk = prev if code == next_code else code   # KwKwK case
+        stack.clear()
+        c = walk
+        while c >= eoi + 1:
+            stack.append(suffix[c])
+            c = prefix[c]
+        if c >= clear:
+            raise ValueError("GIF LZW chain hits a control code")
+        stack.append(c)
+        first = c
+        out += stack[::-1]
+        if code == next_code:
+            out.append(first)
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise ValueError("GIF frame data shorter than the raster")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Pixel indices → GIF LZW bytes (test/synth helper). Mirrors the
+    decoder's width-growth rule exactly; stops adding entries at 4096
+    (deferred clear, legal per spec)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: dict[tuple[int, int], int] = {}
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    it = iter(int(v) for v in indices)
+    prev = next(it)
+    for v in it:
+        nxt = table.get((prev, v))
+        if nxt is not None:
+            prev = nxt
+            continue
+        emit(prev)
+        if next_code < 4096:
+            table[(prev, v)] = next_code
+            next_code += 1
+            # one entry LATER than the decoder's bump: the decoder adds
+            # each entry one code behind the encoder, so its table is
+            # one shorter when it reads the next code
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prev = v
+    emit(prev)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# GIF interlace: rows stored in four passes (start, step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int) -> np.ndarray:
+    """Storage order of rows in an interlaced GIF frame."""
+    return np.concatenate([np.arange(s, h, t) for s, t in _GIF_INTERLACE])
+
+
+def _gif_blocks(p: bytes, *, header_only: bool = False):
+    """GIF container walk → (w, h, gct, bg_index, frames). Each frame
+    dict carries geometry, its color table, interlace flag, GCE state
+    (delay, transparent index, disposal) and — unless ``header_only`` —
+    the joined LZW bytes. Header-only skips every data sub-block by
+    length (no LZW inflate, same contract as png_header/wav_header)."""
+    if p[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(p) < 13:
+        raise ValueError("GIF logical screen descriptor truncated")
+    w, h = struct.unpack_from("<HH", p, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    packed, bg = p[10], p[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(p, dtype=np.uint8, count=n * 3,
+                            offset=pos).reshape(-1, 3)
+        pos += n * 3
+    frames = []
+    gce = (0, None, 0)                 # (delay_cs, transparent, disposal)
+    while True:
+        if pos >= len(p):
+            raise ValueError("GIF truncated before trailer")
+        b0 = p[pos]
+        if b0 == 0x3B:                 # trailer
+            break
+        if b0 == 0x21:                 # extension
+            if pos + 2 > len(p):
+                raise ValueError("GIF extension truncated")
+            label = p[pos + 1]
+            subs, pos = _gif_subblocks(p, pos + 2, collect=label == 0xF9)
+            if label == 0xF9 and len(subs) >= 4:
+                (delay,) = struct.unpack_from("<H", subs, 1)
+                transparent = subs[3] if subs[0] & 0x01 else None
+                gce = (delay, transparent, (subs[0] >> 2) & 0x07)
+        elif b0 == 0x2C:               # image descriptor
+            if pos + 10 > len(p):
+                raise ValueError("GIF image descriptor truncated")
+            left, top, fw, fh = struct.unpack_from("<HHHH", p, pos + 1)
+            fpk = p[pos + 9]
+            pos += 10
+            lct = None
+            if fpk & 0x80:
+                n = 2 << (fpk & 0x07)
+                lct = np.frombuffer(p, dtype=np.uint8, count=n * 3,
+                                    offset=pos).reshape(-1, 3)
+                pos += n * 3
+            if fw <= 0 or fh <= 0 or left + fw > w or top + fh > h:
+                raise ValueError("GIF frame exceeds the logical screen")
+            if pos >= len(p):
+                raise ValueError("GIF frame truncated before LZW data")
+            min_code = p[pos]
+            data, pos = _gif_subblocks(p, pos + 1,
+                                       collect=not header_only)
+            table = lct if lct is not None else gct
+            if table is None and not header_only:
+                raise ValueError("GIF frame has no color table")
+            frames.append({"left": left, "top": top, "w": fw, "h": fh,
+                           "interlace": bool(fpk & 0x40), "table": table,
+                           "min_code": min_code, "data": data,
+                           "delay_cs": gce[0], "transparent": gce[1],
+                           "disposal": gce[2]})
+            gce = (0, None, 0)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF has no image frames")
+    return w, h, gct, bg, frames
+
+
+def gif_header(p: bytes) -> tuple[int, int, int, int | None]:
+    """(width, height, n_frames, duration_ms or None) from the
+    container walk alone — sub-blocks skipped by length, no LZW decode
+    (the metadata pass must not pay a full decode per asset at 100 TB).
+    ``duration_ms`` is the summed frame delays for animations, NULL for
+    single-frame images."""
+    w, h, _, _, frames = _gif_blocks(p, header_only=True)
+    if len(frames) == 1:
+        return w, h, 1, None
+    return w, h, len(frames), sum(f["delay_cs"] for f in frames) * 10
+
+
+def decode_gif_frames(p: bytes) -> list[np.ndarray]:
+    """GIF → list of composited (h, w, 3) uint8 canvases, one per
+    frame. Compositing honours per-frame placement rectangles,
+    transparent-index passthrough, and disposal methods 0/1 (leave in
+    place) and 2 (restore background) — method 3 (restore previous) is
+    treated as 2, a documented simplification for a web format whose
+    method-3 files are vanishingly rare."""
+    w, h, gct, bg, frames = _gif_blocks(p)
+    if gct is not None and bg < len(gct):
+        background = np.broadcast_to(gct[bg], (h, w, 3)).copy()
+    else:
+        background = np.zeros((h, w, 3), dtype=np.uint8)
+    canvas = background.copy()
+    out = []
+    for f in frames:
+        idx = _gif_lzw_decode(f["data"], f["min_code"],
+                              f["w"] * f["h"]).reshape(f["h"], f["w"])
+        if f["interlace"]:
+            deinter = np.empty_like(idx)
+            deinter[_gif_row_order(f["h"])] = idx
+            idx = deinter
+        if (idx >= len(f["table"])).any():
+            raise ValueError("GIF pixel index outside the color table")
+        rgb = f["table"][idx]
+        region = canvas[f["top"]:f["top"] + f["h"],
+                        f["left"]:f["left"] + f["w"]]
+        if f["transparent"] is not None:
+            mask = idx == f["transparent"]
+            rgb = np.where(mask[:, :, None], region, rgb)
+        region[:] = rgb
+        out.append(canvas.copy())
+        if f["disposal"] in (2, 3):
+            canvas[f["top"]:f["top"] + f["h"],
+                   f["left"]:f["left"] + f["w"]] = \
+                background[f["top"]:f["top"] + f["h"],
+                           f["left"]:f["left"] + f["w"]]
+    return out
+
+
+def decode_gif(p: bytes) -> np.ndarray:
+    """GIF → first composited frame as (h, w, 3) uint8 (the image-tier
+    view; animations expose every frame via :func:`decode_gif_frames`
+    and their total delay via :func:`gif_header`)."""
+    w, h, gct, bg, frames = _gif_blocks(p)
+    f = frames[0]
+    idx = _gif_lzw_decode(f["data"], f["min_code"],
+                          f["w"] * f["h"]).reshape(f["h"], f["w"])
+    if f["interlace"]:
+        deinter = np.empty_like(idx)
+        deinter[_gif_row_order(f["h"])] = idx
+        idx = deinter
+    if (idx >= len(f["table"])).any():
+        raise ValueError("GIF pixel index outside the color table")
+    if gct is not None and bg < len(gct):
+        canvas = np.broadcast_to(gct[bg], (h, w, 3)).copy()
+    else:
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb = f["table"][idx]
+    if f["transparent"] is not None:
+        region = canvas[f["top"]:f["top"] + f["h"],
+                        f["left"]:f["left"] + f["w"]]
+        rgb = np.where((idx == f["transparent"])[:, :, None], region, rgb)
+    canvas[f["top"]:f["top"] + f["h"],
+           f["left"]:f["left"] + f["w"]] = rgb
+    return canvas
+
+
+def encode_gif(frames, *, delays_cs=None, offsets=None,
+               transparent: int | None = None,
+               interlace: bool = False,
+               disposal: int = 0) -> bytes:
+    """(h, w, 3) uint8 frame (or list of frames) → GIF89a bytes
+    (test/synth helper; the round-trip oracle for the LZW paths). A
+    single global palette is built from all frames' distinct colors
+    (≤ 256 required). ``offsets`` places later frames as sub-rectangles;
+    ``transparent`` reserves one extra palette slot whose index never
+    matches real pixels, exercising the decoder's passthrough path."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    h0, w0 = frames[0].shape[:2]
+    if offsets is None:
+        offsets = [(0, 0)] * len(frames)
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0),
+        axis=0)
+    n_reserved = 1 if transparent is not None else 0
+    if len(colors) + n_reserved > 256:
+        raise ValueError("GIF encoder needs ≤256 distinct colors")
+    # palette size = next power of two ≥ 2 slots
+    depth = max(2, int(np.ceil(np.log2(len(colors) + n_reserved))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[:len(colors)] = colors
+    t_idx = len(colors) if transparent is not None else None
+    # np.unique(axis=0) sorts rows lexicographically, so the packed
+    # int24 view is ascending — palette lookup is one searchsorted
+    packed_pal = ((colors[:, 0].astype(np.int64) << 16)
+                  | (colors[:, 1].astype(np.int64) << 8)
+                  | colors[:, 2].astype(np.int64))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w0, h0)
+    out += bytes([0x80 | (depth - 1), 0, 0])     # GCT present, bg=0
+    out += pal.tobytes()
+    for k, (img, (left, top)) in enumerate(zip(frames, offsets)):
+        fh, fw = img.shape[:2]
+        packed = ((img[:, :, 0].astype(np.int64) << 16)
+                  | (img[:, :, 1].astype(np.int64) << 8)
+                  | img[:, :, 2].astype(np.int64))
+        idx = np.searchsorted(packed_pal, packed).astype(np.uint8)
+        if delays_cs is not None or transparent is not None:
+            flags = (disposal & 0x07) << 2
+            if transparent is not None:
+                flags |= 0x01
+            delay = delays_cs[k] if delays_cs is not None else 0
+            out += bytes([0x21, 0xF9, 4, flags])
+            out += struct.pack("<H", delay)
+            out += bytes([t_idx or 0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, fw, fh)
+        out += bytes([0x40 if interlace else 0x00])
+        if interlace:
+            idx = idx[_gif_row_order(fh)]
+        out += bytes([depth])
+        lzw = _gif_lzw_encode(idx.ravel(), depth)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 # One bad asset must never fail a 100 TB job: every way a malformed or
 # truncated payload can blow up a codec — bad header values/layout
 # (ValueError), short struct reads (struct.error), corrupt DEFLATE
@@ -461,9 +837,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:
-    """(media_ref, payload) → typed metadata row per asset. Real decode
-    for netpbm/WAV; digest-derived stand-in dimensions for formats whose
-    codecs aren't shipped here."""
+    """(media_ref, payload) → typed metadata row per asset. Real
+    header-only parses for netpbm/PNG/JPEG/GIF/AVI/WAV; digest-derived
+    stand-in dimensions for formats whose codecs aren't shipped here.
+    ``duration_ms`` is populated for audio, video, and animated GIF."""
     def batches(it):
         for batch in it:
             refs = batch.column("media_ref").to_pylist()
@@ -489,6 +866,12 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                         w, h = png_header(p)
                     elif t == "image/jpeg":
                         w, h = jpeg_header(p)
+                    elif t == "image/gif":
+                        w, h, _, dur = gif_header(p)
+                    elif t == "video/x-msvideo":
+                        from .video import avi_header
+                        w, h, n_frames, uspf = avi_header(p)
+                        dur = n_frames * uspf // 1000
                     elif t == "audio/wav":
                         sr, ch, dur = wav_header(p)
                 except _PROFILE_FALLBACK_ERRORS:
@@ -526,12 +909,34 @@ def _image_feature(p: bytes, dim: int) -> tuple[np.ndarray, int]:
         dec = decode_png
     elif p[:2] == b"\xff\xd8":
         dec = decode_jpeg
+    elif p[:6] in (b"GIF87a", b"GIF89a"):
+        dec = decode_gif
     else:
         dec = decode_netpbm
     img = resize_nearest(dec(p), 32, 32)
     lum = img.mean(axis=2).ravel()
     hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
     return (hist / np.float32(lum.size)).astype(np.float32), 1
+
+
+def _video_feature(p: bytes, dim: int) -> tuple[np.ndarray, int]:
+    """Mean of per-sampled-frame luminance histograms over ≤4 evenly
+    spaced frames — REAL container-walk + selective JPEG decode path
+    (only the sampled chunks' bytes are touched); n_frames = the clip's
+    TOTAL frame count from the container index."""
+    from .video import avi_frame_index, decode_jpeg as _dj, \
+        sample_frame_indices
+    index = avi_frame_index(p)
+    if not index:
+        raise ValueError("AVI has no video frame chunks")
+    hists = []
+    for i in sample_frame_indices(len(index), 4):
+        off, size = index[i]
+        img = resize_nearest(_dj(p[off:off + size]), 32, 32)
+        lum = img.mean(axis=2).ravel()
+        hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
+        hists.append(hist / np.float64(lum.size))
+    return (np.mean(hists, axis=0).astype(np.float32), len(index))
 
 
 def _audio_feature(p: bytes, dim: int) -> tuple[np.ndarray, int]:
@@ -558,9 +963,11 @@ def _fake_feature(p: bytes, dim: int) -> tuple[np.ndarray, int]:
 
 def extract_media_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
     """(media_ref, payload) → fixed-dim float feature vector per asset.
-    Real features for netpbm (luminance histogram over a 32×32 resize)
-    and WAV (FFT band energies); digest-derived stand-in otherwise (a
-    model-inference UDF has the identical signature and batch shape)."""
+    Real features for images (luminance histogram over a 32×32 resize —
+    netpbm/PNG/JPEG/GIF), WAV audio (FFT band energies) and AVI video
+    (mean histogram over ≤4 sampled frames, selective decode);
+    digest-derived stand-in otherwise (a model-inference UDF has the
+    identical signature and batch shape)."""
     def batches(it):
         for batch in it:
             refs = batch.column("media_ref").to_pylist()
@@ -574,10 +981,12 @@ def extract_media_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
                 # than failing the job (same contract as the metadata op)
                 try:
                     if t.startswith("image/x-portable") or \
-                            t in ("image/png", "image/jpeg"):
+                            t in ("image/png", "image/jpeg", "image/gif"):
                         feats[i], frames[i] = _image_feature(p, dim)
                     elif t == "audio/wav":
                         feats[i], frames[i] = _audio_feature(p, dim)
+                    elif t == "video/x-msvideo":
+                        feats[i], frames[i] = _video_feature(p, dim)
                     else:
                         feats[i], frames[i] = _fake_feature(p, dim)
                 except _PROFILE_FALLBACK_ERRORS:

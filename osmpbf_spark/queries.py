@@ -1027,16 +1027,19 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
 def _multimodal_payloads():
     """Deterministic media assets, one per codec tier: P6 netpbm, 8-bit
     PNG, 16-bit Adam7-interlaced PNG, 2-bit-packed Adam7-interlaced
-    PNG, baseline JPEG, progressive 4:2:0 JPEG, 16-bit stereo PCM WAV,
-    24-bit mono PCM WAV, opaque blob."""
+    PNG, baseline JPEG, progressive 4:2:0 JPEG, animated interlaced
+    GIF, MJPEG-in-AVI video clip, 16-bit stereo PCM WAV, 24-bit mono
+    PCM WAV, opaque blob."""
     import numpy as np
 
     from .operators.multimodal import (
+        encode_gif,
         encode_jpeg,
         encode_netpbm,
         encode_png,
         encode_wav,
     )
+    from .operators.video import encode_avi
     img = (np.arange(6 * 4 * 3, dtype=np.uint8) * 7 % 251).reshape(4, 6, 3)
     png = (np.arange(5 * 8 * 3, dtype=np.uint8) * 11 % 253).reshape(5, 8, 3)
     jpg = (np.arange(24 * 17 * 3, dtype=np.uint8) * 5 % 241).reshape(
@@ -1058,7 +1061,23 @@ def _multimodal_payloads():
     # 24-bit PCM WAV: REAL decode since round 4 (top-16-bit reduction)
     wave24 = ((np.arange(1600) % 40 < 20).astype(np.int16) * 6000
               - 3000).reshape(-1, 1)
+    # animated interlaced GIF: variable-width LZW decode, Adam-style
+    # four-pass row order, frame compositing at an offset, summed
+    # delays → duration_ms — round 5 (GIF is real, not a stand-in)
+    gpal = (np.arange(10 * 3, dtype=np.uint8) * 23 % 211).reshape(10, 3)
+    gif0 = gpal[np.arange(12 * 9, dtype=np.int64) * 7 % 10].reshape(
+        9, 12, 3)
+    gif1 = gpal[np.arange(5 * 4, dtype=np.int64) * 3 % 10].reshape(
+        4, 5, 3)
+    # MJPEG-in-AVI clip: RIFF container walk + selective per-frame JPEG
+    # decode (features touch only the ≤4 sampled frames) — round 5
+    vid = [gpal[(np.arange(18 * 12, dtype=np.int64) * (k + 2)) % 10]
+           .reshape(12, 18, 3) for k in range(6)]
     return [("m://img", encode_netpbm(img)),
+            ("m://gif", encode_gif([gif0, gif1], delays_cs=[12, 25],
+                                   offsets=[(0, 0), (4, 3)],
+                                   interlace=True)),
+            ("m://vid", encode_avi(vid, fps=5)),
             ("m://png", encode_png(png)),
             ("m://p16", encode_png(png16, interlace=True)),
             ("m://p2i", encode_png(png2i, interlace=True, depth=2)),
@@ -1082,6 +1101,14 @@ def _multimodal_oracle():
         elif t == "image/jpeg":
             w, h = (31, 19) if ref == "m://jp2" else (24, 17)
             sr = ch = dur = None
+        elif t == "image/gif":
+            # two frames, delays 12 cs + 25 cs → 370 ms (gif_header
+            # sums delays without any LZW decode)
+            w, h, sr, ch, dur = 12, 9, None, None, 370
+        elif t == "video/x-msvideo":
+            # 6 frames at 5 fps (200 000 µs/frame) → 1200 ms, from the
+            # avih main header alone
+            w, h, sr, ch, dur = 18, 12, None, None, 1200
         elif t.startswith("image"):
             w, h, sr, ch, dur = 6, 4, None, None, None
         elif t == "audio/wav":
@@ -1105,12 +1132,12 @@ def _multimodal_oracle():
 
 @q("multimodal_golden", _multimodal_oracle())
 def q_multimodal_golden(spark, sf_dir):
-    """REAL multimodal decode (pure-numpy netpbm + PNG + baseline JPEG
-    + PCM WAV codecs, operators/multimodal.py + operators/jpeg.py)
-    through the full Spark mapInArrow path: typed metadata for three
-    image formats, an audio clip, and an opaque blob vs constant
-    expected values (dimensions/sample-rate/duration verified by
-    construction of the payloads)."""
+    """REAL multimodal decode (pure-numpy netpbm + PNG + JPEG + GIF +
+    MJPEG-AVI + PCM WAV codecs, operators/multimodal.py + jpeg.py +
+    video.py) through the full Spark mapInArrow path: typed metadata
+    for four image formats, a video clip, an audio clip, and an opaque
+    blob vs constant expected values (dimensions/sample-rate/duration
+    verified by construction of the payloads)."""
     from .operators.multimodal import extract_media_metadata
     media = spark.createDataFrame(
         [(r, bytearray(p)) for r, p in _multimodal_payloads()],
@@ -1133,6 +1160,7 @@ def _media_features_oracle():
         _audio_feature,
         _fake_feature,
         _image_feature,
+        _video_feature,
         sniff_media_type,
     )
     rows = []
@@ -1142,6 +1170,8 @@ def _media_features_oracle():
             f, n = _image_feature(p, 8)
         elif t == "audio/wav":
             f, n = _audio_feature(p, 8)
+        elif t == "video/x-msvideo":
+            f, n = _video_feature(p, 8)
         else:
             f, n = _fake_feature(p, 8)
         for d, v in enumerate(f):
@@ -1156,8 +1186,9 @@ def _media_features_oracle():
 @q("media_features_golden", _media_features_oracle())
 def q_media_features_golden(spark, sf_dir):
     """REAL feature extraction through Spark mapInArrow — luminance
-    histograms for three image codecs (netpbm/PNG/JPEG), FFT band
-    energies for WAV, digest stand-in for the opaque blob — vs
+    histograms for four image codecs (netpbm/PNG/JPEG/GIF), sampled-
+    frame mean histograms for MJPEG-AVI video (selective decode), FFT
+    band energies for WAV, digest stand-in for the opaque blob — vs
     locally-computed constants (micro-unit quantization both sides).
     Output is ALL-SCALAR columns (media_ref, dim, q6, n_frames): the
     driver's pandas-based hasher cannot canonicalize array cells
