@@ -211,6 +211,79 @@ def test_gif_header_only_no_lzw_decode(monkeypatch):
     assert mm.gif_header(g) == (30, 20, 1, None)
 
 
+def _lct_gif(idx: np.ndarray, lct: np.ndarray | None,
+             gct: np.ndarray | None) -> bytes:
+    """Hand-build a one-frame GIF with an optional LOCAL color table
+    (the in-repo encoder only ever emits a global one, so the LCT
+    branch needs explicit container surgery)."""
+    import struct as _s
+
+    import osmpbf_spark.operators.multimodal as mm
+    h, w = idx.shape
+    out = bytearray(b"GIF89a") + _s.pack("<HH", w, h)
+    if gct is not None:
+        depth_g = max(2, int(np.ceil(np.log2(len(gct)))))
+        pal_g = np.zeros((1 << depth_g, 3), dtype=np.uint8)
+        pal_g[:len(gct)] = gct
+        out += bytes([0x80 | (depth_g - 1), 0, 0]) + pal_g.tobytes()
+    else:
+        out += bytes([0, 0, 0])
+    out += bytes([0x2C]) + _s.pack("<HHHH", 0, 0, w, h)
+    if lct is not None:
+        depth = max(2, int(np.ceil(np.log2(len(lct)))))
+        pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+        pal[:len(lct)] = lct
+        out += bytes([0x80 | (depth - 1)]) + pal.tobytes()
+    else:
+        depth = max(2, int(np.ceil(np.log2(len(gct)))))
+        out += bytes([0x00])
+    lzw = mm._gif_lzw_encode(idx.ravel(), depth)
+    out += bytes([depth])
+    for i in range(0, len(lzw), 255):
+        c = lzw[i:i + 255]
+        out += bytes([len(c)]) + c
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def test_gif_local_color_table():
+    """A frame's LOCAL color table must win over the global one (and
+    suffice when no global table exists at all)."""
+    rng = np.random.default_rng(47)
+    lct = rng.integers(0, 255, (6, 3), dtype=np.uint8)
+    gct = 255 - lct                      # deliberately different colors
+    idx = rng.integers(0, 6, (7, 9)).astype(np.uint8)
+    # LCT only — no global table in the container
+    assert np.array_equal(decode_gif(_lct_gif(idx, lct, None)), lct[idx])
+    # LCT beats a present-but-different GCT
+    assert np.array_equal(decode_gif(_lct_gif(idx, lct, gct)), lct[idx])
+    # no table anywhere → loud error, not garbage pixels
+    with pytest.raises(ValueError, match="no color table"):
+        decode_gif(_lct_gif_no_tables(idx))
+    # header-only walk never needs any color table
+    g = _lct_gif_no_tables(idx)
+    import osmpbf_spark.operators.multimodal as mm
+    assert mm.gif_header(g) == (9, 7, 1, None)
+
+
+def _lct_gif_no_tables(idx: np.ndarray) -> bytes:
+    """One-frame GIF with NEITHER a global nor a local color table."""
+    import struct as _s
+
+    import osmpbf_spark.operators.multimodal as mm
+    h, w = idx.shape
+    out = bytearray(b"GIF89a") + _s.pack("<HH", w, h)
+    out += bytes([0, 0, 0])
+    out += bytes([0x2C]) + _s.pack("<HHHH", 0, 0, w, h) + bytes([0x00])
+    lzw = mm._gif_lzw_encode(idx.ravel(), 3)
+    out += bytes([3])
+    for i in range(0, len(lzw), 255):
+        c = lzw[i:i + 255]
+        out += bytes([len(c)]) + c
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 @pytest.mark.parametrize("mut", ["trunc_header", "trunc_data", "bad_block"])
 def test_gif_malformed_raises_valueerror(mut):
     rng = np.random.default_rng(43)
