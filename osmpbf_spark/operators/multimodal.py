@@ -688,10 +688,10 @@ def gif_header(p: bytes) -> tuple[int, int, int, int | None]:
 def decode_gif_frames(p: bytes) -> list[np.ndarray]:
     """GIF → list of composited (h, w, 3) uint8 canvases, one per
     frame. Compositing honours per-frame placement rectangles,
-    transparent-index passthrough, and disposal methods 0/1 (leave in
-    place) and 2 (restore background) — method 3 (restore previous) is
-    treated as 2, a documented simplification for a web format whose
-    method-3 files are vanishingly rare."""
+    transparent-index passthrough, and all four disposal methods:
+    0/1 (leave in place), 2 (restore background), 3 (restore previous —
+    the canvas under the frame rectangle reverts to its pre-draw
+    state)."""
     w, h, gct, bg, frames = _gif_blocks(p)
     if gct is not None and bg < len(gct):
         background = np.broadcast_to(gct[bg], (h, w, 3)).copy()
@@ -711,16 +711,18 @@ def decode_gif_frames(p: bytes) -> list[np.ndarray]:
         rgb = f["table"][idx]
         region = canvas[f["top"]:f["top"] + f["h"],
                         f["left"]:f["left"] + f["w"]]
+        # disposal 3 restores the pre-draw canvas under the rectangle
+        pre_draw = region.copy() if f["disposal"] == 3 else None
         if f["transparent"] is not None:
             mask = idx == f["transparent"]
             rgb = np.where(mask[:, :, None], region, rgb)
         region[:] = rgb
         out.append(canvas.copy())
-        if f["disposal"] in (2, 3):
-            canvas[f["top"]:f["top"] + f["h"],
-                   f["left"]:f["left"] + f["w"]] = \
-                background[f["top"]:f["top"] + f["h"],
-                           f["left"]:f["left"] + f["w"]]
+        if f["disposal"] == 2:
+            region[:] = background[f["top"]:f["top"] + f["h"],
+                                   f["left"]:f["left"] + f["w"]]
+        elif f["disposal"] == 3:
+            region[:] = pre_draw
     return out
 
 
@@ -755,7 +757,7 @@ def decode_gif(p: bytes) -> np.ndarray:
 def encode_gif(frames, *, delays_cs=None, offsets=None,
                transparent: int | None = None,
                interlace: bool = False,
-               disposal: int = 0) -> bytes:
+               disposal: int | list = 0) -> bytes:
     """(h, w, 3) uint8 frame (or list of frames) → GIF89a bytes
     (test/synth helper; the round-trip oracle for the LZW paths). A
     single global palette is built from all frames' distinct colors
@@ -793,8 +795,10 @@ def encode_gif(frames, *, delays_cs=None, offsets=None,
                   | (img[:, :, 1].astype(np.int64) << 8)
                   | img[:, :, 2].astype(np.int64))
         idx = np.searchsorted(packed_pal, packed).astype(np.uint8)
+        disp = (disposal[k] if isinstance(disposal, (list, tuple))
+                else disposal)
         if delays_cs is not None or transparent is not None:
-            flags = (disposal & 0x07) << 2
+            flags = (disp & 0x07) << 2
             if transparent is not None:
                 flags |= 0x01
             delay = delays_cs[k] if delays_cs is not None else 0

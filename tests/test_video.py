@@ -121,6 +121,30 @@ def test_gif_disposal_restore_background():
     assert np.array_equal(frames[1], exp)
 
 
+def test_gif_disposal_restore_previous():
+    """Disposal method 3 reverts the canvas under the frame rectangle
+    to its PRE-DRAW state — distinguishable from method 2 only when
+    that state is not the background, so frame 0 (disposal 0) paints
+    the full canvas first."""
+    rng = np.random.default_rng(41)
+    f0 = _pal_img(rng, 6, 8)
+    f1 = f0[:2, :3].copy()[::-1, ::-1]
+    f2 = f0[:2, :2].copy()[:, ::-1]
+    g = encode_gif([f0, f1, f2], delays_cs=[5, 5, 5],
+                   offsets=[(0, 0), (5, 4), (0, 0)],
+                   disposal=[0, 3, 0])
+    frames = decode_gif_frames(g)
+    assert np.array_equal(frames[0], f0)
+    exp1 = f0.copy()
+    exp1[4:6, 5:8] = f1
+    assert np.array_equal(frames[1], exp1)
+    # frame 1's rectangle reverted to f0 (NOT background) before
+    # frame 2 composited at the top-left
+    exp2 = f0.copy()
+    exp2[0:2, 0:2] = f2
+    assert np.array_equal(frames[2], exp2)
+
+
 def test_gif_transparent_index_passthrough():
     """Pixels equal to the transparent index leave the underlying
     canvas untouched. The encoder reserves an index real pixels never
