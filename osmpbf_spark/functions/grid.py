@@ -140,6 +140,32 @@ def cell_counts(indexed: DataFrame, cell_col: str = "cell") -> DataFrame:
             .groupBy(cell_col).agg(F.count("*").alias("cnt")))
 
 
+EARTH_RADIUS_M = 6371008.8     # IUGG mean Earth radius
+
+
+def haversine_m_sql(lat1_nano: str, lon1_nano: str,
+                    lat2_nano: str, lon2_nano: str,
+                    dialect: str = "spark") -> str:
+    """Great-circle distance in metres between two nanodegree points,
+    rendered as SQL text for ``spark`` or ``duckdb`` — the single
+    source of truth for the arithmetic, like :func:`grid_cell_sql`.
+
+    Haversine: 2·R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))),
+    R = 6371008.8 m. The rendered text is IDENTICAL in both dialects
+    (RADIANS/SIN/COS/ASIN/SQRT are the same double ops in Spark SQL and
+    DuckDB); squares are spelled as products, not POW, to keep one
+    rounding per term. Callers that SUM distances must quantize each
+    segment and route through DECIMAL (partition-order-independent per
+    the repo invariant) — see ``operators.parity.way_geometry_stats``."""
+    p1 = f"RADIANS(({lat1_nano}) / 1E9)"
+    p2 = f"RADIANS(({lat2_nano}) / 1E9)"
+    dp = f"(RADIANS((({lat2_nano}) - ({lat1_nano})) / 1E9) / 2)"
+    dl = f"(RADIANS((({lon2_nano}) - ({lon1_nano})) / 1E9) / 2)"
+    a = (f"(SIN({dp}) * SIN({dp}) + "
+         f"COS({p1}) * COS({p2}) * SIN({dl}) * SIN({dl}))")
+    return f"(2.0 * {EARTH_RADIUS_M} * ASIN(SQRT({a})))"
+
+
 def salted_repartition(df: DataFrame, cell_col: str, salt_n: int,
                        key_cols: list[str] | None = None) -> DataFrame:
     """Salted repartition for skewed cells (north_rule: megacity skew).

@@ -141,3 +141,53 @@ def tag_frequency(elements: DataFrame) -> DataFrame:
     closure API supports via for_each (SURVEY.md §2.9)."""
     return (elements.select(F.explode("tags").alias("key", "value"))
             .groupBy("key", "value").agg(F.count("*").alias("cnt")))
+
+
+def way_geometry_stats(elements: DataFrame, *,
+                       broadcast_nodes: bool = False) -> DataFrame:
+    """Per-way geometry analytics over resolved node chains: vertex and
+    unresolved-ref counts, great-circle length, and the bounding box.
+    Returns (way_id, n_points, n_missing, length_m, min_lat_nano,
+    max_lat_nano, min_lon_nano, max_lon_nano); ways whose chain has
+    fewer than two resolved consecutive points get length_m = 0.0.
+
+    The length is the haversine sum over CONSECUTIVE resolved pairs
+    (segments touching an unresolved ref are skipped, their endpoints
+    counted in ``n_missing``), rendered by the dual-dialect
+    ``functions.grid.haversine_m_sql`` so a DuckDB oracle runs the
+    identical expression. Each segment distance is quantized to 1e-6 m
+    (FLOOR half-up, the repo convention) and summed as DECIMAL(38,18)
+    — partition-order-independent per the repo's double-sum invariant —
+    then cast back to DOUBLE.
+
+    100 TB shape: one equi-join resolves refs→coords
+    (:func:`resolve_way_geometries`; ``broadcast_nodes`` for small node
+    sets), then a lag window and the final aggregate BOTH hash on
+    way_id — Catalyst reuses the window's exchange for the groupBy, so
+    the whole operator adds exactly one extra shuffle after the
+    resolution join. No Python, no HOFs: trig runs whole-stage-codegen'd
+    per segment row.
+    """
+    from pyspark.sql.window import Window
+    from ..functions.grid import haversine_m_sql
+
+    resolved = resolve_way_geometries(elements,
+                                      broadcast_nodes=broadcast_nodes)
+    w = Window.partitionBy("way_id").orderBy("seq")
+    seg = (resolved
+           .withColumn("prev_lat", F.lag("lat_nano").over(w))
+           .withColumn("prev_lon", F.lag("lon_nano").over(w))
+           .withColumn("qdist", F.expr(
+               "CAST(FLOOR(" +
+               haversine_m_sql("prev_lat", "prev_lon",
+                               "lat_nano", "lon_nano") +
+               " * 1E6 + 0.5) / 1E6 AS DECIMAL(38,18))")))
+    return (seg.groupBy("way_id")
+            .agg(F.count("*").alias("n_points"),
+                 F.count_if(F.col("lat_nano").isNull()).alias("n_missing"),
+                 F.coalesce(F.sum("qdist"), F.lit(0).cast("decimal(38,18)"))
+                 .cast("double").alias("length_m"),
+                 F.min("lat_nano").alias("min_lat_nano"),
+                 F.max("lat_nano").alias("max_lat_nano"),
+                 F.min("lon_nano").alias("min_lon_nano"),
+                 F.max("lon_nano").alias("max_lon_nano")))

@@ -353,3 +353,120 @@ def test_cosine_pandas_null_rows_propagate_null(spark):
     assert rows[1][0] == rows[1][1] and rows[1][0] is not None
     assert rows[2] == (None, None)
     assert rows[3] == (None, None)
+
+
+# ---------------------------------------------------------------- way stats
+
+_WAYSTAT_ELEMENTS = "element_type string, id long, lat_nano long, " \
+                    "lon_nano long, refs array<long>"
+
+
+def _waystat_rows():
+    # three resolved nodes around Magdeburg (the fixture neighbourhood),
+    # one dangling ref (99), one single-point way, one fully-unresolved way
+    return [
+        ("node", 1, 52_119_923_500, 11_625_644_600, []),
+        ("node", 2, 52_122_403_100, 11_628_401_700, []),
+        ("node", 3, 52_119_899_100, 11_631_019_200, []),
+        ("way", 10, None, None, [1, 2, 3, 1]),     # closed ring
+        ("way", 11, None, None, [1, 99, 2]),       # 99 unresolved
+        ("way", 12, None, None, [3]),              # single vertex
+        ("way", 13, None, None, [99, 98]),         # nothing resolves
+    ]
+
+
+def test_way_geometry_stats_golden_and_duckdb_parity(spark):
+    import duckdb
+    import math
+    import pandas as pd
+
+    from osmpbf_spark.functions.grid import haversine_m_sql
+    from osmpbf_spark.operators.parity import way_geometry_stats
+
+    el = spark.createDataFrame(_waystat_rows(), _WAYSTAT_ELEMENTS)
+    got = {r["way_id"]: r for r in way_geometry_stats(el).collect()}
+
+    # structural goldens
+    assert set(got) == {10, 11, 12, 13}
+    assert (got[10]["n_points"], got[10]["n_missing"]) == (4, 0)
+    assert (got[11]["n_points"], got[11]["n_missing"]) == (3, 1)
+    assert (got[12]["n_points"], got[12]["length_m"]) == (1, 0.0)
+    assert (got[13]["n_missing"], got[13]["length_m"]) == (2, 0.0)
+    assert got[13]["min_lat_nano"] is None
+    assert got[10]["min_lon_nano"] == 11_625_644_600
+    assert got[10]["max_lat_nano"] == 52_122_403_100
+    # way 11's two segments both touch the unresolved ref -> length 0
+    assert got[11]["length_m"] == 0.0
+
+    # numeric golden: python-math haversine with the same quantization
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        p1, p2 = math.radians(la1 / 1e9), math.radians(la2 / 1e9)
+        dp = math.radians((la2 - la1) / 1e9) / 2
+        dl = math.radians((lo2 - lo1) / 1e9) / 2
+        s = (math.sin(dp) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2)
+        return 2.0 * 6371008.8 * math.asin(math.sqrt(s))
+    pts = {1: (52_119_923_500, 11_625_644_600),
+           2: (52_122_403_100, 11_628_401_700),
+           3: (52_119_899_100, 11_631_019_200)}
+    exp10 = sum(math.floor(hav(pts[a], pts[b]) * 1e6 + 0.5) / 1e6
+                for a, b in [(1, 2), (2, 3), (3, 1)])
+    assert got[10]["length_m"] == pytest.approx(exp10, abs=1e-5)
+    # the ring is a real triangle: hundreds of metres, not degenerate
+    assert 500 < got[10]["length_m"] < 2000
+
+    # DuckDB parity: the identical rendered haversine + DECIMAL sum
+    con = duckdb.connect()
+    rows = _waystat_rows()
+    con.register("nodes_pd", pd.DataFrame(
+        [(r[1], r[2], r[3]) for r in rows if r[0] == "node"],
+        columns=["id", "lat_nano", "lon_nano"]))
+    con.register("ways_pd", pd.DataFrame(
+        [(r[1], r[4]) for r in rows if r[0] == "way"],
+        columns=["way_id", "refs"]))
+    hav_sql = haversine_m_sql("prev_lat", "prev_lon",
+                              "lat_nano", "lon_nano", "duckdb")
+    oracle = con.execute(f"""
+        WITH refrows AS (
+          SELECT way_id, generate_subscripts(refs, 1) - 1 AS seq,
+                 unnest(refs) AS ref FROM ways_pd),
+        resolved AS (
+          SELECT r.way_id, r.seq, n.lat_nano, n.lon_nano
+          FROM refrows r LEFT JOIN nodes_pd n ON n.id = r.ref),
+        seg AS (
+          SELECT way_id, lat_nano, lon_nano,
+                 LAG(lat_nano) OVER (PARTITION BY way_id ORDER BY seq)
+                   AS prev_lat,
+                 LAG(lon_nano) OVER (PARTITION BY way_id ORDER BY seq)
+                   AS prev_lon
+          FROM resolved)
+        SELECT way_id,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(COUNT(*) FILTER (lat_nano IS NULL) AS BIGINT)
+                 AS n_missing,
+               CAST(COALESCE(SUM(CAST(FLOOR({hav_sql} * 1E6 + 0.5) / 1E6
+                                      AS DECIMAL(38,18))),
+                             CAST(0 AS DECIMAL(38,18))) AS DOUBLE)
+                 AS length_m,
+               MIN(lat_nano) AS min_lat_nano,
+               MAX(lat_nano) AS max_lat_nano,
+               MIN(lon_nano) AS min_lon_nano,
+               MAX(lon_nano) AS max_lon_nano
+        FROM seg GROUP BY way_id ORDER BY way_id
+    """).fetchall()
+    spark_rows = sorted(
+        (tuple(r) for r in way_geometry_stats(el).collect()),
+        key=lambda t: t[0])
+    assert spark_rows == [tuple(r) for r in oracle]
+
+
+def test_way_geometry_stats_partitioning_independent(spark):
+    from osmpbf_spark.operators.parity import way_geometry_stats
+
+    el = spark.createDataFrame(_waystat_rows(), _WAYSTAT_ELEMENTS)
+    base = sorted(tuple(r) for r in way_geometry_stats(el).collect())
+    for n in (1, 7):
+        rep = sorted(tuple(r) for r in
+                     way_geometry_stats(el.repartition(n)).collect())
+        assert rep == base, f"repartition({n}) changed the stats"
