@@ -186,3 +186,53 @@ def pip_multipolygon(points: DataFrame, rings: DataFrame, *,
     return matches("outer").join(matches("inner"),
                                  point_keys + ["relation_id"],
                                  "left_anti")
+
+
+def ring_area2_sql(ring_col: str) -> str:
+    """Twice the SIGNED shoelace area of a ring column, in nano² —
+    EXACT integer arithmetic via a DECIMAL(38,0) accumulator (term
+    magnitude ≤ ~6.5e22, sums far below 38 digits; zero float error, so
+    orientation sign is always trustworthy). x = lon, y = lat: positive
+    = counter-clockwise. One flat zip_with + aggregate (the sanctioned
+    non-nested HOF shape). The ring must be closed (first == last), as
+    :func:`multipolygon_rings` emits."""
+    a = f"slice({ring_col}, 1, size({ring_col}) - 1)"
+    b = f"slice({ring_col}, 2, size({ring_col}) - 1)"
+    return (f"aggregate(zip_with({a}, {b}, (a, b) -> "
+            f"CAST(a.lon_nano AS DECIMAL(38,0)) * b.lat_nano - "
+            f"CAST(b.lon_nano AS DECIMAL(38,0)) * a.lat_nano), "
+            f"CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)")
+
+
+def with_ring_orientation(rings: DataFrame,
+                          ring_col: str = "ring") -> DataFrame:
+    """Adds ``area2_nano2`` (signed, exact) and ``orientation``
+    ('ccw' / 'cw' / 'degenerate') to a rings frame."""
+    area2 = F.expr(ring_area2_sql(ring_col))
+    return (rings.withColumn("area2_nano2", area2)
+            .withColumn("orientation",
+                        F.when(F.col("area2_nano2") > 0, "ccw")
+                        .when(F.col("area2_nano2") < 0, "cw")
+                        .otherwise("degenerate")))
+
+
+def normalize_winding(rings: DataFrame, *, ring_col: str = "ring",
+                      role_col: str = "role") -> DataFrame:
+    """Enforce the renderer convention — OUTER rings counter-clockwise,
+    INNER rings clockwise — by reversing rings wound the wrong way
+    (row-local ``reverse``; a reversed closed ring is the same closed
+    ring walked backwards). OSM data does not guarantee winding and the
+    chaining walk doesn't either; nonzero-fill renderers and libraries
+    like GEOS expect it. Degenerate (zero-area) rings pass through
+    unchanged — filter them with :func:`with_ring_orientation`.
+    Idempotent; ray-cast PIP is winding-agnostic, so join results are
+    unaffected (tested)."""
+    with_o = with_ring_orientation(rings, ring_col)
+    wrong = (((F.col(role_col) == "outer") & (F.col("orientation") == "cw"))
+             | ((F.col(role_col) == "inner")
+                & (F.col("orientation") == "ccw")))
+    return (with_o
+            .withColumn(ring_col,
+                        F.when(wrong, F.reverse(F.col(ring_col)))
+                        .otherwise(F.col(ring_col)))
+            .drop("area2_nano2", "orientation"))

@@ -131,3 +131,63 @@ def test_multipolygon_partitioning_independent(spark):
     rep = sorted(map(tuple,
                      multipolygon_rings(el.repartition(7)).collect()))
     assert rep == base
+
+
+def test_ring_orientation_exact_shoelace(spark):
+    import random
+    from osmpbf_spark.operators.multipolygon import with_ring_orientation
+
+    rng = random.Random(99)
+    rows = []
+    expected = []
+    for i in range(20):
+        n = rng.randrange(3, 12)
+        ring = [(rng.randrange(-90 * B, 90 * B),
+                 rng.randrange(-180 * B, 180 * B)) for _ in range(n)]
+        ring.append(ring[0])
+        rows.append((i, [{"lat_nano": a, "lon_nano": b} for a, b in ring]))
+        # exact python-int shoelace (x=lon, y=lat)
+        a2 = sum(ring[j][1] * ring[j + 1][0] - ring[j + 1][1] * ring[j][0]
+                 for j in range(n))
+        expected.append((i, a2,
+                         "ccw" if a2 > 0 else
+                         ("cw" if a2 < 0 else "degenerate")))
+    # plus hand goldens: CCW square, CW square, degenerate line
+    rows += [(100, [{"lat_nano": a, "lon_nano": b} for a, b in
+                    [(0, 0), (0, 10), (10, 10), (10, 0), (0, 0)]]),
+             (101, [{"lat_nano": a, "lon_nano": b} for a, b in
+                    [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]]),
+             (102, [{"lat_nano": a, "lon_nano": b} for a, b in
+                    [(0, 0), (5, 5), (0, 0)]])]
+    # 2A of the 10×10 square = 200
+    expected += [(100, 200, "ccw"), (101, -200, "cw"),
+                 (102, 0, "degenerate")]
+    df = spark.createDataFrame(
+        rows, "rid long, ring array<struct<lat_nano:bigint,lon_nano:bigint>>")
+    got = {r["rid"]: (int(r["area2_nano2"]), r["orientation"])
+           for r in with_ring_orientation(df).collect()}
+    for rid, a2, orient in expected:
+        assert got[rid] == (a2, orient), (rid, got[rid], a2, orient)
+
+
+def test_normalize_winding_idempotent_and_pip_invariant(spark):
+    from osmpbf_spark.operators.multipolygon import (
+        normalize_winding, with_ring_orientation)
+
+    rings = multipolygon_rings(_elements(spark))
+    norm = normalize_winding(rings)
+    o = {(r["relation_id"], r["role"]): r["orientation"]
+         for r in with_ring_orientation(norm).collect()}
+    assert o[(200, "outer")] == "ccw" and o[(200, "inner")] == "cw"
+    assert o[(201, "outer")] == "ccw"
+    # idempotent
+    again = normalize_winding(norm)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, norm.collect()))
+    # ray-cast PIP is winding-agnostic: matches unchanged
+    pts = spark.createDataFrame(
+        [(1, int(1.5 * B), int(1.5 * B)), (2, 5 * B, 5 * B)],
+        "id long, lat_nano long, lon_nano long")
+    indexed = with_grid_cells(pts)
+    assert sorted(map(tuple, pip_multipolygon(indexed, norm).collect())) \
+        == sorted(map(tuple, pip_multipolygon(indexed, rings).collect()))
