@@ -126,3 +126,33 @@ class Engine:
     def pip_join(self, polygons: DataFrame, **kwargs) -> DataFrame:
         from .operators.pip import pip_join
         return pip_join(self.indexed_nodes(), polygons, **kwargs)
+
+    # -- geometry layer -----------------------------------------------------
+    def way_stats(self, **kwargs) -> DataFrame:
+        """Per-way vertex/missing counts, haversine length, bbox
+        (``operators.parity.way_geometry_stats``)."""
+        from .operators.parity import way_geometry_stats
+        return way_geometry_stats(self.elements(**kwargs))
+
+    def multipolygons(self, *, normalize: bool = False,
+                      **kwargs) -> DataFrame:
+        """Assembled outer/inner rings of every ``type=multipolygon``
+        relation; ``normalize`` enforces outer-CCW/inner-CW winding."""
+        from .operators.multipolygon import (
+            multipolygon_rings,
+            normalize_winding,
+        )
+        rings = multipolygon_rings(self.elements(**kwargs))
+        return normalize_winding(rings) if normalize else rings
+
+    def pip_multipolygon(self, *, rings: DataFrame | None = None,
+                         res: int | None = None, **kwargs) -> DataFrame:
+        """This file's nodes against assembled multipolygons (holes
+        subtracted): (id, relation_id)."""
+        from .functions.grid import GRID_RES_FINE
+        from .operators.multipolygon import pip_multipolygon
+        res = res or GRID_RES_FINE
+        if rings is None:
+            rings = self.multipolygons()
+        return pip_multipolygon(self.indexed_nodes(res=res), rings,
+                                res=res, **kwargs)

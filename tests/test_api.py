@@ -21,3 +21,11 @@ def test_engine_facade(spark):
     assert ways_f.count() == 1 and deps.count() == 3
     idx = eng.indexed_nodes(broadcast_media=True)
     assert idx.filter("cell IS NOT NULL").count() == 3
+    # geometry layer: way 107 = 4-ref closed triangle, ~1031.66 m
+    ws = eng.way_stats().collect()
+    assert len(ws) == 1 and ws[0]["way_id"] == 107
+    assert ws[0]["n_points"] == 4 and ws[0]["n_missing"] == 0
+    assert 500 < ws[0]["length_m"] < 2000
+    # the fixture relation is not type=multipolygon → no rings
+    assert eng.multipolygons().count() == 0
+    assert eng.pip_multipolygon().count() == 0
