@@ -145,6 +145,31 @@ class Engine:
         rings = multipolygon_rings(self.elements(**kwargs))
         return normalize_winding(rings) if normalize else rings
 
+    def vector_tiles(self, *, zoom: int = 12, kind: str = "line",
+                     extent: int = 4096,
+                     simplify_eps_nano: float | None = None,
+                     **kwargs) -> DataFrame:
+        """Cut this file's geometry into per-tile quantized features
+        (``operators.tileclip.build_vector_tiles``): ``kind="line"``
+        clips way polylines, ``kind="ring"`` clips assembled
+        multipolygon outer/inner rings (winding-normalized). One row
+        per (zoom, tx, ty) with the tile's feature list."""
+        from .operators.multipolygon import rings_as_polygons
+        from .operators.tileclip import build_vector_tiles, way_polylines
+        if kind == "line":
+            geoms = way_polylines(self.elements(**kwargs))
+            id_col = "way_id"
+        elif kind == "ring":
+            rings = self.multipolygons(normalize=True, **kwargs)
+            geoms = (rings_as_polygons(rings, "outer")
+                     .unionByName(rings_as_polygons(rings, "inner")))
+            id_col = "poly_id"
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+        return build_vector_tiles(geoms, zoom=zoom, kind=kind,
+                                  id_col=id_col, extent=extent,
+                                  simplify_eps_nano=simplify_eps_nano)
+
     def pip_multipolygon(self, *, rings: DataFrame | None = None,
                          res: int | None = None, **kwargs) -> DataFrame:
         """This file's nodes against assembled multipolygons (holes

@@ -1,0 +1,407 @@
+"""Vector-tile cutting: clip geometry to slippy-tile rectangles and
+quantize to tile-local integer coordinates.
+
+The tiling half of the north_star's "raster-tile↔vector assignment"
+beyond centroid assignment (``functions.tiles``): a real tile pipeline
+(the public Mapbox-Vector-Tile / tippecanoe shape) cuts every geometry
+at tile boundaries so each tile ships only the vertices it draws, then
+quantizes vertices to an integer extent (MVT's 4096). The reference
+decodes elements and stops (`/root/reference/src/elements.rs`); this is
+the downstream operator every consumer builds next.
+
+Spark shape, designed for 10¹²-element scale:
+
+- covering tiles from the geometry bbox — pure JVM math (the same
+  published slippy formulas as ``functions.tiles``), one
+  ``explode(sequence × sequence)``: a geometry spanning T tiles emits T
+  rows, linear in OUTPUT size, no shuffle;
+- clipping is row-local per (geometry, tile) in an Arrow-batched
+  ``pandas_udf``: Sutherland–Hodgman for rings, Liang–Barsky for
+  polylines — both vectorized across VERTICES in numpy (boundary-at-a-
+  time half-plane passes / parametric segment clips), no Python
+  per-vertex loop;
+- quantization is pure Catalyst (one flat ``transform`` over the
+  clipped array — trig built-ins, no UDF), so a quantize-only pipeline
+  never leaves the JVM;
+- the only shuffle in ``build_vector_tiles`` is the final
+  ``groupBy(zoom, tx, ty)`` that collects a tile's features — keyed by
+  tile, the partitioning a tile server wants at rest; megacity tiles
+  are the usual skew and AQE handles the build-side split (same policy
+  as the PIP join; pass ``salt_n`` there for the extreme case).
+
+Tile rectangles are axis-aligned in (lat, lon): a slippy tile's north/
+south edges are constant-latitude lines, east/west constant-longitude,
+so clipping in nano-degree space against the latitude/longitude bounds
+is exact — no projection round-trip. Intersection vertices are rounded
+to the nearest nano-degree (≤ 0.5 nano ≈ 0.06 µm error) so clipped
+output keeps the engine's standard geometry schema
+(``array<struct<lat_nano:bigint,lon_nano:bigint>>``) and feeds
+``simplify`` / shoelace / PIP unchanged.
+
+Determinism: pure row-local float64 arithmetic with a fixed boundary
+order — identical output at any parallelism or cluster size.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tiles import MAX_MERC_LAT
+
+GEOM_T = "array<struct<lat_nano:bigint,lon_nano:bigint>>"
+PARTS_T = f"array<{GEOM_T}>"
+B = 1_000_000_000
+
+
+# -- tile bounds (published slippy formulas, float nano-degrees) ------------
+
+def tile_lon_w(x: int, zoom: int) -> float:
+    return (x / (1 << zoom) * 360.0 - 180.0) * B
+
+
+def tile_lat_n(y: int, zoom: int) -> float:
+    merc = math.pi * (1.0 - 2.0 * y / (1 << zoom))
+    return math.degrees(math.atan(math.sinh(merc))) * B
+
+
+def tile_bounds_nano(zoom: int, x: int, y: int
+                     ) -> tuple[float, float, float, float]:
+    """(lat_s, lat_n, lon_w, lon_e) of tile z/x/y in float nano-degrees."""
+    return (tile_lat_n(y + 1, zoom), tile_lat_n(y, zoom),
+            tile_lon_w(x, zoom), tile_lon_w(x + 1, zoom))
+
+
+# -- numpy clip cores (directly unit-tested) --------------------------------
+
+def _clip_ring_np(pts: np.ndarray, lat_s: float, lat_n: float,
+                  lon_w: float, lon_e: float) -> np.ndarray | None:
+    """Sutherland–Hodgman: clip a CLOSED ring (open form, (n,2) float64
+    [lat, lon], first != last) to the axis-aligned rectangle. Returns
+    the clipped open ring or None when the intersection is empty /
+    degenerate (< 3 vertices). Vertex passes are numpy-vectorized per
+    boundary; convex-clipper caveat: a concave ring that exits and
+    re-enters across one boundary comes back joined along that boundary
+    (zero-width bridges) — standard SH behaviour, harmless for
+    rendering and area (bridge area is 0)."""
+    v = pts
+    # (coord index, bound, keep >= ?) — fixed order for determinism
+    for axis, bound, keep_ge in ((0, lat_s, True), (0, lat_n, False),
+                                 (1, lon_w, True), (1, lon_e, False)):
+        n = len(v)
+        if n < 3:
+            return None
+        c = v[:, axis]
+        inside = (c >= bound) if keep_ge else (c <= bound)
+        nxt = np.roll(np.arange(n), -1)
+        ins_q = inside[nxt]
+        crossing = inside != ins_q
+        if not crossing.any() and inside.all():
+            continue                       # fully inside this half-plane
+        # intersection of crossing edges with the boundary line
+        p, q = v, v[nxt]
+        denom = q[:, axis] - c
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(denom != 0.0, (bound - c) / denom, 0.0)
+        inter = p + t[:, None] * (q - p)
+        inter[:, axis] = bound             # exact on-boundary coordinate
+        counts = crossing.astype(np.int64) + ins_q.astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        out = np.empty((int(counts.sum()), 2), dtype=np.float64)
+        out[offs[crossing]] = inter[crossing]
+        out[(offs + crossing)[ins_q]] = q[ins_q]
+        v = out
+    if len(v) < 3:
+        return None
+    return v
+
+
+def _clip_line_np(pts: np.ndarray, lat_s: float, lat_n: float,
+                  lon_w: float, lon_e: float) -> list[np.ndarray]:
+    """Liang–Barsky: clip an open polyline ((n,2) float64 [lat, lon]) to
+    the rectangle → list of connected parts (each (m,2), m >= 2). All
+    segments clip in one vectorized pass; parts split where a segment
+    is rejected or the clip cut a connection."""
+    if len(pts) < 2:
+        return []
+    p, q = pts[:-1], pts[1:]
+    d = q - p
+    t0 = np.zeros(len(p))
+    t1 = np.ones(len(p))
+    ok = np.ones(len(p), dtype=bool)
+    for axis, bound, low in ((0, lat_s, True), (0, lat_n, False),
+                             (1, lon_w, True), (1, lon_e, False)):
+        pi = -d[:, axis] if low else d[:, axis]
+        qi = (p[:, axis] - bound) if low else (bound - p[:, axis])
+        par = pi == 0.0
+        ok &= ~(par & (qi < 0.0))          # parallel and outside
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(par, 0.0, qi / pi)
+        t0 = np.where(~par & (pi < 0.0), np.maximum(t0, r), t0)
+        t1 = np.where(~par & (pi > 0.0), np.minimum(t1, r), t1)
+    ok &= t0 <= t1
+    if not ok.any():
+        return []
+    a = p + t0[:, None] * d                # clipped segment starts
+    b = p + t1[:, None] * d                # clipped segment ends
+    idx = np.flatnonzero(ok)
+    # a new part starts where the previous segment was dropped or the
+    # clip moved an endpoint off the shared vertex
+    brk = np.ones(len(idx), dtype=bool)
+    if len(idx) > 1:
+        prev = idx[:-1]
+        cur = idx[1:]
+        brk[1:] = (cur != prev + 1) | (t1[prev] < 1.0) | (t0[cur] > 0.0)
+    parts = []
+    for grp in np.split(idx, np.flatnonzero(brk)[1:]):
+        part = np.concatenate([a[grp[:1]], b[grp]])
+        if len(part) >= 2 and not np.array_equal(part[0], part[-1]) \
+                or len(part) > 2:
+            parts.append(part)
+    return parts
+
+
+# -- Spark operators --------------------------------------------------------
+
+def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
+                   keep_bbox: bool = False) -> DataFrame:
+    """Explode each geometry to its bbox-covering tiles: adds
+    (zoom, tx, ty). Pure JVM: bbox via flat min/max aggregates over the
+    array, corner→tile via the slippy formulas, then
+    ``explode(sequence)`` twice — output linear in tiles touched.
+    ``keep_bbox`` retains the ``_bb`` struct (mnla, mxla, mnlo, mxlo)
+    for downstream fully-inside routing."""
+    merc = ("(1.0d - asinh(tan(radians("
+            "least(greatest({lat}, {mn}), {mx})))) / pi()) / 2.0d * {n}"
+            )
+    n = 1 << zoom
+
+    def tx_of(lon_expr: str) -> str:
+        return (f"least(greatest(CAST(floor(({lon_expr} / 1e9d + 180.0d)"
+                f" / 360.0d * {n}) AS INT), 0), {n - 1})")
+
+    def ty_of(lat_expr: str) -> str:
+        m = merc.format(lat=f"{lat_expr} / 1e9d",
+                        mn=-MAX_MERC_LAT, mx=MAX_MERC_LAT, n=n)
+        return f"least(greatest(CAST(floor({m}) AS INT), 0), {n - 1})"
+
+    g = geom_col
+    agg = (f"aggregate({g}, struct(CAST(9223372036854775807 AS BIGINT) "
+           f"AS mnla, CAST(-9223372036854775808 AS BIGINT) AS mxla, "
+           f"CAST(9223372036854775807 AS BIGINT) AS mnlo, "
+           f"CAST(-9223372036854775808 AS BIGINT) AS mxlo), "
+           f"(acc, v) -> struct(least(acc.mnla, v.lat_nano), "
+           f"greatest(acc.mxla, v.lat_nano), least(acc.mnlo, v.lon_nano), "
+           f"greatest(acc.mxlo, v.lon_nano)))")
+    out = (df.filter(F.expr(f"size({g}) > 0"))
+           .withColumn("_bb", F.expr(agg))
+           .withColumn("zoom", F.lit(zoom))
+           .withColumn("tx", F.explode(F.expr(
+               f"sequence({tx_of('_bb.mnlo')}, {tx_of('_bb.mxlo')})")))
+           # ty grows SOUTH: max lat → min ty
+           .withColumn("ty", F.explode(F.expr(
+               f"sequence({ty_of('_bb.mxla')}, {ty_of('_bb.mnla')})")))
+           )
+    return out if keep_bbox else out.drop("_bb")
+
+
+_CLIP_OUT_T = "struct<lats:array<array<double>>,lons:array<array<double>>>"
+
+
+def _clip_udf(zoom: int, kind: str):
+    """pandas_udf (lats, lons, tx, ty) → clipped parts as parallel
+    nested double arrays (rings yield 0/1 parts, lines 0+). Arrow hands
+    each ``array<double>`` cell over as a numpy array, so the only
+    Python-level loop is per GEOMETRY — vertex work is numpy in
+    :func:`_clip_ring_np` / :func:`_clip_line_np` and C-level
+    ``tolist`` on the way out. Tile bounds derive from (tx, ty)
+    row-locally — the udf is stateless."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_CLIP_OUT_T)
+    def _udf(lats: pd.Series, lons: pd.Series, tx: pd.Series,
+             ty: pd.Series) -> pd.DataFrame:
+        o_lat, o_lon = [], []
+        for la, lo, x, y in zip(lats, lons, tx, ty):
+            if la is None or len(la) == 0:
+                o_lat.append([])
+                o_lon.append([])
+                continue
+            s, n_, w, e = tile_bounds_nano(zoom, int(x), int(y))
+            pts = np.column_stack([np.asarray(la, dtype=np.float64),
+                                   np.asarray(lo, dtype=np.float64)])
+            if kind == "ring":
+                # open form for SH (rings arrive closed)
+                if len(pts) > 1 and (pts[0] == pts[-1]).all():
+                    pts = pts[:-1]
+                v = _clip_ring_np(pts, s, n_, w, e)
+                if v is None:
+                    o_lat.append([])
+                    o_lon.append([])
+                else:
+                    v = np.concatenate([v, v[:1]])   # re-close
+                    o_lat.append([v[:, 0].tolist()])
+                    o_lon.append([v[:, 1].tolist()])
+            else:
+                parts = _clip_line_np(pts, s, n_, w, e)
+                o_lat.append([p[:, 0].tolist() for p in parts])
+                o_lon.append([p[:, 1].tolist() for p in parts])
+        return pd.DataFrame({"lats": pd.Series(o_lat),
+                             "lons": pd.Series(o_lon)})
+    return _udf
+
+
+def _tile_bounds_cols(zoom: int) -> tuple[str, str, str, str]:
+    """JVM SQL expressions for tile (lat_s, lat_n, lon_w, lon_e) in
+    float nano-degrees from the (tx, ty) columns — the same published
+    formulas as :func:`tile_bounds_nano`."""
+    n = 1 << zoom
+
+    def lat(ty: str) -> str:
+        return f"degrees(atan(sinh(pi() * (1.0d - 2.0d * {ty} / {n})))) * 1e9d"
+
+    return (lat("(ty + 1)"), lat("ty"),
+            f"(tx / {n}.0d * 360.0d - 180.0d) * 1e9d",
+            f"((tx + 1) / {n}.0d * 360.0d - 180.0d) * 1e9d")
+
+
+def clip_to_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
+                  kind: str = "ring") -> DataFrame:
+    """Cover + clip: one row per non-empty (geometry, tile, part) with
+    ``geom_col`` replaced by the clipped part — rings stay closed
+    rings, lines become connected sub-polylines. ``kind`` is "ring"
+    (Sutherland–Hodgman) or "line" (Liang–Barsky).
+
+    Two row routes, unioned (both narrow — no shuffle): geometries
+    whose bbox sits FULLY INSIDE the tile pass through on the JVM with
+    zero Python work — at high zooms that is MOST features (typical OSM
+    ways span one tile) — and only boundary-crossing (geometry, tile)
+    pairs reach the Arrow-batched clip udf. Clipped vertices rebuild
+    JVM-side (zip_with + rint) into the standard geometry schema;
+    passthrough rows keep their original exact integers (a float
+    round-trip would be identity anyway: nano magnitudes < 2⁵³)."""
+    if kind not in ("ring", "line"):
+        raise ValueError(f"unknown kind {kind!r}")
+    covered = covering_tiles(df, zoom=zoom, geom_col=geom_col,
+                             keep_bbox=True)
+    lat_s, lat_n, lon_w, lon_e = _tile_bounds_cols(zoom)
+    inside = F.expr(f"_bb.mnla >= {lat_s} AND _bb.mxla <= {lat_n} AND "
+                    f"_bb.mnlo >= {lon_w} AND _bb.mxlo <= {lon_e}")
+    passthrough = (covered.filter(inside)
+                   .withColumn("part", F.lit(0))
+                   .drop("_bb"))
+    crossing = covered.filter(~inside).drop("_bb")
+    clipped = (crossing
+               .withColumn("_parts", _clip_udf(zoom, kind)(
+                   F.expr(f"transform({geom_col}, "
+                          f"v -> CAST(v.lat_nano AS DOUBLE))"),
+                   F.expr(f"transform({geom_col}, "
+                          f"v -> CAST(v.lon_nano AS DOUBLE))"),
+                   "tx", "ty"))
+               .drop(geom_col)
+               .select("*", F.posexplode(F.expr(
+                   "zip_with(_parts.lats, _parts.lons, (pa, po) -> "
+                   "zip_with(pa, po, (a, o) -> struct("
+                   "CAST(rint(a) AS BIGINT) AS lat_nano, "
+                   "CAST(rint(o) AS BIGINT) AS lon_nano)))"))
+                   .alias("part", geom_col))
+               .drop("_parts"))
+    return passthrough.unionByName(clipped)
+
+
+def quantize_sql(geom_col: str, *, zoom: int, tx_col: str = "tx",
+                 ty_col: str = "ty", extent: int = 4096) -> str:
+    """SQL rendering of MVT-style quantization: tile-local integer
+    pixels, px east / py SOUTH (the MVT convention), computed through
+    the web-mercator tile projection. One flat ``transform`` — pure
+    Catalyst trig, no UDF."""
+    n = 1 << zoom
+    px = (f"CAST(round((v.lon_nano / 1e9d + 180.0d) / 360.0d * {n} "
+          f"* {extent} - {tx_col} * {extent}) AS INT)")
+    merc = (f"(1.0d - asinh(tan(radians(least(greatest("
+            f"v.lat_nano / 1e9d, {-MAX_MERC_LAT}), {MAX_MERC_LAT})))) "
+            f"/ pi()) / 2.0d * {n}")
+    py = f"CAST(round({merc} * {extent} - {ty_col} * {extent}) AS INT)"
+    return f"transform({geom_col}, v -> struct({px} AS px, {py} AS py))"
+
+
+def dedup_consecutive_sql(col: str) -> str:
+    """Drop consecutive duplicate pixels from a MATERIALIZED quantized
+    column (the standard post-quantization dedup). ``col`` must be a
+    plain column name — index lookups into it are O(1) references; an
+    inlined expression would recompute the whole transform per
+    element."""
+    return (f"filter({col}, (p, i) -> i = 0 OR NOT "
+            f"(p.px = {col}[i - 1].px AND p.py = {col}[i - 1].py))")
+
+
+def quantize_to_tile(df: DataFrame, *, zoom: int, geom_col: str = "ring",
+                     extent: int = 4096, out_col: str = "pixels"
+                     ) -> DataFrame:
+    """Adds ``out_col``: the geometry quantized to tile-local
+    (px, py) integers at ``extent``, consecutive duplicates collapsed
+    (two steps so the dedup references the materialized array instead
+    of recomputing the trig per element)."""
+    return (df
+            .withColumn("_q", F.expr(
+                quantize_sql(geom_col, zoom=zoom, extent=extent)))
+            .withColumn(out_col, F.expr(dedup_consecutive_sql("_q")))
+            .drop("_q"))
+
+
+def way_polylines(elements: DataFrame, *, broadcast_nodes: bool = False,
+                  geom_col: str = "ring") -> DataFrame:
+    """(way_id, <geom_col>): each way's resolved node chain in the
+    engine's standard geometry schema, ready for
+    :func:`clip_to_tiles` / ``simplify`` / shoelace. Ways containing
+    any unresolved ref are EXCLUDED (same loud contract as
+    ``multipolygon_rings`` — missing geometry is quarantined, not
+    guessed); audit with ``way_geometry_stats().filter(n_missing >
+    0)``. One groupBy over the resolution join, sorted row-locally by
+    seq."""
+    from .parity import resolve_way_geometries
+
+    resolved = resolve_way_geometries(elements,
+                                      broadcast_nodes=broadcast_nodes)
+    return (resolved
+            .groupBy("way_id")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                "seq", "lat_nano", "lon_nano"))).alias("vs"))
+            .filter(F.expr("size(filter(vs, v -> v.lat_nano IS NULL)) = 0"))
+            .select("way_id",
+                    F.expr("transform(vs, v -> struct(v.lat_nano AS "
+                           "lat_nano, v.lon_nano AS lon_nano))")
+                    .alias(geom_col)))
+
+
+def build_vector_tiles(df: DataFrame, *, zoom: int,
+                       geom_col: str = "ring", kind: str = "ring",
+                       id_col: str = "feature_id", extent: int = 4096,
+                       simplify_eps_nano: float | None = None
+                       ) -> DataFrame:
+    """The full tile cut: [simplify →] cover → clip → quantize →
+    collect per tile. Returns one row per (zoom, tx, ty) with
+    ``features`` = array of (feature_id, part, pixels), sorted for
+    determinism. The groupBy on the tile key is the ONLY shuffle — the
+    layout a tile store serves directly; write it partitioned by
+    (zoom, tx) for pruned tile reads."""
+    from .simplify import simplify_geometry
+
+    if simplify_eps_nano:
+        df = df.withColumn(geom_col,
+                           simplify_geometry(geom_col, simplify_eps_nano))
+    clipped = clip_to_tiles(df, zoom=zoom, geom_col=geom_col, kind=kind)
+    quant = quantize_to_tile(clipped, zoom=zoom, geom_col=geom_col,
+                             extent=extent)
+    return (quant
+            .filter(F.expr("size(pixels) >= 2"))
+            .groupBy("zoom", "tx", "ty")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                F.col(id_col).cast("string").alias("feature_id"),
+                F.col("part"),
+                F.col("pixels")))).alias("features")))
