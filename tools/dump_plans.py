@@ -319,6 +319,23 @@ def main():
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    from osmpbf_spark.operators.tileclip import GEOM_T, build_vector_tiles
+    B9 = 1_000_000_000
+    ring = [{"lat_nano": a * B9, "lon_nano": b * B9} for a, b in
+            [(10, 10), (10, 40), (40, 40), (40, 10), (10, 10)]]
+    geoms = spark.createDataFrame([("r1", ring)],
+                                  f"feature_id string, ring {GEOM_T}")
+    vt = build_vector_tiles(geoms, zoom=6)
+    vt.collect()
+    sections.append((
+        "Vector-tile cut (cover → clip → quantize → per-tile build)",
+        "bbox cover and MVT quantization are codegen'd JVM expressions; "
+        "fully-inside geometries route around Python entirely (the "
+        "Union's first leg); only boundary-crossing pairs hit the "
+        "ArrowEvalPython clip; the single Exchange is the final "
+        "groupBy(zoom, tx, ty) — the at-rest tile-store partitioning.",
+        fmt_exec(vt, max_lines=44)))
+
     out = ["# PLANS — physical plans of the flagship operators",
            "",
            "Regenerate with `python tools/dump_plans.py`. These are the "

@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--rings", type=int, default=200_000)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--skip-area-check", action="store_true",
+                    help="skip the clip-only area-conservation pass "
+                         "(repeat scaling trials; run it at least once "
+                         "per configuration)")
     args = ap.parse_args()
 
     spark = get_spark("tileclip-bench", master=f"local[{args.cpus}]",
@@ -125,15 +129,17 @@ def main():
 
     # area conservation over the clipped parts (separate pass: the
     # shoelace needs the nano rings, not the quantized pixels)
-    t0 = time.time()
-    clipped = clip_to_tiles(rings, zoom=ZOOM, kind="ring")
-    got_area = (clipped
-                .select((F.expr(f"abs({ring_area2_sql('ring')})") / 2)
-                        .alias("a2"))
-                .agg(F.sum("a2")).collect()[0][0])
-    t_clip = time.time() - t0
-    rel = abs(float(got_area) - float(want_area)) / float(want_area)
-    assert rel < 1e-6, (got_area, want_area, rel)
+    t_clip, rel = None, None
+    if not args.skip_area_check:
+        t0 = time.time()
+        clipped = clip_to_tiles(rings, zoom=ZOOM, kind="ring")
+        got_area = (clipped
+                    .select((F.expr(f"abs({ring_area2_sql('ring')})") / 2)
+                            .alias("a2"))
+                    .agg(F.sum("a2")).collect()[0][0])
+        t_clip = round(time.time() - t0, 2)
+        rel = abs(float(got_area) - float(want_area)) / float(want_area)
+        assert rel < 1e-6, (got_area, want_area, rel)
 
     t0 = time.time()
     vtl = build_vector_tiles(lines, zoom=ZOOM, kind="line",
@@ -151,7 +157,7 @@ def main():
         "ring_vertices_per_sec": round(n_r * 33 / t_ring),
         "tiles": stats["tiles"], "features": stats["features"],
         "out_pixels": stats["pixels"],
-        "clip_area_check_sec": round(t_clip, 2),
+        "clip_area_check_sec": t_clip,
         "area_rel_err": rel,
         "cut_lines_sec": round(t_line, 2),
         "lines_per_sec": round(n_l / t_line),
