@@ -405,3 +405,34 @@ def build_vector_tiles(df: DataFrame, *, zoom: int,
                 F.col(id_col).cast("string").alias("feature_id"),
                 F.col("part"),
                 F.col("pixels")))).alias("features")))
+
+
+def pixel_eps_nano(zoom: int, extent: int = 4096) -> float:
+    """One quantized pixel in nano-degrees of longitude at ``zoom`` —
+    the standard per-zoom simplification tolerance (geometry detail
+    below one output pixel is invisible by construction)."""
+    return 360.0e9 / (1 << zoom) / extent
+
+
+def build_tile_pyramid(df: DataFrame, *, zooms: list[int],
+                       geom_col: str = "ring", kind: str = "ring",
+                       id_col: str = "feature_id", extent: int = 4096,
+                       simplify: bool = True) -> DataFrame:
+    """Cut the same geometry at every zoom in ``zooms`` (the tile
+    pyramid a renderer serves) — a union of per-zoom
+    :func:`build_vector_tiles`, each simplified to its own one-pixel
+    tolerance (:func:`pixel_eps_nano`) when ``simplify`` is set, so
+    coarse zooms carry few vertices. Zooms run as independent union
+    legs over the SAME input scan; write the result with
+    ``sources.store.write_tile_store`` for pruned (zoom, tx, ty)
+    serving."""
+    out = None
+    for z in sorted(zooms):
+        eps = pixel_eps_nano(z, extent) if simplify else None
+        vt = build_vector_tiles(df, zoom=z, geom_col=geom_col, kind=kind,
+                                id_col=id_col, extent=extent,
+                                simplify_eps_nano=eps)
+        out = vt if out is None else out.unionByName(vt)
+    if out is None:
+        raise ValueError("zooms must be non-empty")
+    return out

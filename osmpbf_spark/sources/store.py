@@ -1005,3 +1005,44 @@ def compact_hash_store(spark: SparkSession, path: str) -> dict:
     os.rename(tmp, hp)
     shutil.rmtree(old)
     return {"rows_before": n_before, "rows_after": n_after}
+
+
+# -- tile store (vector-tile pyramid at rest) --------------------------------
+
+def write_tile_store(tiles: DataFrame, path: str, *,
+                     files_per_zoom: int | None = None) -> None:
+    """Write a tile pyramid (``operators.tileclip.build_tile_pyramid``
+    output: zoom, tx, ty, features) partitioned by zoom with files
+    range-sorted on (tx, ty): a viewport request prunes to one zoom
+    DIRECTORY (PartitionFilters) and then to the files whose parquet
+    footer (tx, ty) min/max overlap the view (PushedFilters) — the same
+    two-level zone-map recipe as :func:`write_elements`. Hash-
+    partitioning on tx would interleave every file with every tx range
+    and defeat the footer pruning; at production scale this layout is
+    an Iceberg table PARTITIONED BY (zoom) with a (tx, ty) sort order.
+
+    ``files_per_zoom`` bounds file count per zoom level (default: the
+    session shuffle parallelism across all zooms)."""
+    df = tiles
+    if files_per_zoom:
+        df = df.repartitionByRange(files_per_zoom, "zoom", "tx", "ty")
+    (df.sortWithinPartitions("zoom", "tx", "ty")
+       .write.mode("overwrite")
+       .partitionBy("zoom")
+       .parquet(path))
+
+
+def read_tile_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def tiles_in_view(store: DataFrame, *, zoom: int,
+                  tx0: int, tx1: int, ty0: int, ty1: int) -> DataFrame:
+    """The tile-server request shape: every stored tile of one zoom
+    intersecting the [tx0, tx1]×[ty0, ty1] viewport — served by zoom
+    partition pruning + (tx, ty) footer stats (audit with
+    :func:`scan_is_pruned`; pinned in tests/test_store_plans.py)."""
+    return store.filter(
+        (F.col("zoom") == zoom)
+        & F.col("tx").between(tx0, tx1)
+        & F.col("ty").between(ty0, ty1))

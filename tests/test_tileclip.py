@@ -254,6 +254,43 @@ def test_build_vector_tiles_with_simplify(spark):
     assert n_simp < n_plain
 
 
+def test_tile_pyramid_and_store_roundtrip(spark, square_df, tmp_path):
+    from osmpbf_spark.operators.tileclip import (
+        build_tile_pyramid,
+        pixel_eps_nano,
+    )
+    from osmpbf_spark.sources.store import (
+        read_tile_store,
+        scan_is_pruned,
+        tiles_in_view,
+        write_tile_store,
+    )
+    pyr = build_tile_pyramid(square_df, zooms=[2, 4, 6])
+    # every requested zoom present; coarser zoom → fewer-or-equal tiles
+    by_zoom = {r["zoom"]: r["n"] for r in
+               pyr.groupBy("zoom").agg(F.count("*").alias("n")).collect()}
+    assert set(by_zoom) == {2, 4, 6}
+    assert by_zoom[2] <= by_zoom[4] <= by_zoom[6]
+    # per-zoom leg == direct single-zoom build at the same tolerance
+    direct = build_vector_tiles(
+        square_df, zoom=4,
+        simplify_eps_nano=pixel_eps_nano(4)).orderBy("tx", "ty").collect()
+    assert pyr.filter("zoom = 4").orderBy("tx", "ty").collect() == direct
+    # store roundtrip + the two-level pruning contract
+    path = str(tmp_path / "tiles")
+    write_tile_store(pyr, path, files_per_zoom=4)
+    store = read_tile_store(spark, path)
+    assert store.count() == pyr.count()
+    one = tiles_in_view(store, zoom=4, tx0=direct[0]["tx"],
+                        tx1=direct[0]["tx"], ty0=direct[0]["ty"],
+                        ty1=direct[0]["ty"])
+    info = scan_is_pruned(one)
+    assert info["partition_filters"], info["plan"][:2000]
+    assert info["pushed_filters"], info["plan"][:2000]
+    got = one.collect()
+    assert len(got) == 1 and got[0]["features"] == direct[0]["features"]
+
+
 def test_empty_and_null_geometries_skipped(spark):
     df = spark.createDataFrame([("a", []), ("b", None)],
                                f"feature_id string, ring {GEOM_T}")
