@@ -145,30 +145,45 @@ class Engine:
         rings = multipolygon_rings(self.elements(**kwargs))
         return normalize_winding(rings) if normalize else rings
 
+    def _tile_geoms(self, kind: str, **kwargs):
+        """Geometry source for the tile cut: way polylines
+        (``kind="line"``) or winding-normalized multipolygon rings
+        (``kind="ring"``) → (geoms, id_col)."""
+        from .operators.multipolygon import rings_as_polygons
+        from .operators.tileclip import way_polylines
+        if kind == "line":
+            return way_polylines(self.elements(**kwargs)), "way_id"
+        if kind == "ring":
+            rings = self.multipolygons(normalize=True, **kwargs)
+            return (rings_as_polygons(rings, "outer")
+                    .unionByName(rings_as_polygons(rings, "inner")),
+                    "poly_id")
+        raise ValueError(f"unknown kind {kind!r}")
+
     def vector_tiles(self, *, zoom: int = 12, kind: str = "line",
                      extent: int = 4096,
                      simplify_eps_nano: float | None = None,
                      **kwargs) -> DataFrame:
         """Cut this file's geometry into per-tile quantized features
-        (``operators.tileclip.build_vector_tiles``): ``kind="line"``
-        clips way polylines, ``kind="ring"`` clips assembled
-        multipolygon outer/inner rings (winding-normalized). One row
-        per (zoom, tx, ty) with the tile's feature list."""
-        from .operators.multipolygon import rings_as_polygons
-        from .operators.tileclip import build_vector_tiles, way_polylines
-        if kind == "line":
-            geoms = way_polylines(self.elements(**kwargs))
-            id_col = "way_id"
-        elif kind == "ring":
-            rings = self.multipolygons(normalize=True, **kwargs)
-            geoms = (rings_as_polygons(rings, "outer")
-                     .unionByName(rings_as_polygons(rings, "inner")))
-            id_col = "poly_id"
-        else:
-            raise ValueError(f"unknown kind {kind!r}")
+        (``operators.tileclip.build_vector_tiles``). One row per
+        (zoom, tx, ty) with the tile's feature list."""
+        from .operators.tileclip import build_vector_tiles
+        geoms, id_col = self._tile_geoms(kind, **kwargs)
         return build_vector_tiles(geoms, zoom=zoom, kind=kind,
                                   id_col=id_col, extent=extent,
                                   simplify_eps_nano=simplify_eps_nano)
+
+    def tile_pyramid(self, *, zooms: list[int], kind: str = "line",
+                     extent: int = 4096, **kwargs) -> DataFrame:
+        """Cut this file's geometry at every zoom in ``zooms``, each
+        level simplified to its one-pixel tolerance
+        (``operators.tileclip.build_tile_pyramid``); persist with
+        ``sources.store.write_tile_store`` for pruned viewport
+        serving."""
+        from .operators.tileclip import build_tile_pyramid
+        geoms, id_col = self._tile_geoms(kind, **kwargs)
+        return build_tile_pyramid(geoms, zooms=zooms, kind=kind,
+                                  id_col=id_col, extent=extent)
 
     def pip_multipolygon(self, *, rings: DataFrame | None = None,
                          res: int | None = None, **kwargs) -> DataFrame:

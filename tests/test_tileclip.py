@@ -313,6 +313,9 @@ def test_engine_vector_tiles_facade(spark):
     feats = [f for r in tiles for f in r["features"]]
     assert {f["feature_id"] for f in feats} == {"107"}
     assert all(len(f["pixels"]) >= 2 for f in feats)
+    pyr = eng.tile_pyramid(zooms=[10, 14], kind="line")
+    zs = {r["zoom"] for r in pyr.select("zoom").distinct().collect()}
+    assert zs == {10, 14}
     with pytest.raises(ValueError):
         eng.vector_tiles(kind="raster")
 
