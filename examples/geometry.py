@@ -81,6 +81,13 @@ def main():
     print("== nodes inside the multipolygon (holes subtracted) ==")
     eng.pip_multipolygon(rings=rings).orderBy("id").show(10)
 
+    print("== vector-tile cut: the lake rings at zooms 4 and 6 ==")
+    pyr = eng.tile_pyramid(zooms=[4, 6], kind="ring")
+    (pyr.select("zoom", "tx", "ty", F.size("features").alias("n_feats"),
+                F.expr("aggregate(features, 0, (a, f) -> "
+                       "a + size(f.pixels))").alias("n_pixels"))
+     .orderBy("zoom", "tx", "ty").show(20))
+
 
 if __name__ == "__main__":
     main()
