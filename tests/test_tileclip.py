@@ -126,6 +126,44 @@ def test_property_partition_conserves_area_and_length():
         assert got == pytest.approx(want, rel=1e-9)
 
 
+def test_batch_clip_equals_per_geometry_reference():
+    """_clip_rings_batch must reproduce _clip_ring_np EXACTLY (same
+    vertices, same order — including the kept rotation of rings a
+    half-plane pass doesn't touch) for every ring in a mixed batch,
+    independent of batch composition."""
+    from osmpbf_spark.operators.tileclip import _clip_rings_batch
+    rng = random.Random(7)
+    rings, bounds = [], []
+    for _ in range(60):
+        poly = _rand_convex(rng, n=rng.randrange(3, 12))
+        if len(poly) < 3:
+            continue
+        rings.append(poly)
+        # tiles of varying overlap: some enclosing, some disjoint
+        cx, cy = rng.uniform(-120, 120), rng.uniform(-120, 120)
+        half = rng.uniform(5, 200)
+        bounds.append((cx - half, cx + half, cy - half, cy + half))
+    flat = np.concatenate(rings)
+    seg_ids = np.repeat(np.arange(len(rings)), [len(r) for r in rings])
+    out, seg_n = _clip_rings_batch(flat, seg_ids, len(rings),
+                                   np.asarray(bounds))
+    starts = np.concatenate(([0], np.cumsum(seg_n)[:-1]))
+    for j, (poly, b) in enumerate(zip(rings, bounds)):
+        ref = _clip_ring_np(poly, *b)
+        got = out[starts[j]:starts[j] + seg_n[j]]
+        if ref is None:
+            assert seg_n[j] < 3, (j, got)
+        else:
+            assert got.tolist() == ref.tolist(), j
+    # batch-composition independence: each ring alone gives the same
+    for j in (0, len(rings) // 2, len(rings) - 1):
+        solo, solo_n = _clip_rings_batch(
+            rings[j], np.zeros(len(rings[j]), dtype=np.int64), 1,
+            np.asarray(bounds[j : j + 1]))
+        assert solo.tolist() == \
+            out[starts[j]:starts[j] + seg_n[j]].tolist()
+
+
 def test_clip_idempotent_on_own_tile():
     rng = random.Random(99)
     for _ in range(20):
