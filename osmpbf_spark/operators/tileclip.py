@@ -230,6 +230,80 @@ def _clip_rings_batch(v: np.ndarray, seg_ids: np.ndarray, n_seg: int,
     return v, np.bincount(seg_ids, minlength=n_seg)
 
 
+def _clip_lines_batch(v: np.ndarray, seg_ids: np.ndarray, n_seg: int,
+                      bounds: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Liang–Barsky over a whole batch of polylines at once: ``v`` is
+    the (total_vertices, 2) concatenation of all polylines, ``seg_ids``
+    maps vertices to lines, ``bounds`` is (n_seg, 4) per-line clip
+    rectangles. Returns ``(out, part_sizes, part_rows)``: the flat
+    vertex array of every connected clipped part in order, each part's
+    vertex count, and each part's source line id — identical parts, in
+    identical order, to :func:`_clip_line_np` per line
+    (property-tested).
+
+    Same motivation as :func:`_clip_rings_batch`: every t0/t1 clip and
+    the part-break/ranking logic run as flat numpy over ALL edges of
+    the Arrow batch; nothing iterates per (line, tile) pair."""
+    empty = (np.empty((0, 2)), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=np.int64))
+    if len(v) < 2:
+        return empty
+    intra = seg_ids[:-1] == seg_ids[1:]          # edges within one line
+    p, q = v[:-1][intra], v[1:][intra]
+    e_seg = seg_ids[:-1][intra]
+    if len(p) == 0:
+        return empty
+    d = q - p
+    t0 = np.zeros(len(p))
+    t1 = np.ones(len(p))
+    ok = np.ones(len(p), dtype=bool)
+    for k, (axis, low) in enumerate(((0, True), (0, False),
+                                     (1, True), (1, False))):
+        bnd = bounds[e_seg, k]
+        pi = -d[:, axis] if low else d[:, axis]
+        qi = (p[:, axis] - bnd) if low else (bnd - p[:, axis])
+        par = pi == 0.0
+        ok &= ~(par & (qi < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(par, 0.0, qi / pi)
+        t0 = np.where(~par & (pi < 0.0), np.maximum(t0, r), t0)
+        t1 = np.where(~par & (pi > 0.0), np.minimum(t1, r), t1)
+    ok &= t0 <= t1
+    if not ok.any():
+        return empty
+    a = (p + t0[:, None] * d)[ok]
+    b = (p + t1[:, None] * d)[ok]
+    # part breaks over the accepted-edge subsequence: new part at a new
+    # line, a non-adjacent surviving edge, or a cut connection
+    eidx = np.flatnonzero(ok)
+    brk = np.ones(len(eidx), dtype=bool)
+    if len(eidx) > 1:
+        prev, cur = eidx[:-1], eidx[1:]
+        brk[1:] = ((e_seg[cur] != e_seg[prev]) | (cur != prev + 1)
+                   | (t1[prev] < 1.0) | (t0[cur] > 0.0))
+    part_id = np.cumsum(brk) - 1
+    n_parts = int(part_id[-1]) + 1
+    first_acc = np.flatnonzero(brk)              # rank of each part head
+    rank = np.arange(len(eidx)) - first_acc[part_id]
+    edges_per_part = np.bincount(part_id, minlength=n_parts)
+    sizes = edges_per_part + 1
+    offs = np.cumsum(sizes) - sizes
+    out = np.empty((int(sizes.sum()), 2), dtype=np.float64)
+    out[offs] = a[brk]
+    out[offs[part_id] + 1 + rank] = b
+    part_rows = e_seg[eidx[brk]]
+    # reference degenerate rule: drop 2-vertex parts whose endpoints
+    # coincide (a line touching the rectangle at a single point)
+    degen = (sizes == 2) & (out[offs] == out[offs + 1]).all(axis=1)
+    if degen.any():
+        keep_v = ~np.repeat(degen, sizes)
+        out = out[keep_v]
+        sizes = sizes[~degen]
+        part_rows = part_rows[~degen]
+    return out, sizes, part_rows
+
+
 # -- Spark operators --------------------------------------------------------
 
 def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
@@ -326,15 +400,28 @@ def _clip_udf(zoom: int, kind: str):
                     o_lat[i] = [ring[:, 0].tolist()]
                     o_lon[i] = [ring[:, 1].tolist()]
         else:
+            arrs, seg_rows, bounds = [], [], []
             for i, (la, lo, x, y) in enumerate(zip(lats, lons, tx, ty)):
-                if la is None or len(la) == 0:
+                if la is None or len(la) < 2:
                     continue
-                s, n_, w, e = tile_bounds_nano(zoom, int(x), int(y))
-                pts = np.column_stack([np.asarray(la, dtype=np.float64),
-                                       np.asarray(lo, dtype=np.float64)])
-                parts = _clip_line_np(pts, s, n_, w, e)
-                o_lat[i] = [p[:, 0].tolist() for p in parts]
-                o_lon[i] = [p[:, 1].tolist() for p in parts]
+                arrs.append(np.column_stack(
+                    [np.asarray(la, dtype=np.float64),
+                     np.asarray(lo, dtype=np.float64)]))
+                seg_rows.append(i)
+                bounds.append(tile_bounds_nano(zoom, int(x), int(y)))
+            if arrs:
+                flat = np.concatenate(arrs)
+                seg_ids = np.repeat(np.arange(len(arrs)),
+                                    [len(a) for a in arrs])
+                out, sizes, part_rows = _clip_lines_batch(
+                    flat, seg_ids, len(arrs),
+                    np.asarray(bounds, dtype=np.float64))
+                offs = np.cumsum(sizes) - sizes
+                for o, s_, j in zip(offs, sizes, part_rows):
+                    i = seg_rows[j]
+                    part = out[o:o + s_]
+                    o_lat[i].append(part[:, 0].tolist())
+                    o_lon[i].append(part[:, 1].tolist())
         return pd.DataFrame({"lats": pd.Series(o_lat),
                              "lons": pd.Series(o_lon)})
     return _udf

@@ -164,6 +164,37 @@ def test_batch_clip_equals_per_geometry_reference():
             out[starts[j]:starts[j] + seg_n[j]].tolist()
 
 
+def test_batch_line_clip_equals_per_geometry_reference():
+    """_clip_lines_batch must reproduce _clip_line_np part-for-part
+    (same vertices, same part order) for every line in a mixed batch."""
+    from osmpbf_spark.operators.tileclip import _clip_lines_batch
+    rng = random.Random(11)
+    lines, bounds = [], []
+    for _ in range(60):
+        n = rng.randrange(2, 10)
+        lines.append(np.array(
+            [[rng.uniform(-120, 120), rng.uniform(-120, 120)]
+             for _ in range(n)]))
+        cx, cy = rng.uniform(-100, 100), rng.uniform(-100, 100)
+        half = rng.uniform(5, 150)
+        bounds.append((cx - half, cx + half, cy - half, cy + half))
+    # a guaranteed touch-at-a-point degenerate: segment ending exactly
+    # on the rectangle corner of a disjoint rectangle
+    lines.append(np.array([[0.0, 0.0], [10.0, 10.0]]))
+    bounds.append((10.0, 20.0, 10.0, 20.0))
+    flat = np.concatenate(lines)
+    seg_ids = np.repeat(np.arange(len(lines)), [len(x) for x in lines])
+    out, sizes, part_rows = _clip_lines_batch(flat, seg_ids, len(lines),
+                                              np.asarray(bounds))
+    offs = np.cumsum(sizes) - sizes
+    got: dict[int, list] = {j: [] for j in range(len(lines))}
+    for o, s, j in zip(offs, sizes, part_rows):
+        got[int(j)].append(out[o:o + s].tolist())
+    for j, (line, b) in enumerate(zip(lines, bounds)):
+        ref = [p.tolist() for p in _clip_line_np(line, *b)]
+        assert got[j] == ref, j
+
+
 def test_clip_idempotent_on_own_tile():
     rng = random.Random(99)
     for _ in range(20):
