@@ -306,17 +306,12 @@ def _clip_lines_batch(v: np.ndarray, seg_ids: np.ndarray, n_seg: int,
 
 # -- Spark operators --------------------------------------------------------
 
-def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
-                   keep_bbox: bool = False) -> DataFrame:
-    """Explode each geometry to its bbox-covering tiles: adds
-    (zoom, tx, ty). Pure JVM: bbox via flat min/max aggregates over the
-    array, corner→tile via the slippy formulas, then
-    ``explode(sequence)`` twice — output linear in tiles touched.
-    ``keep_bbox`` retains the ``_bb`` struct (mnla, mxla, mnlo, mxlo)
-    for downstream fully-inside routing."""
+def _cover_exprs(zoom: int, geom_col: str):
+    """SQL builders shared by :func:`covering_tiles` and
+    :func:`covering_overflow`: the bbox aggregate over the geometry
+    array and the clamped corner→tile index renderers."""
     merc = ("(1.0d - asinh(tan(radians("
-            "least(greatest({lat}, {mn}), {mx})))) / pi()) / 2.0d * {n}"
-            )
+            "least(greatest({lat}, {mn}), {mx})))) / pi()) / 2.0d * {n}")
     n = 1 << zoom
 
     def tx_of(lon_expr: str) -> str:
@@ -328,16 +323,57 @@ def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
                         mn=-MAX_MERC_LAT, mx=MAX_MERC_LAT, n=n)
         return f"least(greatest(CAST(floor({m}) AS INT), 0), {n - 1})"
 
-    g = geom_col
-    agg = (f"aggregate({g}, struct(CAST(9223372036854775807 AS BIGINT) "
+    agg = (f"aggregate({geom_col}, "
+           f"struct(CAST(9223372036854775807 AS BIGINT) "
            f"AS mnla, CAST(-9223372036854775808 AS BIGINT) AS mxla, "
            f"CAST(9223372036854775807 AS BIGINT) AS mnlo, "
            f"CAST(-9223372036854775808 AS BIGINT) AS mxlo), "
            f"(acc, v) -> struct(least(acc.mnla, v.lat_nano), "
            f"greatest(acc.mxla, v.lat_nano), least(acc.mnlo, v.lon_nano), "
            f"greatest(acc.mxlo, v.lon_nano)))")
-    out = (df.filter(F.expr(f"size({g}) > 0"))
-           .withColumn("_bb", F.expr(agg))
+    return agg, tx_of, ty_of
+
+
+def covering_overflow(df: DataFrame, *, zoom: int, geom_col: str = "ring",
+                      max_tiles: int = 4096) -> DataFrame:
+    """The loud companion of ``covering_tiles(max_tiles=...)``: the
+    geometries the cap EXCLUDED from the cut, with their bbox and
+    cover-tile count (``n_tiles``). A non-empty result means
+    antimeridian-crossing or corrupt geometry reached the tiler —
+    split it upstream, don't raise the cap blindly."""
+    agg, tx_of, ty_of = _cover_exprs(zoom, geom_col)
+    return (df.filter(F.expr(f"size({geom_col}) > 0"))
+            .withColumn("_bb", F.expr(agg))
+            .withColumn("n_tiles", _n_cover_tiles(tx_of, ty_of))
+            .filter(F.col("n_tiles") > max_tiles)
+            .drop(geom_col)
+            .select("*", F.col("_bb.*")).drop("_bb"))
+
+
+def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
+                   keep_bbox: bool = False,
+                   max_tiles: int | None = 4096) -> DataFrame:
+    """Explode each geometry to its bbox-covering tiles: adds
+    (zoom, tx, ty). Pure JVM: bbox via flat min/max aggregates over the
+    array, corner→tile via the slippy formulas, then
+    ``explode(sequence)`` twice — output linear in tiles touched.
+    ``keep_bbox`` retains the ``_bb`` struct (mnla, mxla, mnlo, mxlo)
+    for downstream fully-inside routing.
+
+    ``max_tiles`` is the degenerate-geometry defense (the same loud-cap
+    idiom as the LSH bucket cap): ONE antimeridian-crossing way or
+    corrupt geometry whose bbox spans the world would explode to the
+    entire 2^z×2^z tile row — millions of (geometry, tile) rows at
+    zoom 12 from a single input row. Geometries covering more than
+    ``max_tiles`` tiles are EXCLUDED from the cut; audit them with
+    :func:`covering_overflow` and split them upstream (the established
+    OSM practice: split antimeridian geometries at ±180 first)."""
+    agg, tx_of, ty_of = _cover_exprs(zoom, geom_col)
+    out = (df.filter(F.expr(f"size({geom_col}) > 0"))
+           .withColumn("_bb", F.expr(agg)))
+    if max_tiles is not None:
+        out = out.filter(_n_cover_tiles(tx_of, ty_of) <= max_tiles)
+    out = (out
            .withColumn("zoom", F.lit(zoom))
            .withColumn("tx", F.explode(F.expr(
                f"sequence({tx_of('_bb.mnlo')}, {tx_of('_bb.mxlo')})")))
@@ -346,6 +382,13 @@ def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
                f"sequence({ty_of('_bb.mxla')}, {ty_of('_bb.mnla')})")))
            )
     return out if keep_bbox else out.drop("_bb")
+
+
+def _n_cover_tiles(tx_of, ty_of) -> Column:
+    """Cover-tile count of a geometry's ``_bb`` bbox (JVM, pre-explode)."""
+    return F.expr(
+        f"CAST(({tx_of('_bb.mxlo')} - {tx_of('_bb.mnlo')} + 1) AS BIGINT)"
+        f" * ({ty_of('_bb.mnla')} - {ty_of('_bb.mxla')} + 1)")
 
 
 _CLIP_OUT_T = "struct<lats:array<array<double>>,lons:array<array<double>>>"
@@ -442,7 +485,8 @@ def _tile_bounds_cols(zoom: int) -> tuple[str, str, str, str]:
 
 
 def clip_to_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
-                  kind: str = "ring") -> DataFrame:
+                  kind: str = "ring",
+                  max_tiles: int | None = 4096) -> DataFrame:
     """Cover + clip: one row per non-empty (geometry, tile, part) with
     ``geom_col`` replaced by the clipped part — rings stay closed
     rings, lines become connected sub-polylines. ``kind`` is "ring"
@@ -459,7 +503,7 @@ def clip_to_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
     if kind not in ("ring", "line"):
         raise ValueError(f"unknown kind {kind!r}")
     covered = covering_tiles(df, zoom=zoom, geom_col=geom_col,
-                             keep_bbox=True)
+                             keep_bbox=True, max_tiles=max_tiles)
     lat_s, lat_n, lon_w, lon_e = _tile_bounds_cols(zoom)
     inside = F.expr(f"_bb.mnla >= {lat_s} AND _bb.mxla <= {lat_n} AND "
                     f"_bb.mnlo >= {lon_w} AND _bb.mxlo <= {lon_e}")
@@ -553,20 +597,22 @@ def way_polylines(elements: DataFrame, *, broadcast_nodes: bool = False,
 def build_vector_tiles(df: DataFrame, *, zoom: int,
                        geom_col: str = "ring", kind: str = "ring",
                        id_col: str = "feature_id", extent: int = 4096,
-                       simplify_eps_nano: float | None = None
-                       ) -> DataFrame:
+                       simplify_eps_nano: float | None = None,
+                       max_tiles: int | None = 4096) -> DataFrame:
     """The full tile cut: [simplify →] cover → clip → quantize →
     collect per tile. Returns one row per (zoom, tx, ty) with
     ``features`` = array of (feature_id, part, pixels), sorted for
     determinism. The groupBy on the tile key is the ONLY shuffle — the
     layout a tile store serves directly; write it partitioned by
-    (zoom, tx) for pruned tile reads."""
+    (zoom, tx) for pruned tile reads. ``max_tiles`` flows to the
+    degenerate-geometry cap (see :func:`covering_tiles`)."""
     from .simplify import simplify_geometry
 
     if simplify_eps_nano:
         df = df.withColumn(geom_col,
                            simplify_geometry(geom_col, simplify_eps_nano))
-    clipped = clip_to_tiles(df, zoom=zoom, geom_col=geom_col, kind=kind)
+    clipped = clip_to_tiles(df, zoom=zoom, geom_col=geom_col, kind=kind,
+                            max_tiles=max_tiles)
     quant = quantize_to_tile(clipped, zoom=zoom, geom_col=geom_col,
                              extent=extent)
     return (quant
@@ -588,7 +634,8 @@ def pixel_eps_nano(zoom: int, extent: int = 4096) -> float:
 def build_tile_pyramid(df: DataFrame, *, zooms: list[int],
                        geom_col: str = "ring", kind: str = "ring",
                        id_col: str = "feature_id", extent: int = 4096,
-                       simplify: bool = True) -> DataFrame:
+                       simplify: bool = True,
+                       max_tiles: int | None = 4096) -> DataFrame:
     """Cut the same geometry at every zoom in ``zooms`` (the tile
     pyramid a renderer serves) — a union of per-zoom
     :func:`build_vector_tiles`, each simplified to its own one-pixel
@@ -602,7 +649,8 @@ def build_tile_pyramid(df: DataFrame, *, zooms: list[int],
         eps = pixel_eps_nano(z, extent) if simplify else None
         vt = build_vector_tiles(df, zoom=z, geom_col=geom_col, kind=kind,
                                 id_col=id_col, extent=extent,
-                                simplify_eps_nano=eps)
+                                simplify_eps_nano=eps,
+                                max_tiles=max_tiles)
         out = vt if out is None else out.unionByName(vt)
     if out is None:
         raise ValueError("zooms must be non-empty")

@@ -360,6 +360,28 @@ def test_tile_pyramid_and_store_roundtrip(spark, square_df, tmp_path):
     assert len(got) == 1 and got[0]["features"] == direct[0]["features"]
 
 
+def test_degenerate_geometry_cap_and_overflow_audit(spark, square_df):
+    """An antimeridian-style world-spanning geometry must not explode
+    the cover (the loud-cap idiom); it lands in covering_overflow
+    instead, and normal geometries are unaffected."""
+    from osmpbf_spark.operators.tileclip import covering_overflow
+    bad = _ring([(0, -179 * B), (B, 179 * B), (0, -179 * B)])
+    good = _ring([(10 * B, 10 * B), (10 * B + B // 5, 10 * B + B // 5)])
+    df = spark.createDataFrame([("bad", bad), ("good", good)],
+                               square_df.schema)
+    capped = clip_to_tiles(df, zoom=12, kind="line", max_tiles=4096)
+    assert capped.filter("feature_id = 'bad'").count() == 0
+    assert capped.filter("feature_id = 'good'").count() > 0
+    over = covering_overflow(df, zoom=12, max_tiles=4096).collect()
+    assert [r["feature_id"] for r in over] == ["bad"]
+    assert over[0]["n_tiles"] > 4096
+    # uncapped keeps it (the caller's explicit choice)
+    got = covering_tiles(spark.createDataFrame([("bad", bad)],
+                                               square_df.schema),
+                         zoom=6, max_tiles=None).count()
+    assert got > 0
+
+
 def test_empty_and_null_geometries_skipped(spark):
     df = spark.createDataFrame([("a", []), ("b", None)],
                                f"feature_id string, ring {GEOM_T}")
