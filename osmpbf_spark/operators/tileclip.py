@@ -14,12 +14,16 @@ Spark shape, designed for 10¹²-element scale:
 - covering tiles from the geometry bbox — pure JVM math (the same
   published slippy formulas as ``functions.tiles``), one
   ``explode(sequence × sequence)``: a geometry spanning T tiles emits T
-  rows, linear in OUTPUT size, no shuffle;
-- clipping is row-local per (geometry, tile) in an Arrow-batched
-  ``pandas_udf``: Sutherland–Hodgman for rings, Liang–Barsky for
-  polylines — both vectorized across VERTICES in numpy (boundary-at-a-
-  time half-plane passes / parametric segment clips), no Python
-  per-vertex loop;
+  rows, linear in OUTPUT size, no shuffle; a loud ``max_tiles`` cap
+  excludes degenerate world-spanning geometry (antimeridian ways)
+  before it can explode the cover;
+- geometries fully inside their tile pass through on the JVM (the
+  dominant case at high zoom); boundary crossers clip in an
+  Arrow-batched ``pandas_udf`` that processes the WHOLE batch as flat
+  segmented numpy (``_clip_rings_batch`` / ``_clip_lines_batch``):
+  Sutherland–Hodgman for rings, Liang–Barsky for polylines, one set of
+  half-plane/parametric ops across every (geometry, tile) pair of the
+  batch — no Python per-vertex OR per-pair loop in the math;
 - quantization is pure Catalyst (one flat ``transform`` over the
   clipped array — trig built-ins, no UDF), so a quantize-only pipeline
   never leaves the JVM;
