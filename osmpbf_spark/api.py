@@ -163,6 +163,7 @@ class Engine:
     def vector_tiles(self, *, zoom: int = 12, kind: str = "line",
                      extent: int = 4096,
                      simplify_eps_nano: float | None = None,
+                     max_tiles: int | None = None,
                      **kwargs) -> DataFrame:
         """Cut this file's geometry into per-tile quantized features
         (``operators.tileclip.build_vector_tiles``). One row per
@@ -171,10 +172,13 @@ class Engine:
         geoms, id_col = self._tile_geoms(kind, **kwargs)
         return build_vector_tiles(geoms, zoom=zoom, kind=kind,
                                   id_col=id_col, extent=extent,
-                                  simplify_eps_nano=simplify_eps_nano)
+                                  simplify_eps_nano=simplify_eps_nano,
+                                  max_tiles=max_tiles)
 
     def tile_pyramid(self, *, zooms: list[int], kind: str = "line",
-                     extent: int = 4096, **kwargs) -> DataFrame:
+                     extent: int = 4096, simplify: bool = True,
+                     max_tiles: int | None = None,
+                     **kwargs) -> DataFrame:
         """Cut this file's geometry at every zoom in ``zooms``, each
         level simplified to its one-pixel tolerance
         (``operators.tileclip.build_tile_pyramid``); persist with
@@ -183,7 +187,8 @@ class Engine:
         from .operators.tileclip import build_tile_pyramid
         geoms, id_col = self._tile_geoms(kind, **kwargs)
         return build_tile_pyramid(geoms, zooms=zooms, kind=kind,
-                                  id_col=id_col, extent=extent)
+                                  id_col=id_col, extent=extent,
+                                  simplify=simplify, max_tiles=max_tiles)
 
     def pip_multipolygon(self, *, rings: DataFrame | None = None,
                          res: int | None = None, **kwargs) -> DataFrame:

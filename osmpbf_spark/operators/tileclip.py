@@ -14,9 +14,10 @@ Spark shape, designed for 10¹²-element scale:
 - covering tiles from the geometry bbox — pure JVM math (the same
   published slippy formulas as ``functions.tiles``), one
   ``explode(sequence × sequence)``: a geometry spanning T tiles emits T
-  rows, linear in OUTPUT size, no shuffle; a loud ``max_tiles`` cap
-  excludes degenerate world-spanning geometry (antimeridian ways)
-  before it can explode the cover;
+  rows, linear in OUTPUT size, no shuffle; a loud zoom-independent
+  wrap defense (bbox wider than half the world in lon) excludes
+  antimeridian-wrapped geometry before it can explode the cover, with
+  an optional absolute ``max_tiles`` cap on top;
 - geometries fully inside their tile pass through on the JVM (the
   dominant case at high zoom); boundary crossers clip in an
   Arrow-batched ``pandas_udf`` that processes the WHOLE batch as flat
@@ -338,25 +339,41 @@ def _cover_exprs(zoom: int, geom_col: str):
     return agg, tx_of, ty_of
 
 
+def _wrap_suspect(tx_of, zoom: int) -> Column:
+    """True when a geometry's bbox spans more than HALF the world in
+    longitude — the signature of an antimeridian-crossing geometry
+    whose raw lon range wraps (a real feature that wide does not exist;
+    a wrapped one covers everything BUT itself). Zoom-independent by
+    construction (a fraction of the axis, not a tile count)."""
+    if zoom < 2:
+        return F.lit(False)          # the world is ≤ 2 tiles wide
+    return F.expr(f"{tx_of('_bb.mxlo')} - {tx_of('_bb.mnlo')}") \
+        > (1 << (zoom - 1))
+
+
 def covering_overflow(df: DataFrame, *, zoom: int, geom_col: str = "ring",
-                      max_tiles: int = 4096) -> DataFrame:
-    """The loud companion of ``covering_tiles(max_tiles=...)``: the
-    geometries the cap EXCLUDED from the cut, with their bbox and
-    cover-tile count (``n_tiles``). A non-empty result means
-    antimeridian-crossing or corrupt geometry reached the tiler —
-    split it upstream, don't raise the cap blindly."""
+                      max_tiles: int | None = None) -> DataFrame:
+    """The loud companion of the :func:`covering_tiles` defenses: the
+    geometries the wrap defense (and the optional ``max_tiles`` cap)
+    EXCLUDED from the cut, with their bbox and cover-tile count
+    (``n_tiles``). A non-empty result means antimeridian-crossing or
+    corrupt geometry reached the tiler — split it at ±180 upstream
+    (the established OSM practice), don't raise the cap blindly."""
     agg, tx_of, ty_of = _cover_exprs(zoom, geom_col)
+    excluded = _wrap_suspect(tx_of, zoom)
+    if max_tiles is not None:
+        excluded = excluded | (_n_cover_tiles(tx_of, ty_of) > max_tiles)
     return (df.filter(F.expr(f"size({geom_col}) > 0"))
             .withColumn("_bb", F.expr(agg))
             .withColumn("n_tiles", _n_cover_tiles(tx_of, ty_of))
-            .filter(F.col("n_tiles") > max_tiles)
+            .filter(excluded)
             .drop(geom_col)
             .select("*", F.col("_bb.*")).drop("_bb"))
 
 
 def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
-                   keep_bbox: bool = False,
-                   max_tiles: int | None = 4096) -> DataFrame:
+                   keep_bbox: bool = False, wrap_defense: bool = True,
+                   max_tiles: int | None = None) -> DataFrame:
     """Explode each geometry to its bbox-covering tiles: adds
     (zoom, tx, ty). Pure JVM: bbox via flat min/max aggregates over the
     array, corner→tile via the slippy formulas, then
@@ -364,17 +381,27 @@ def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
     ``keep_bbox`` retains the ``_bb`` struct (mnla, mxla, mnlo, mxlo)
     for downstream fully-inside routing.
 
-    ``max_tiles`` is the degenerate-geometry defense (the same loud-cap
-    idiom as the LSH bucket cap): ONE antimeridian-crossing way or
-    corrupt geometry whose bbox spans the world would explode to the
-    entire 2^z×2^z tile row — millions of (geometry, tile) rows at
-    zoom 12 from a single input row. Geometries covering more than
-    ``max_tiles`` tiles are EXCLUDED from the cut; audit them with
-    :func:`covering_overflow` and split them upstream (the established
-    OSM practice: split antimeridian geometries at ±180 first)."""
+    Degenerate-geometry defenses (the same loud-cap idiom as the LSH
+    bucket cap — ONE antimeridian-crossing way whose raw lon range
+    wraps would explode to the entire 2^z tile row, millions of
+    (geometry, tile) rows from a single input at zoom 12):
+
+    - ``wrap_defense`` (default ON) excludes geometries whose bbox
+      spans more than HALF the world in longitude — zoom-independent
+      (a fraction of the axis, never a tile count), so it cannot bite
+      legitimately large features at high zoom the way a constant
+      tile-count cap would;
+    - ``max_tiles`` (default off) additionally bounds the absolute
+      cover size per geometry for memory-budgeted runs.
+
+    Audit exclusions with :func:`covering_overflow`; the upstream fix
+    is splitting antimeridian geometries at ±180 (established OSM
+    practice)."""
     agg, tx_of, ty_of = _cover_exprs(zoom, geom_col)
     out = (df.filter(F.expr(f"size({geom_col}) > 0"))
            .withColumn("_bb", F.expr(agg)))
+    if wrap_defense:
+        out = out.filter(~_wrap_suspect(tx_of, zoom))
     if max_tiles is not None:
         out = out.filter(_n_cover_tiles(tx_of, ty_of) <= max_tiles)
     out = (out
@@ -490,7 +517,7 @@ def _tile_bounds_cols(zoom: int) -> tuple[str, str, str, str]:
 
 def clip_to_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
                   kind: str = "ring",
-                  max_tiles: int | None = 4096) -> DataFrame:
+                  max_tiles: int | None = None) -> DataFrame:
     """Cover + clip: one row per non-empty (geometry, tile, part) with
     ``geom_col`` replaced by the clipped part — rings stay closed
     rings, lines become connected sub-polylines. ``kind`` is "ring"
@@ -602,14 +629,15 @@ def build_vector_tiles(df: DataFrame, *, zoom: int,
                        geom_col: str = "ring", kind: str = "ring",
                        id_col: str = "feature_id", extent: int = 4096,
                        simplify_eps_nano: float | None = None,
-                       max_tiles: int | None = 4096) -> DataFrame:
+                       max_tiles: int | None = None) -> DataFrame:
     """The full tile cut: [simplify →] cover → clip → quantize →
     collect per tile. Returns one row per (zoom, tx, ty) with
     ``features`` = array of (feature_id, part, pixels), sorted for
     determinism. The groupBy on the tile key is the ONLY shuffle — the
     layout a tile store serves directly; write it partitioned by
-    (zoom, tx) for pruned tile reads. ``max_tiles`` flows to the
-    degenerate-geometry cap (see :func:`covering_tiles`)."""
+    (zoom, tx) for pruned tile reads. The antimeridian wrap defense
+    is always on; ``max_tiles`` adds the optional absolute cover cap
+    (see :func:`covering_tiles`)."""
     from .simplify import simplify_geometry
 
     if simplify_eps_nano:
@@ -639,7 +667,7 @@ def build_tile_pyramid(df: DataFrame, *, zooms: list[int],
                        geom_col: str = "ring", kind: str = "ring",
                        id_col: str = "feature_id", extent: int = 4096,
                        simplify: bool = True,
-                       max_tiles: int | None = 4096) -> DataFrame:
+                       max_tiles: int | None = None) -> DataFrame:
     """Cut the same geometry at every zoom in ``zooms`` (the tile
     pyramid a renderer serves) — a union of per-zoom
     :func:`build_vector_tiles`, each simplified to its own one-pixel

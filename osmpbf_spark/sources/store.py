@@ -1010,26 +1010,30 @@ def compact_hash_store(spark: SparkSession, path: str) -> dict:
 # -- tile store (vector-tile pyramid at rest) --------------------------------
 
 def write_tile_store(tiles: DataFrame, path: str, *,
-                     files_per_zoom: int | None = None) -> None:
+                     n_files: int | None = None) -> None:
     """Write a tile pyramid (``operators.tileclip.build_tile_pyramid``
     output: zoom, tx, ty, features) partitioned by zoom with files
     range-sorted on (tx, ty): a viewport request prunes to one zoom
     DIRECTORY (PartitionFilters) and then to the files whose parquet
     footer (tx, ty) min/max overlap the view (PushedFilters) — the same
-    two-level zone-map recipe as :func:`write_elements`. Hash-
-    partitioning on tx would interleave every file with every tx range
-    and defeat the footer pruning; at production scale this layout is
-    an Iceberg table PARTITIONED BY (zoom) with a (tx, ty) sort order.
+    two-level zone-map recipe as :func:`write_elements`. The range
+    repartition is NOT optional: the pyramid arrives hash-partitioned
+    by its final groupBy, and hash-scattered tx values would span every
+    file's footer range and defeat the pruning. At production scale
+    this layout is an Iceberg table PARTITIONED BY (zoom) with a
+    (tx, ty) sort order.
 
-    ``files_per_zoom`` bounds file count per zoom level (default: the
-    session shuffle parallelism across all zooms)."""
-    df = tiles
-    if files_per_zoom:
-        df = df.repartitionByRange(files_per_zoom, "zoom", "tx", "ty")
-    (df.sortWithinPartitions("zoom", "tx", "ty")
-       .write.mode("overwrite")
-       .partitionBy("zoom")
-       .parquet(path))
+    ``n_files`` bounds the TOTAL range-partition count across the
+    whole store (zoom levels split it proportionally to their row
+    share; default = the session shuffle parallelism)."""
+    if n_files is None:
+        n_files = int(tiles.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    (tiles.repartitionByRange(n_files, "zoom", "tx", "ty")
+        .sortWithinPartitions("zoom", "tx", "ty")
+        .write.mode("overwrite")
+        .partitionBy("zoom")
+        .parquet(path))
 
 
 def read_tile_store(spark: SparkSession, path: str) -> DataFrame:

@@ -347,7 +347,7 @@ def test_tile_pyramid_and_store_roundtrip(spark, square_df, tmp_path):
     assert pyr.filter("zoom = 4").orderBy("tx", "ty").collect() == direct
     # store roundtrip + the two-level pruning contract
     path = str(tmp_path / "tiles")
-    write_tile_store(pyr, path, files_per_zoom=4)
+    write_tile_store(pyr, path, n_files=4)
     store = read_tile_store(spark, path)
     assert store.count() == pyr.count()
     one = tiles_in_view(store, zoom=4, tx0=direct[0]["tx"],
@@ -360,25 +360,35 @@ def test_tile_pyramid_and_store_roundtrip(spark, square_df, tmp_path):
     assert len(got) == 1 and got[0]["features"] == direct[0]["features"]
 
 
-def test_degenerate_geometry_cap_and_overflow_audit(spark, square_df):
-    """An antimeridian-style world-spanning geometry must not explode
-    the cover (the loud-cap idiom); it lands in covering_overflow
-    instead, and normal geometries are unaffected."""
+def test_degenerate_geometry_wrap_defense_and_overflow_audit(spark,
+                                                             square_df):
+    """An antimeridian-wrapped geometry (bbox wider than half the
+    world) must not explode the cover — the zoom-independent wrap
+    defense excludes it by DEFAULT and covering_overflow reports it;
+    legitimately large geometry (the 30-degree square, >4096 tiles at
+    zoom 12) is untouched."""
     from osmpbf_spark.operators.tileclip import covering_overflow
     bad = _ring([(0, -179 * B), (B, 179 * B), (0, -179 * B)])
     good = _ring([(10 * B, 10 * B), (10 * B + B // 5, 10 * B + B // 5)])
     df = spark.createDataFrame([("bad", bad), ("good", good)],
                                square_df.schema)
-    capped = clip_to_tiles(df, zoom=12, kind="line", max_tiles=4096)
+    capped = clip_to_tiles(df, zoom=12, kind="line")
     assert capped.filter("feature_id = 'bad'").count() == 0
     assert capped.filter("feature_id = 'good'").count() > 0
-    over = covering_overflow(df, zoom=12, max_tiles=4096).collect()
+    # a big-but-legit feature stays in by default (no tile-count cap)
+    big = covering_tiles(square_df, zoom=12)
+    assert big.count() > 4096
+    over = covering_overflow(df.unionByName(square_df), zoom=12).collect()
     assert [r["feature_id"] for r in over] == ["bad"]
     assert over[0]["n_tiles"] > 4096
-    # uncapped keeps it (the caller's explicit choice)
+    # the optional absolute cap composes on top, with the same audit
+    assert covering_tiles(square_df, zoom=12, max_tiles=4096).count() == 0
+    over2 = covering_overflow(square_df, zoom=12, max_tiles=4096)
+    assert over2.count() == 1
+    # wrap defense is the caller's explicit choice to disable
     got = covering_tiles(spark.createDataFrame([("bad", bad)],
                                                square_df.schema),
-                         zoom=6, max_tiles=None).count()
+                         zoom=6, wrap_defense=False).count()
     assert got > 0
 
 
