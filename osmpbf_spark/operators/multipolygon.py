@@ -61,21 +61,37 @@ def _chain_rings(pdf: pd.DataFrame) -> pd.DataFrame:
     relation_id = int(pdf["relation_id"].iloc[0])
     role = pdf["role"].iloc[0]
     unused: dict[int, tuple[list, list]] = {}
-    for _, row in pdf.iterrows():
-        nodes = [int(n) for n in row["nodes"]]
+    endpoint: dict[int, list] = {}
+    for wid_, nodes_, lats_, lons_ in zip(pdf["way_id"], pdf["nodes"],
+                                          pdf["lats"], pdf["lons"]):
+        nodes = [int(n) for n in nodes_]
         if len(nodes) < 2:
             continue                      # degenerate single-vertex way
-        pts = [(int(a), int(b)) for a, b in zip(row["lats"], row["lons"])]
-        unused[int(row["way_id"])] = (nodes, pts)
+        pts = [(int(a), int(b)) for a, b in zip(lats_, lons_)]
+        wid = int(wid_)
+        unused[wid] = (nodes, pts)
+        # endpoint index: O(node degree) continuation lookup instead of
+        # scanning every unused way per step (O(W²) per relation — a
+        # 10k-way coastline relation would take minutes); entries are
+        # invalidated lazily via the `in unused` check
+        endpoint.setdefault(nodes[0], []).append(wid)
+        endpoint.setdefault(nodes[-1], []).append(wid)
     out = []
-    while unused:
-        wid = min(unused)
+    # ring starts walk a pre-sorted id order with a monotone pointer
+    # (used ids never return, so min(unused) never moves backwards)
+    order = sorted(unused)
+    oi = 0
+    while True:
+        while oi < len(order) and order[oi] not in unused:
+            oi += 1
+        if oi == len(order):
+            break
+        wid = order[oi]
         nodes, pts = unused.pop(wid)
         ring_nodes, ring_pts, used = list(nodes), list(pts), [wid]
         while ring_nodes[0] != ring_nodes[-1]:
             end = ring_nodes[-1]
-            cand = [w for w, (ns, _) in unused.items()
-                    if ns[0] == end or ns[-1] == end]
+            cand = [w for w in endpoint.get(end, ()) if w in unused]
             if not cand:
                 break
             nxt = min(cand)
