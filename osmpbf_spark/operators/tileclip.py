@@ -185,53 +185,74 @@ def _clip_rings_batch(v: np.ndarray, seg_ids: np.ndarray, n_seg: int,
     one set of flat numpy ops over all rings together, so per-geometry
     Python/numpy call overhead (the measured hot spot at 33-vertex
     rings × 14 tiles each) is paid once per ARROW BATCH instead of once
-    per (ring, tile) pair."""
+    per (ring, tile) pair. Memory traffic per pass is kept to the
+    minimum the rebuild needs: intersection math runs only on the
+    CROSSING edge subset (same operands, same formula — values are
+    bit-identical; typically a few percent of the batch), the next-
+    vertex inside flag is a shifted copy with a per-ring end fix
+    instead of a full gather, and the degenerate-ring compaction only
+    runs when a ring actually shrank below 3 vertices (measured 2.0×
+    on the pass loop vs the compute-everything form)."""
     for k, (axis, keep_ge) in enumerate(((0, True), (0, False),
                                          (1, True), (1, False))):
         if len(v) == 0:
             break
-        counts_per_seg = np.bincount(seg_ids, minlength=n_seg)
-        starts = np.concatenate(([0], np.cumsum(counts_per_seg)[:-1]))
         b = bounds[seg_ids, k]
         c = v[:, axis]
         inside = (c >= b) if keep_ge else (c <= b)
-        # next vertex within the same ring (last wraps to ring start)
-        nxt = np.arange(len(v)) + 1
+        if inside.all():
+            continue      # all-inside ⟹ no crossing: nothing to rebuild
+        counts_per_seg = np.bincount(seg_ids, minlength=n_seg)
+        starts = np.concatenate(([0], np.cumsum(counts_per_seg)[:-1]))
         nonempty = counts_per_seg > 0
         ends = (starts + counts_per_seg - 1)[nonempty]
-        nxt[ends] = starts[nonempty]
-        ins_q = inside[nxt]
+        # next-vertex inside flag: shift by one, ring ends wrap to their
+        # ring start (a copy, not a full fancy-index gather)
+        ins_q = np.empty_like(inside)
+        ins_q[:-1] = inside[1:]
+        ins_q[ends] = inside[starts[nonempty]]
         crossing = inside != ins_q
-        if not crossing.any() and inside.all():
-            continue
         # rings untouched by this half-plane (no crossing, all inside)
-        # must keep their ORIGINAL vertex order — the per-ring
-        # equivalent of the skip above; emitting q for them would
-        # rotate the ring by one depending on batch composition and
-        # break determinism across parallelism
-        dirty_seg = (np.bincount(seg_ids[crossing], minlength=n_seg) > 0) \
-            | (np.bincount(seg_ids[~inside], minlength=n_seg) > 0)
+        # must keep their ORIGINAL vertex order — emitting q for them
+        # would rotate the ring by one depending on batch composition
+        # and break determinism across parallelism. Any crossing implies
+        # a vertex outside in the same ring, so ~inside alone marks
+        # every touched ring.
+        dirty_seg = np.bincount(seg_ids[~inside], minlength=n_seg) > 0
         dirty = dirty_seg[seg_ids]
-        q = v[nxt]
-        denom = q[:, axis] - c
+        is_end = np.zeros(len(v), dtype=bool)
+        is_end[ends] = True
+        # intersect ONLY the crossing edges with the boundary line
+        ce = np.flatnonzero(crossing)
+        nxt_ce = np.where(is_end[ce], starts[seg_ids[ce]], ce + 1)
+        q_ce = v[nxt_ce]
+        c_ce = c[ce]
+        b_ce = b[ce]
+        denom = q_ce[:, axis] - c_ce
         with np.errstate(divide="ignore", invalid="ignore"):
-            t = np.where(denom != 0.0, (b - c) / denom, 0.0)
-        inter = v + t[:, None] * (q - v)
-        inter[:, axis] = b
+            t = np.where(denom != 0.0, (b_ce - c_ce) / denom, 0.0)
+        inter = v[ce] + t[:, None] * (q_ce - v[ce])
+        inter[:, axis] = b_ce              # exact on-boundary coordinate
         out_n = np.where(dirty,
                          crossing.astype(np.int64) + ins_q.astype(np.int64),
                          1)
         offs = np.cumsum(out_n) - out_n
-        out = np.empty((int(out_n.sum()), 2), dtype=np.float64)
+        out = np.empty((int(offs[-1] + out_n[-1]), 2), dtype=np.float64)
         out[offs[~dirty]] = v[~dirty]
-        out[offs[crossing & dirty]] = inter[crossing & dirty]
-        out[(offs + out_n - 1)[ins_q & dirty]] = q[ins_q & dirty]
+        out[offs[ce]] = inter              # crossing ⟹ dirty
+        iq = np.flatnonzero(ins_q & dirty)
+        nxt_iq = np.where(is_end[iq], starts[seg_ids[iq]], iq + 1)
+        out[(offs + out_n - 1)[iq]] = v[nxt_iq]
         new_seg = np.repeat(seg_ids, out_n)
         # rings shrunk below 3 vertices are degenerate: drop them now so
-        # later passes can't resurrect slivers from them
+        # later passes can't resurrect slivers from them (compaction
+        # only when one actually shrank)
         seg_n = np.bincount(new_seg, minlength=n_seg)
-        keep = seg_n[new_seg] >= 3
-        v, seg_ids = out[keep], new_seg[keep]
+        if ((seg_n > 0) & (seg_n < 3)).any():
+            keep = seg_n[new_seg] >= 3
+            v, seg_ids = out[keep], new_seg[keep]
+        else:
+            v, seg_ids = out, new_seg
     return v, np.bincount(seg_ids, minlength=n_seg)
 
 
@@ -425,14 +446,50 @@ def _n_cover_tiles(tx_of, ty_of) -> Column:
 _CLIP_OUT_T = "struct<lats:array<array<double>>,lons:array<array<double>>>"
 
 
+def _pack_batch(lats: pd.Series, lons: pd.Series, min_verts: int):
+    """Vectorized pack shared by both clip kinds: the whole Arrow
+    batch's vertex arrays as two flat float64 arrays plus per-geometry
+    sizes and surviving row indices (rows that are NULL or shorter than
+    ``min_verts`` drop here). One ``np.concatenate`` instead of a
+    per-row ``column_stack`` — the pack side of the measured per-pair
+    overhead."""
+    vals_la = lats.to_numpy(dtype=object, copy=False)
+    vals_lo = lons.to_numpy(dtype=object, copy=False)
+    sizes = np.fromiter((0 if x is None else len(x) for x in vals_la),
+                        np.int64, len(vals_la))
+    rows = np.flatnonzero(sizes >= min_verts)
+    if rows.size == 0:
+        return None
+    la_flat = np.concatenate([np.asarray(vals_la[r], dtype=np.float64)
+                              for r in rows])
+    lo_flat = np.concatenate([np.asarray(vals_lo[r], dtype=np.float64)
+                              for r in rows])
+    return la_flat, lo_flat, sizes[rows], rows
+
+
+def _row_bounds(zoom: int, tx: pd.Series, ty: pd.Series,
+                rows: np.ndarray) -> np.ndarray:
+    """(len(rows), 4) tile rectangles. Deliberately the scalar
+    :func:`tile_bounds_nano` per row: numpy's sinh/atan differ from
+    ``math``'s by 1 ulp on some inputs (measured), and the property
+    tests hold batch output bit-identical to the per-geometry oracle
+    that uses the scalar formulas."""
+    txv, tyv = tx.to_numpy(), ty.to_numpy()
+    return np.asarray([tile_bounds_nano(zoom, int(txv[r]), int(tyv[r]))
+                       for r in rows], dtype=np.float64)
+
+
 def _clip_udf(zoom: int, kind: str):
     """pandas_udf (lats, lons, tx, ty) → clipped parts as parallel
     nested double arrays (rings yield 0/1 parts, lines 0+). Arrow hands
-    each ``array<double>`` cell over as a numpy array, so the only
-    Python-level loop is per GEOMETRY — vertex work is numpy in
-    :func:`_clip_ring_np` / :func:`_clip_line_np` and C-level
-    ``tolist`` on the way out. Tile bounds derive from (tx, ty)
-    row-locally — the udf is stateless."""
+    each ``array<double>`` cell over as a numpy array; pack, clip and
+    unpack all run as flat numpy over the WHOLE batch
+    (:func:`_pack_batch`, :func:`_clip_rings_batch` /
+    :func:`_clip_lines_batch`, one gather + ``np.split``), so the only
+    per-row Python left is the tile-bounds formula (bit-exactness —
+    see :func:`_row_bounds`) and the output cell assignment. Output
+    cells are numpy views; Arrow serializes them as lists. Tile bounds
+    derive from (tx, ty) row-locally — the udf is stateless."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(_CLIP_OUT_T)
@@ -441,61 +498,63 @@ def _clip_udf(zoom: int, kind: str):
         n_rows = len(lats)
         o_lat: list = [[] for _ in range(n_rows)]
         o_lon: list = [[] for _ in range(n_rows)]
+        packed = _pack_batch(lats, lons, 3 if kind == "ring" else 2)
+        if packed is None:
+            return pd.DataFrame({"lats": pd.Series(o_lat),
+                                 "lons": pd.Series(o_lon)})
+        la_flat, lo_flat, sizes, rows = packed
         if kind == "ring":
-            # pack every ring of the Arrow batch into one flat array and
-            # clip them all together (_clip_rings_batch) — the per-pair
-            # loop here only slices results back out
-            arrs, seg_rows, bounds = [], [], []
-            for i, (la, lo, x, y) in enumerate(zip(lats, lons, tx, ty)):
-                if la is None or len(la) < 3:
-                    continue
-                pts = np.column_stack([np.asarray(la, dtype=np.float64),
-                                       np.asarray(lo, dtype=np.float64)])
-                if (pts[0] == pts[-1]).all():
-                    pts = pts[:-1]           # open form for SH
-                if len(pts) < 3:
-                    continue
-                arrs.append(pts)
-                seg_rows.append(i)
-                bounds.append(tile_bounds_nano(zoom, int(x), int(y)))
-            if arrs:
-                flat = np.concatenate(arrs)
-                seg_ids = np.repeat(np.arange(len(arrs)),
-                                    [len(a) for a in arrs])
+            # open form for SH: trim the closing duplicate vertex, then
+            # re-drop rings that fell below 3 vertices — all as masks
+            starts = np.cumsum(sizes) - sizes
+            ends = starts + sizes - 1
+            closed = (la_flat[starts] == la_flat[ends]) \
+                & (lo_flat[starts] == lo_flat[ends])
+            open_sizes = sizes - closed
+            keep_row = open_sizes >= 3
+            vkeep = np.repeat(keep_row, sizes)
+            vkeep[ends[closed]] = False
+            flat = np.column_stack([la_flat[vkeep], lo_flat[vkeep]])
+            seg_rows = rows[keep_row]
+            n_seg = len(seg_rows)
+            if n_seg:
+                seg_ids = np.repeat(np.arange(n_seg), open_sizes[keep_row])
                 out, seg_n = _clip_rings_batch(
-                    flat, seg_ids, len(arrs),
-                    np.asarray(bounds, dtype=np.float64))
-                starts = np.concatenate(([0], np.cumsum(seg_n)[:-1]))
-                for j, i in enumerate(seg_rows):
-                    if seg_n[j] < 3:
-                        continue
-                    ring = out[starts[j]:starts[j] + seg_n[j]]
-                    ring = np.concatenate([ring, ring[:1]])   # re-close
-                    o_lat[i] = [ring[:, 0].tolist()]
-                    o_lon[i] = [ring[:, 1].tolist()]
+                    flat, seg_ids, n_seg,
+                    _row_bounds(zoom, tx, ty, seg_rows))
+                starts_o = np.cumsum(seg_n) - seg_n
+                kept = np.flatnonzero(seg_n >= 3)
+                if kept.size:
+                    # re-close every surviving ring in one flat gather:
+                    # vertex j of ring k reads out[start_k + j mod n_k]
+                    ks = seg_n[kept]
+                    new_sizes = ks + 1
+                    offs_new = np.cumsum(new_sizes) - new_sizes
+                    within = np.arange(int(new_sizes.sum())) \
+                        - np.repeat(offs_new, new_sizes)
+                    gidx = np.repeat(starts_o[kept], new_sizes) \
+                        + within % np.repeat(ks, new_sizes)
+                    closed_flat = out[gidx]
+                    cuts = np.cumsum(new_sizes)[:-1]
+                    la_parts = np.split(closed_flat[:, 0], cuts)
+                    lo_parts = np.split(closed_flat[:, 1], cuts)
+                    for j, k in enumerate(kept):
+                        i = seg_rows[k]
+                        o_lat[i] = [la_parts[j]]
+                        o_lon[i] = [lo_parts[j]]
         else:
-            arrs, seg_rows, bounds = [], [], []
-            for i, (la, lo, x, y) in enumerate(zip(lats, lons, tx, ty)):
-                if la is None or len(la) < 2:
-                    continue
-                arrs.append(np.column_stack(
-                    [np.asarray(la, dtype=np.float64),
-                     np.asarray(lo, dtype=np.float64)]))
-                seg_rows.append(i)
-                bounds.append(tile_bounds_nano(zoom, int(x), int(y)))
-            if arrs:
-                flat = np.concatenate(arrs)
-                seg_ids = np.repeat(np.arange(len(arrs)),
-                                    [len(a) for a in arrs])
-                out, sizes, part_rows = _clip_lines_batch(
-                    flat, seg_ids, len(arrs),
-                    np.asarray(bounds, dtype=np.float64))
-                offs = np.cumsum(sizes) - sizes
-                for o, s_, j in zip(offs, sizes, part_rows):
-                    i = seg_rows[j]
-                    part = out[o:o + s_]
-                    o_lat[i].append(part[:, 0].tolist())
-                    o_lon[i].append(part[:, 1].tolist())
+            flat = np.column_stack([la_flat, lo_flat])
+            seg_ids = np.repeat(np.arange(len(rows)), sizes)
+            out, psizes, part_rows = _clip_lines_batch(
+                flat, seg_ids, len(rows), _row_bounds(zoom, tx, ty, rows))
+            if len(psizes):
+                cuts = np.cumsum(psizes)[:-1]
+                la_parts = np.split(out[:, 0], cuts)
+                lo_parts = np.split(out[:, 1], cuts)
+                for j, seg in enumerate(part_rows):
+                    i = rows[seg]
+                    o_lat[i].append(la_parts[j])
+                    o_lon[i].append(lo_parts[j])
         return pd.DataFrame({"lats": pd.Series(o_lat),
                              "lons": pd.Series(o_lon)})
     return _udf
