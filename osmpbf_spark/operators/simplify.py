@@ -118,6 +118,17 @@ def simplify_udf(epsilon_nano: float):
                 continue
             la = np.asarray(la, dtype=np.float64)
             lo = np.asarray(lo, dtype=np.float64)
+            # loud contract: a NULL vertex (null struct or null field —
+            # both arrive as NaN after the double cast) would silently
+            # collapse the geometry to its endpoints under DP's NaN
+            # comparisons. The engine's builders (way_polylines,
+            # multipolygon_rings) quarantine unresolved refs upstream,
+            # so NaN here means caller-constructed bad input — raise,
+            # matching the quarantine-don't-guess rule everywhere else.
+            if np.isnan(la).any() or np.isnan(lo).any():
+                raise ValueError(
+                    "simplify_geometry: NULL vertex inside geometry "
+                    "(unresolved ref?) — filter null vertices first")
             keep = dp_mask(lo, la, eps)    # xs = lon, ys = lat
             o_lat.append(la[keep])
             o_lon.append(lo[keep])

@@ -91,3 +91,19 @@ def test_spark_surface_rowlocal_and_null(spark):
     assert got[2] is None
     assert [tuple(p) for p in got[3]] == [(5, 5)]
     assert [tuple(p) for p in got[1]] == [(0, 0), (0, 1000), (1000, 2000)]
+
+
+def test_null_vertex_raises_loudly(spark):
+    """A NULL vertex inside a geometry (null struct or null field) must
+    raise, not silently collapse to endpoints — the same
+    quarantine-don't-guess contract as way_polylines /
+    multipolygon_rings (which filter such ways before building
+    arrays)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    rows = [(1, [_pt(0, 0), None, _pt(0, 1000), _pt(1000, 2000)])]
+    df = spark.createDataFrame(
+        rows, "id long, line array<struct<lat_nano:bigint,lon_nano:bigint>>")
+    with pytest.raises(PythonException, match="NULL vertex"):
+        df.select(simplify_geometry("line", 10.0).alias("s")).collect()
