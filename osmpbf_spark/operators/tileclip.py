@@ -349,14 +349,21 @@ def _cover_exprs(zoom: int, geom_col: str):
                         mn=-MAX_MERC_LAT, mx=MAX_MERC_LAT, n=n)
         return f"least(greatest(CAST(floor({m}) AS INT), 0), {n - 1})"
 
+    # nullv rides the SAME fold as the bbox (zero marginal array pass):
+    # true when any vertex is a null struct or has a null field. least/
+    # greatest SKIP nulls, so without it a null-lat vertex would still
+    # widen the lon range (measured: one null-lat lon=5 vertex dragged
+    # 8 spurious cover tiles in) and NaN would reach the clip math.
     agg = (f"aggregate({geom_col}, "
            f"struct(CAST(9223372036854775807 AS BIGINT) "
            f"AS mnla, CAST(-9223372036854775808 AS BIGINT) AS mxla, "
            f"CAST(9223372036854775807 AS BIGINT) AS mnlo, "
-           f"CAST(-9223372036854775808 AS BIGINT) AS mxlo), "
+           f"CAST(-9223372036854775808 AS BIGINT) AS mxlo, "
+           f"false AS nullv), "
            f"(acc, v) -> struct(least(acc.mnla, v.lat_nano), "
            f"greatest(acc.mxla, v.lat_nano), least(acc.mnlo, v.lon_nano), "
-           f"greatest(acc.mxlo, v.lon_nano)))")
+           f"greatest(acc.mxlo, v.lon_nano), "
+           f"acc.nullv OR v.lat_nano IS NULL OR v.lon_nano IS NULL))")
     return agg, tx_of, ty_of
 
 
@@ -375,13 +382,15 @@ def _wrap_suspect(tx_of, zoom: int) -> Column:
 def covering_overflow(df: DataFrame, *, zoom: int, geom_col: str = "ring",
                       max_tiles: int | None = None) -> DataFrame:
     """The loud companion of the :func:`covering_tiles` defenses: the
-    geometries the wrap defense (and the optional ``max_tiles`` cap)
-    EXCLUDED from the cut, with their bbox and cover-tile count
-    (``n_tiles``). A non-empty result means antimeridian-crossing or
-    corrupt geometry reached the tiler — split it at ±180 upstream
-    (the established OSM practice), don't raise the cap blindly."""
+    geometries the wrap defense, the null-vertex defense, and the
+    optional ``max_tiles`` cap EXCLUDED from the cut, with their bbox
+    and cover-tile count (``n_tiles``); the ``nullv`` output column
+    says which exclusions were null-vertex geometry. A non-empty result
+    means antimeridian-crossing or corrupt geometry reached the tiler —
+    split it at ±180 / resolve or drop null vertices upstream (the
+    established OSM practice), don't raise the cap blindly."""
     agg, tx_of, ty_of = _cover_exprs(zoom, geom_col)
-    excluded = _wrap_suspect(tx_of, zoom)
+    excluded = _wrap_suspect(tx_of, zoom) | F.col("_bb.nullv")
     if max_tiles is not None:
         excluded = excluded | (_n_cover_tiles(tx_of, ty_of) > max_tiles)
     return (df.filter(F.expr(f"size({geom_col}) > 0"))
@@ -399,8 +408,8 @@ def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
     (zoom, tx, ty). Pure JVM: bbox via flat min/max aggregates over the
     array, corner→tile via the slippy formulas, then
     ``explode(sequence)`` twice — output linear in tiles touched.
-    ``keep_bbox`` retains the ``_bb`` struct (mnla, mxla, mnlo, mxlo)
-    for downstream fully-inside routing.
+    ``keep_bbox`` retains the ``_bb`` struct (mnla, mxla, mnlo, mxlo,
+    nullv) for downstream fully-inside routing.
 
     Degenerate-geometry defenses (the same loud-cap idiom as the LSH
     bucket cap — ONE antimeridian-crossing way whose raw lon range
@@ -412,15 +421,24 @@ def covering_tiles(df: DataFrame, *, zoom: int, geom_col: str = "ring",
       (a fraction of the axis, never a tile count), so it cannot bite
       legitimately large features at high zoom the way a constant
       tile-count cap would;
+    - null-vertex defense (always on, detected inside the same bbox
+      fold — zero extra array pass): a geometry containing a null
+      struct or null lat/lon field is excluded — a null FIELD would
+      otherwise poison the bbox (least/greatest skip nulls, so the
+      non-null field still widens it) and feed NaN to the clip, while
+      a null STRUCT would ride the fully-inside JVM route through
+      unchanged. Quarantined, not guessed — same contract as
+      ``way_polylines`` upstream and the ``simplify_geometry`` raise;
     - ``max_tiles`` (default off) additionally bounds the absolute
       cover size per geometry for memory-budgeted runs.
 
     Audit exclusions with :func:`covering_overflow`; the upstream fix
     is splitting antimeridian geometries at ±180 (established OSM
-    practice)."""
+    practice) and resolving or dropping null vertices."""
     agg, tx_of, ty_of = _cover_exprs(zoom, geom_col)
     out = (df.filter(F.expr(f"size({geom_col}) > 0"))
-           .withColumn("_bb", F.expr(agg)))
+           .withColumn("_bb", F.expr(agg))
+           .filter(~F.col("_bb.nullv")))
     if wrap_defense:
         out = out.filter(~_wrap_suspect(tx_of, zoom))
     if max_tiles is not None:

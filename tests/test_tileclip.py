@@ -399,6 +399,31 @@ def test_empty_and_null_geometries_skipped(spark):
     assert clip_to_tiles(df, zoom=4).count() == 0
 
 
+def test_null_vertex_defense_and_overflow_audit(spark):
+    """A geometry with a NULL vertex (null struct or null lat/lon
+    field) is EXCLUDED from the cut, not guessed: a null field would
+    otherwise poison the bbox (the non-null field still widens it —
+    measured 8 spurious cover tiles from one vertex) and push NaN
+    through the clip; a null struct would ride the fully-inside JVM
+    route through unchanged. covering_overflow audits both."""
+    from osmpbf_spark.operators.tileclip import covering_overflow
+    good = _ring([(10 * B, 10 * B), (11 * B, 10 * B),
+                  (11 * B, 11 * B), (10 * B, 10 * B)])
+    null_struct = [good[0], None, good[2], good[0]]
+    null_field = [good[0], {"lat_nano": None, "lon_nano": 5},
+                  good[2], good[0]]
+    df = spark.createDataFrame(
+        [("good", good), ("nstruct", null_struct), ("nfield", null_field)],
+        f"feature_id string, ring {GEOM_T}")
+    cov = covering_tiles(df, zoom=8)
+    assert sorted({r["feature_id"] for r in cov.collect()}) == ["good"]
+    cut = clip_to_tiles(df, zoom=8, kind="ring")
+    assert sorted({r["feature_id"] for r in cut.collect()}) == ["good"]
+    over = covering_overflow(df, zoom=8).collect()
+    assert sorted(r["feature_id"] for r in over) == ["nfield", "nstruct"]
+    assert all(r["nullv"] for r in over)
+
+
 def test_clip_kind_validated(spark, square_df):
     with pytest.raises(ValueError):
         clip_to_tiles(square_df, zoom=4, kind="polygon")
