@@ -71,10 +71,32 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
 
     Antimeridian-crossing rings (max-lon − min-lon > 180°) are handled by
     :func:`split_antimeridian` — call it first (``pip_join`` does);
-    ``polygon_cover`` itself still assumes x does not wrap."""
+    ``polygon_cover`` itself still assumes x does not wrap.
+
+    Raises on rings containing NULL vertices (null struct or null
+    lat/lon field): they would silently corrupt both the bbox cover
+    and the ray cast's crossing parity — quarantined, not guessed."""
+    # one scalar probe over the broadcast-small polygon side serves two
+    # jobs: the tight="auto" edge-count decision AND a loud null-vertex
+    # gate. A null struct or null lat/lon field would otherwise be
+    # SILENTLY WRONG downstream twice over — least/greatest skip nulls
+    # so the vertex's other field still widens the bbox (spurious cover
+    # cells), and the exact ray cast's IF(null, ...) takes the else
+    # branch, corrupting the crossing parity. Same quarantine-don't-
+    # guess contract as covering_tiles / simplify_geometry; polygons
+    # are small by contract, so the extra action is one tiny job per
+    # cover build (memoized by cover_for).
+    chk = polygons.agg(
+        F.max(F.size("ring")).alias("m"),
+        F.sum(F.expr("CAST(exists(ring, v -> v.lat_nano IS NULL "
+                     "OR v.lon_nano IS NULL) AS INT)")).alias("nullv")
+    ).first()
+    if chk["nullv"]:
+        raise ValueError(
+            f"polygon_cover: {chk['nullv']} polygon(s) contain NULL "
+            "vertices (unresolved ref?) — resolve or drop them first")
     if tight == "auto":
-        m = polygons.agg(F.max(F.size("ring")).alias("m")).first()["m"]
-        tight = (m or 0) > 5          # closed ring: 5 verts == 4 edges
+        tight = (chk["m"] or 0) > 5   # closed ring: 5 verts == 4 edges
     n = 1 << res
     # ring-content key: antimeridian-split copies share poly_id but must
     # NOT pool their edges in the scanline band join (pooled min/max

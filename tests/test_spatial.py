@@ -470,3 +470,25 @@ def test_way_geometry_stats_partitioning_independent(spark):
         rep = sorted(tuple(r) for r in
                      way_geometry_stats(el.repartition(n)).collect())
         assert rep == base, f"repartition({n}) changed the stats"
+
+
+def test_polygon_cover_rejects_null_vertices(spark):
+    """A ring with a NULL vertex (null struct or null field) must raise
+    at the cover build, not silently corrupt the bbox (least/greatest
+    skip nulls) and the ray cast's parity (IF(null, ...) takes the
+    else branch) — the same quarantine-don't-guess contract as the
+    tile cover's nullv defense and the simplify_geometry raise."""
+    from osmpbf_spark.operators.pip import POLYGONS_DDL, polygon_cover
+    B = 10**9
+    good = [{"lat_nano": 0, "lon_nano": 0}, {"lat_nano": B, "lon_nano": 0},
+            {"lat_nano": B, "lon_nano": B}, {"lat_nano": 0, "lon_nano": 0}]
+    for bad_vertex in (None, {"lat_nano": None, "lon_nano": 5}):
+        bad = [good[0], bad_vertex, good[2], good[0]]
+        df = spark.createDataFrame(
+            [("ok", good), ("bad", bad)], POLYGONS_DDL)
+        with pytest.raises(ValueError, match="NULL"):
+            polygon_cover(df, res=6)
+    # clean polygons still build
+    assert polygon_cover(
+        spark.createDataFrame([("ok", good)], POLYGONS_DDL),
+        res=6).count() > 0
