@@ -190,6 +190,19 @@ class Engine:
                                   id_col=id_col, extent=extent,
                                   simplify=simplify, max_tiles=max_tiles)
 
+    def polygon_join(self, zones: DataFrame, *, res: int | None = None,
+                     **kwargs) -> DataFrame:
+        """This file's assembled multipolygon OUTER rings ⋈ a
+        broadcast-small ``zones`` polygon layer → (left_id =
+        '<relation_id>/<ring_id>', right_id = zone poly_id, relation)
+        for every intersecting pair (``operators.polyjoin``)."""
+        from .functions.grid import GRID_RES_COARSE
+        from .operators.multipolygon import rings_as_polygons
+        from .operators.polyjoin import polygon_intersects_join
+        areas = rings_as_polygons(self.multipolygons(**kwargs), "outer")
+        return polygon_intersects_join(areas, zones,
+                                       res=res or GRID_RES_COARSE)
+
     def pip_multipolygon(self, *, rings: DataFrame | None = None,
                          res: int | None = None, **kwargs) -> DataFrame:
         """This file's nodes against assembled multipolygons (holes

@@ -221,32 +221,32 @@ def split_antimeridian(polygons: DataFrame) -> DataFrame:
 
 
 # Exact even-odd ray cast as a Catalyst expression. px/py are point
-# lon/lat nanodegrees; ring is array<struct<lat_nano,lon_nano>>.
-# Cross product in DECIMAL(38,0): |values| < 4e11, products < 1.6e23 —
-# exact within 38 digits.
+# lon/lat nanodegrees; {ring} is an array<struct<lat_nano,lon_nano>>
+# column. Cross product in DECIMAL(38,0): |values| < 4e11, products
+# < 1.6e23 — exact within 38 digits.
 _RAY_CAST = """
 (
   aggregate(
-    sequence(1, size(ring) - 1),
+    sequence(1, size({ring}) - 1),
     0L,
     (acc, i) -> acc + IF(
-      (element_at(ring, i).lat_nano >  {py}) !=
-      (element_at(ring, i + 1).lat_nano > {py})
+      (element_at({ring}, i).lat_nano >  {py}) !=
+      (element_at({ring}, i + 1).lat_nano > {py})
       AND (
-        CASE WHEN element_at(ring, i + 1).lat_nano >
-                  element_at(ring, i).lat_nano
-        THEN (CAST({px} - element_at(ring, i).lon_nano AS DECIMAL(38,0)) *
-              CAST(element_at(ring, i + 1).lat_nano -
-                   element_at(ring, i).lat_nano AS DECIMAL(38,0)))
-           < (CAST(element_at(ring, i + 1).lon_nano -
-                   element_at(ring, i).lon_nano AS DECIMAL(38,0)) *
-              CAST({py} - element_at(ring, i).lat_nano AS DECIMAL(38,0)))
-        ELSE (CAST({px} - element_at(ring, i).lon_nano AS DECIMAL(38,0)) *
-              CAST(element_at(ring, i + 1).lat_nano -
-                   element_at(ring, i).lat_nano AS DECIMAL(38,0)))
-           > (CAST(element_at(ring, i + 1).lon_nano -
-                   element_at(ring, i).lon_nano AS DECIMAL(38,0)) *
-              CAST({py} - element_at(ring, i).lat_nano AS DECIMAL(38,0)))
+        CASE WHEN element_at({ring}, i + 1).lat_nano >
+                  element_at({ring}, i).lat_nano
+        THEN (CAST({px} - element_at({ring}, i).lon_nano AS DECIMAL(38,0)) *
+              CAST(element_at({ring}, i + 1).lat_nano -
+                   element_at({ring}, i).lat_nano AS DECIMAL(38,0)))
+           < (CAST(element_at({ring}, i + 1).lon_nano -
+                   element_at({ring}, i).lon_nano AS DECIMAL(38,0)) *
+              CAST({py} - element_at({ring}, i).lat_nano AS DECIMAL(38,0)))
+        ELSE (CAST({px} - element_at({ring}, i).lon_nano AS DECIMAL(38,0)) *
+              CAST(element_at({ring}, i + 1).lat_nano -
+                   element_at({ring}, i).lat_nano AS DECIMAL(38,0)))
+           > (CAST(element_at({ring}, i + 1).lon_nano -
+                   element_at({ring}, i).lon_nano AS DECIMAL(38,0)) *
+              CAST({py} - element_at({ring}, i).lat_nano AS DECIMAL(38,0)))
         END
       ), 1L, 0L)
   ) % 2 = 1
@@ -254,10 +254,12 @@ _RAY_CAST = """
 """
 
 
-def point_in_ring_expr(px: str, py: str):
-    """Exact even-odd test of point (lon=px, lat=py) against column
-    ``ring`` — usable anywhere a boolean Catalyst expression fits."""
-    return F.expr(_RAY_CAST.format(px=px, py=py))
+def point_in_ring_expr(px: str, py: str, ring: str = "ring"):
+    """Exact even-odd test of point (lon=px, lat=py) against the ring
+    column named ``ring`` — usable anywhere a boolean Catalyst
+    expression fits (``operators/polyjoin.py`` aims it at each side of
+    a polygon pair)."""
+    return F.expr(_RAY_CAST.format(px=px, py=py, ring=ring))
 
 
 _COVER_CACHE: list[tuple[DataFrame, int, object, DataFrame]] = []

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Polygon↔polygon intersects join bench: N building squares × M zone
+squares with EXACT analytic expectations.
+
+Synthesizes N small "building" rings on a G×G grid and M large "zone"
+rings on a Z×Z grid over a 0..50° window. Both layers are axis-aligned
+squares, so ground truth is pure interval arithmetic:
+
+  intersects          ⇔ |bx−zx| ≤ hb+hz on both axes (touch counts),
+  left_within_right   ⇔ |bx−zx| < hz−hb on both axes,
+  edges_cross         ⇔ intersects and not strictly inside.
+
+The run FAILS (not just times) unless the join's total pair count and
+its per-relation counts equal the analytic values exactly.
+
+Usage: python tools/polyjoin_bench.py [--buildings 1000000] [--zones 2500]
+Scaling evidence: run twice under taskset with --cpus 4 / 16 (the
+repo's pinned N→4N protocol, BENCH_SCALING.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from osmpbf_spark.operators.polyjoin import (  # noqa: E402
+    polygon_intersects_join,
+)
+from osmpbf_spark.session import get_spark  # noqa: E402
+
+B = 1_000_000_000
+WINDOW = 50 * B  # 0..50° in both axes
+
+RING = ("array(struct({y0} AS lat_nano, {x0} AS lon_nano), "
+        "struct({y0} AS lat_nano, {x1} AS lon_nano), "
+        "struct({y1} AS lat_nano, {x1} AS lon_nano), "
+        "struct({y1} AS lat_nano, {x0} AS lon_nano), "
+        "struct({y0} AS lat_nano, {x0} AS lon_nano))")
+
+
+def _squares(spark, n_side: int, pitch: int, half: int, prefix: str,
+             n_cap: int):
+    """n_side² axis-aligned squares, centers on a pitch grid."""
+    df = (spark.range(min(n_side * n_side, n_cap)).select(
+        F.concat(F.lit(prefix), F.col("id")).alias("poly_id"),
+        ((F.col("id") % n_side) * pitch + pitch // 2).alias("cx"),
+        ((F.col("id") / n_side).cast("long") * pitch + pitch // 2)
+        .alias("cy")))
+    ring = RING.format(x0=f"cx - {half}L", x1=f"cx + {half}L",
+                       y0=f"cy - {half}L", y1=f"cy + {half}L")
+    return df.select("poly_id", F.expr(ring).alias("ring"))
+
+
+def _hits(n_b: int, bp: int, gz: int, zp: int, lim: int, closed: bool):
+    """(gz, n_b) boolean: zone j within ``lim`` of building i on one
+    axis (closed or open comparison)."""
+    bi = np.arange(n_b, dtype=np.int64) * bp + bp // 2
+    zj = (np.arange(gz, dtype=np.int64) * zp + zp // 2)[:, None]
+    d = np.abs(bi[None, :] - zj)
+    return d <= lim if closed else d < lim
+
+
+def expected_counts(gb: int, bp: int, hb: int, gz: int, zp: int, hz: int,
+                    n_buildings: int):
+    """Exact (total, within) over the capped building set: buildings
+    are the FIRST ``n_buildings`` ids of the gb×gb grid (full rows
+    iy < n // gb plus a partial row of ``rem`` columns). Zones fill
+    their full gz×gz grid. Axis-aligned squares ⇒ pair count =
+    Σ_{zone (jx,jy)} xcnt(jx)·ycnt(jy), which factorizes per block."""
+    full_rows, rem = n_buildings // gb, n_buildings % gb
+
+    def _tot(lim, closed):
+        hx = _hits(gb, bp, gz, zp, lim, closed)       # zones × building-x
+        hy = _hits(gb, bp, gz, zp, lim, closed)       # zones × building-y
+        full = int(hx.sum(axis=1).sum()) * \
+            int(hy[:, :full_rows].sum())
+        part = 0
+        if rem:
+            part = int(hx[:, :rem].sum()) * int(hy[:, full_rows].sum())
+        return full + part
+
+    total = _tot(hb + hz, True)
+    within = _tot(hz - hb, False)
+    return total, within
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buildings", type=int, default=1_000_000)
+    ap.add_argument("--zones", type=int, default=2_500)
+    ap.add_argument("--res", type=int, default=12)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    gb = int(args.buildings ** 0.5 + 0.999999)
+    gz = int(args.zones ** 0.5 + 0.999999)
+    bp, zp = WINDOW // gb, WINDOW // gz
+    hb = max(bp // 5, 1)          # building half-side
+    # zone half-side ≈ 0.45·pitch, SNAPPED onto the building-center
+    # lattice (m·bp + bp/2) so zone boundaries pass exactly through a
+    # column of building centers — edges_cross rows are guaranteed by
+    # construction at every size (a free 0.45·zp can phase-align the
+    # inter-building gaps with the boundaries and yield 0 crossings, as
+    # the default 1M×2.5k shape did: band width 2·hb < lattice pitch bp)
+    hz = (int(zp * 0.45) // bp) * bp + bp // 2
+    assert hz > hb, "zones must out-size buildings for 'within' rows"
+
+    spark = get_spark("polyjoin-bench", master=f"local[{args.cpus}]",
+                      shuffle_partitions=max(args.cpus, 32))
+    buildings = (_squares(spark, gb, bp, hb, "b", args.buildings)
+                 .repartition(max(args.cpus * 2, 32)).persist())
+    n_b = buildings.count()
+    # zones always fill their full gz×gz grid (the analytic count
+    # assumes it); --zones is a target, the square below it is used
+    zones = _squares(spark, gz, zp, hz, "z", gz * gz).persist()
+    n_z = zones.count()
+
+    exp_total, exp_within = expected_counts(gb, bp, hb, gz, zp, hz, n_b)
+
+    t0 = time.time()
+    out = (polygon_intersects_join(buildings, zones, res=args.res)
+           .groupBy("relation").count().collect())
+    wall = time.time() - t0
+    got = {r["relation"]: r["count"] for r in out}
+    total = sum(got.values())
+    ok = (total == exp_total
+          and got.get("left_within_right", 0) == exp_within
+          and got.get("edges_cross", 0) == exp_total - exp_within
+          and "right_within_left" not in got
+          # the shape must exercise BOTH the containment ray cast and
+          # the edge×edge refine, or the bench measures nothing
+          and exp_within > 0 and exp_total > exp_within)
+    print(json.dumps({
+        "buildings": n_b, "zones": n_z, "cpus": args.cpus,
+        "res": args.res, "wall_sec": round(wall, 2),
+        "pairs": total, "pairs_per_sec": round(total / wall),
+        "buildings_per_sec": round(n_b / wall),
+        "relations": got,
+        "expected": {"total": exp_total, "within": exp_within},
+        "correct": ok,
+    }))
+    if not ok:
+        sys.exit(1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
