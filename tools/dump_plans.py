@@ -336,6 +336,28 @@ def main():
         "groupBy(zoom, tx, ty) — the at-rest tile-store partitioning.",
         fmt_exec(vt, max_lines=44)))
 
+    from osmpbf_spark.operators.pip import make_polygons
+    from osmpbf_spark.operators.polyjoin import polygon_intersects_join
+
+    def _sq(clat, clon, h):
+        return [(clat - h, clon - h), (clat - h, clon + h),
+                (clat + h, clon + h), (clat + h, clon - h),
+                (clat - h, clon - h)]
+    pj = polygon_intersects_join(
+        make_polygons(spark, [(f"l{i}", _sq(i * B9, 0, B9))
+                              for i in range(6)]),
+        make_polygons(spark, [("r0", _sq(0, 0, 3 * B9))]))
+    pj.collect()
+    sections.append((
+        "Polygon-polygon intersects join (cover candidates + exact refine)",
+        "both covers and the candidate cell join BROADCAST the small "
+        "zone side (two BroadcastHashJoins, no BNLJ/cartesian anywhere); "
+        "the left rings shuffle once on id to meet their candidates; "
+        "the edge-pair refine is a codegen'd JVM HOF over exact "
+        "DECIMAL(38,0) predicates; the final (left_id, right_id) "
+        "groupBy carries only bare ids + a 1-byte ord.",
+        fmt_exec(pj, max_lines=44)))
+
     out = ["# PLANS — physical plans of the flagship operators",
            "",
            "Regenerate with `python tools/dump_plans.py`. These are the "
