@@ -120,8 +120,10 @@ class Engine:
     # -- spatial layer ------------------------------------------------------
     def indexed_nodes(self, *, res: int | None = None, **kwargs) -> DataFrame:
         from .functions.grid import GRID_RES_FINE, with_grid_cells
+        # `res if res is not None`: res=0 (one whole-world cell) is a
+        # legal grid resolution and must not coerce to the default
         return with_grid_cells(self.nodes(**kwargs),
-                               res=res or GRID_RES_FINE)
+                               res=res if res is not None else GRID_RES_FINE)
 
     def pip_join(self, polygons: DataFrame, **kwargs) -> DataFrame:
         from .operators.pip import pip_join
@@ -200,8 +202,8 @@ class Engine:
         from .operators.multipolygon import rings_as_polygons
         from .operators.polyjoin import polygon_intersects_join
         areas = rings_as_polygons(self.multipolygons(**kwargs), "outer")
-        return polygon_intersects_join(areas, zones,
-                                       res=res or GRID_RES_COARSE)
+        return polygon_intersects_join(
+            areas, zones, res=res if res is not None else GRID_RES_COARSE)
 
     def pip_multipolygon(self, *, rings: DataFrame | None = None,
                          res: int | None = None, **kwargs) -> DataFrame:
@@ -209,7 +211,7 @@ class Engine:
         subtracted): (id, relation_id)."""
         from .functions.grid import GRID_RES_FINE
         from .operators.multipolygon import pip_multipolygon
-        res = res or GRID_RES_FINE
+        res = res if res is not None else GRID_RES_FINE
         if rings is None:
             rings = self.multipolygons()
         return pip_multipolygon(self.indexed_nodes(res=res), rings,

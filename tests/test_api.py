@@ -29,3 +29,24 @@ def test_engine_facade(spark):
     # the fixture relation is not type=multipolygon → no rings
     assert eng.multipolygons().count() == 0
     assert eng.pip_multipolygon().count() == 0
+
+
+def test_res_zero_not_coerced(spark):
+    """res=0 (one whole-world cell) is a legal grid resolution; the
+    facade must not falsy-coerce it to the default (code-review r5:
+    `res or GRID_RES_FINE` silently ran res=12/13 instead)."""
+    eng = Engine.from_pbf_bytes(spark, "t0",
+                                fixture_file_bytes("zlib_dense"))
+    idx0 = eng.indexed_nodes(res=0, broadcast_media=True)
+    # at res 0 the cell id is res*RES_SHIFT + x*Y_SHIFT + y == 0 for
+    # every point; at the coerced default it never is
+    assert idx0.filter("cell = 0").count() == 3
+    assert eng.indexed_nodes(broadcast_media=True) \
+        .filter("cell = 0").count() == 0
+    # the other two facade sites accept res=0 without coercion too
+    # (empty fixture geometry → empty results, but the path must run)
+    assert eng.pip_multipolygon(res=0).count() == 0
+    from osmpbf_spark.operators.pip import make_polygons
+    zone = make_polygons(spark, [("z", [(0, 0), (0, 10**9),
+                                        (10**9, 10**9), (0, 0)])])
+    assert eng.polygon_join(zone, res=0).count() == 0
