@@ -37,6 +37,39 @@ POLYGONS_DDL = ("poly_id string, "
                 "ring array<struct<lat_nano:bigint,lon_nano:bigint>>")
 
 
+def ring_bounds_sql(ring: str = "ring", id_col: str = "poly_id") -> str:
+    """Sentinel-initialized min/max lat/lon fold over a ring column —
+    the ONE bbox fold shared by :func:`polygon_cover` and
+    ``polyjoin._ring_side`` (code-review r5: two textually-diverging
+    copies of this SQL existed; a fix applied to one would miss the
+    other). Fields: ``min_lat, max_lat, min_lon, max_lon``.
+
+    NULL-vertex defense rides INSIDE the fold: LEAST/GREATEST skip
+    nulls, so a null struct or null lat/lon field would silently
+    corrupt the bbox (the vertex's other field still widens it) and
+    everything downstream of it — instead the first LEAST's argument
+    gates every vertex and ``raise_error``s executor-side, during
+    whatever job first evaluates the fold, at zero extra scan or
+    action. This is what lets callers with an UNBOUNDED polygon side
+    (``polyjoin``'s left layer) skip the driver-side probe entirely
+    (code-review r5: the probe full-scanned the left table once just
+    to check for nulls, then the real job scanned it again)."""
+    gate = (f"IF(v.lat_nano IS NULL OR v.lon_nano IS NULL, "
+            f"raise_error(concat('NULL vertex in ring of polygon ', "
+            f"CAST({id_col} AS STRING), "
+            f"' (unresolved ref?) - resolve or drop it first')), "
+            f"v.lat_nano)")
+    return (f"aggregate({ring}, struct("
+            "CAST(9223372036854775807 AS BIGINT) AS min_lat, "
+            "CAST(-9223372036854775808 AS BIGINT) AS max_lat, "
+            "CAST(9223372036854775807 AS BIGINT) AS min_lon, "
+            "CAST(-9223372036854775808 AS BIGINT) AS max_lon), "
+            f"(acc, v) -> struct(LEAST(acc.min_lat, {gate}), "
+            "GREATEST(acc.max_lat, v.lat_nano), "
+            "LEAST(acc.min_lon, v.lon_nano), "
+            "GREATEST(acc.max_lon, v.lon_nano)))")
+
+
 def make_polygons(spark, rows) -> DataFrame:
     """rows: [(poly_id, [(lat_nano, lon_nano), ...])] — ring must be closed
     (first == last vertex)."""
@@ -75,27 +108,30 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
 
     Raises on rings containing NULL vertices (null struct or null
     lat/lon field): they would silently corrupt both the bbox cover
-    and the ray cast's crossing parity — quarantined, not guessed."""
-    # one scalar probe over the broadcast-small polygon side serves two
-    # jobs: the tight="auto" edge-count decision AND a loud null-vertex
-    # gate. A null struct or null lat/lon field would otherwise be
-    # SILENTLY WRONG downstream twice over — least/greatest skip nulls
-    # so the vertex's other field still widens the bbox (spurious cover
-    # cells), and the exact ray cast's IF(null, ...) takes the else
-    # branch, corrupting the crossing parity. Same quarantine-don't-
-    # guess contract as covering_tiles / simplify_geometry; polygons
-    # are small by contract, so the extra action is one tiny job per
-    # cover build (memoized by cover_for).
-    chk = polygons.agg(
-        F.max(F.size("ring")).alias("m"),
-        F.sum(F.expr("CAST(exists(ring, v -> v.lat_nano IS NULL "
-                     "OR v.lon_nano IS NULL) AS INT)")).alias("nullv")
-    ).first()
-    if chk["nullv"]:
-        raise ValueError(
-            f"polygon_cover: {chk['nullv']} polygon(s) contain NULL "
-            "vertices (unresolved ref?) — resolve or drop them first")
+    and the ray cast's crossing parity — quarantined, not guessed.
+    With ``tight="auto"`` the raise is an eager driver-side ValueError
+    (the probe below); with an explicit ``tight`` it surfaces
+    executor-side from the bbox fold's gate when the cover job runs
+    (``ring_bounds_sql``) — no extra scan of the polygons side, which
+    matters for the one caller that feeds an UNBOUNDED layer here
+    (``polyjoin``'s left side, always ``tight=False``)."""
     if tight == "auto":
+        # one scalar probe over the broadcast-small polygon side serves
+        # two jobs: the tight="auto" edge-count decision AND an eager
+        # null-vertex ValueError (nicer than the executor-side raise
+        # when a probe is running anyway). Explicit-tight callers skip
+        # the probe — and with it the extra scan (code-review r5: the
+        # unconditional probe full-scanned polyjoin's unbounded left
+        # side once per join, with the max(size) half pure waste).
+        chk = polygons.agg(
+            F.max(F.size("ring")).alias("m"),
+            F.sum(F.expr("CAST(exists(ring, v -> v.lat_nano IS NULL "
+                         "OR v.lon_nano IS NULL) AS INT)")).alias("nullv")
+        ).first()
+        if chk["nullv"]:
+            raise ValueError(
+                f"polygon_cover: {chk['nullv']} polygon(s) contain NULL "
+                "vertices (unresolved ref?) — resolve or drop them first")
         tight = (chk["m"] or 0) > 5   # closed ring: 5 verts == 4 edges
     n = 1 << res
     # ring-content key: antimeridian-split copies share poly_id but must
@@ -105,14 +141,7 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
     polygons = polygons.withColumn("_ck", F.xxhash64("ring"))
     bounds = polygons.select(
         "poly_id", "_ck", "ring",
-        F.expr("aggregate(ring, struct(CAST(9223372036854775807 AS BIGINT) "
-               "AS min_lat, CAST(-9223372036854775808 AS BIGINT) AS max_lat, "
-               "CAST(9223372036854775807 AS BIGINT) AS min_lon, "
-               "CAST(-9223372036854775808 AS BIGINT) AS max_lon), "
-               "(acc, v) -> struct(LEAST(acc.min_lat, v.lat_nano), "
-               "GREATEST(acc.max_lat, v.lat_nano), "
-               "LEAST(acc.min_lon, v.lon_nano), "
-               "GREATEST(acc.max_lon, v.lon_nano)))").alias("b"))
+        F.expr(ring_bounds_sql("ring", "poly_id")).alias("b"))
     # x stays UNWRAPPED (wrap=False) then clamps to [0, n-1]: an
     # antimeridian-split ring copy has lons past ±180°, whose in-range
     # slice is exactly the clamped x-range (the other side comes from the

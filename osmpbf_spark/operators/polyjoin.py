@@ -59,7 +59,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.grid import GRID_RES_COARSE
-from .pip import point_in_ring_expr, polygon_cover, split_antimeridian
+from .pip import (
+    point_in_ring_expr,
+    polygon_cover,
+    ring_bounds_sql,
+    split_antimeridian,
+)
 
 __all__ = ["polygon_intersects_join", "segments_intersect_sql"]
 
@@ -131,25 +136,21 @@ _EDGES = ("zip_with(slice({r}, 1, size({r}) - 1), "
           "(p, q) -> struct(p.lon_nano AS x1, p.lat_nano AS y1, "
           "q.lon_nano AS x2, q.lat_nano AS y2))")
 
-_BBOX = ("aggregate({r}, struct("
-         "CAST(9223372036854775807 AS BIGINT) AS x0, "
-         "CAST(-9223372036854775808 AS BIGINT) AS x1, "
-         "CAST(9223372036854775807 AS BIGINT) AS y0, "
-         "CAST(-9223372036854775808 AS BIGINT) AS y1), "
-         "(acc, v) -> struct(LEAST(acc.x0, v.lon_nano), "
-         "GREATEST(acc.x1, v.lon_nano), LEAST(acc.y0, v.lat_nano), "
-         "GREATEST(acc.y1, v.lat_nano)))")
-
 _REL_NAMES = {1: "edges_cross", 2: "left_within_right",
               3: "right_within_left"}
 
 
 def _ring_side(polys: DataFrame, out_id: str, ring: str) -> DataFrame:
     """(out_id, <ring>, <ring>_bb) — split copies kept as separate rows;
-    bbox computed once per copy, BEFORE the pair join."""
+    bbox computed once per copy, BEFORE the pair join. The fold is the
+    shared :func:`pip.ring_bounds_sql` (fields min/max lat/lon), whose
+    built-in gate raises loudly on NULL vertices executor-side — the
+    unbounded left side gets the quarantine contract with no extra
+    driver-side scan (code-review r5)."""
     return polys.select(F.col("poly_id").alias(out_id),
                         F.col("ring").alias(ring),
-                        F.expr(_BBOX.format(r="ring")).alias(f"{ring}_bb"))
+                        F.expr(ring_bounds_sql("ring", "poly_id"))
+                        .alias(f"{ring}_bb"))
 
 
 def polygon_intersects_join(left: DataFrame, right: DataFrame, *,
@@ -183,10 +184,10 @@ def polygon_intersects_join(left: DataFrame, right: DataFrame, *,
     rr = _ring_side(rs, "right_id", "r_ring")
     combos = (cand.join(lr, "left_id")
               .join(F.broadcast(rr), "right_id")
-              .filter((F.col("l_ring_bb.x1") >= F.col("r_ring_bb.x0"))
-                      & (F.col("l_ring_bb.x0") <= F.col("r_ring_bb.x1"))
-                      & (F.col("l_ring_bb.y1") >= F.col("r_ring_bb.y0"))
-                      & (F.col("l_ring_bb.y0") <= F.col("r_ring_bb.y1")))
+              .filter((F.col("l_ring_bb.max_lon") >= F.col("r_ring_bb.min_lon"))
+                      & (F.col("l_ring_bb.min_lon") <= F.col("r_ring_bb.max_lon"))
+                      & (F.col("l_ring_bb.max_lat") >= F.col("r_ring_bb.min_lat"))
+                      & (F.col("l_ring_bb.min_lat") <= F.col("r_ring_bb.max_lat")))
               .withColumn("l_edges", F.expr(_EDGES.format(r="l_ring")))
               .withColumn("r_edges", F.expr(_EDGES.format(r="r_ring"))))
     cross_any = F.expr(

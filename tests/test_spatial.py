@@ -488,6 +488,13 @@ def test_polygon_cover_rejects_null_vertices(spark):
             [("ok", good), ("bad", bad)], POLYGONS_DDL)
         with pytest.raises(ValueError, match="NULL"):
             polygon_cover(df, res=6)
+        # explicit tight skips the driver probe (code-review r5: no
+        # extra scan for unbounded callers) — the raise then comes
+        # executor-side from the bbox fold's gate at action time
+        for t in (True, False):
+            lazy = polygon_cover(df, res=6, tight=t)
+            with pytest.raises(Exception, match="NULL vertex"):
+                lazy.count()
     # clean polygons still build
     assert polygon_cover(
         spark.createDataFrame([("ok", good)], POLYGONS_DDL),
