@@ -231,14 +231,22 @@ def split_antimeridian(polygons: DataFrame) -> DataFrame:
     inside at most one copy (their in-range lon slices are disjoint), so
     the refine union is exact with no duplicates. Non-crossing rings pass
     through as a single row. Per-polygon HOFs only — the polygons side is
-    broadcast-small by contract."""
+    broadcast-small by contract.
+
+    Rings TOUCHING ±180° exactly (max lon == +180e9 or min lon ==
+    -180e9, no strict crossing) also gain the shifted copy (code-review
+    r5): two polygons meeting at the antimeridian from opposite sides
+    otherwise live in disjoint plane frames and ``polyjoin`` would miss
+    their boundary contact. The copy is harmless for PIP — its interior
+    lies wholly outside [-180°, 180°), so no in-range point can be
+    inside both copies and no duplicates arise."""
     from ..functions.grid import NANO_180, NANO_360
     shifts = F.expr(
         f"CASE WHEN aggregate(ring, CAST(-{NANO_360} AS BIGINT), "
-        f"(a, v) -> GREATEST(a, v.lon_nano)) > {NANO_180} "
+        f"(a, v) -> GREATEST(a, v.lon_nano)) >= {NANO_180} "
         f"THEN array(0L, CAST(-{NANO_360} AS BIGINT)) "
         f"WHEN aggregate(ring, CAST({NANO_360} AS BIGINT), "
-        f"(a, v) -> LEAST(a, v.lon_nano)) < -{NANO_180} "
+        f"(a, v) -> LEAST(a, v.lon_nano)) <= -{NANO_180} "
         f"THEN array(0L, CAST({NANO_360} AS BIGINT)) "
         f"ELSE array(0L) END")
     return (polygons

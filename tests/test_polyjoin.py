@@ -221,5 +221,49 @@ def test_null_vertex_raises(spark):
                 {"lat_nano": 0, "lon_nano": 0}])],
         "poly_id string, ring array<struct<lat_nano:bigint,"
         "lon_nano:bigint>>")
+    # construction is LAZY (code-review r5: the old driver-side probe
+    # full-scanned the unbounded left side before the join even ran);
+    # the NULL gate now rides the bbox fold and fires executor-side
+    out = polygon_intersects_join(bad, good)
     with pytest.raises(Exception, match="NULL vert"):
-        polygon_intersects_join(bad, good).collect()
+        out.collect()
+
+
+def test_join_construction_never_scans_left(spark):
+    """Building the join DataFrame must never scan the left side — it
+    is unbounded by contract, so an eager probe would add a full extra
+    pass over 100 TB before the real job (code-review r5; the right
+    cover's tight="auto" probe on the broadcast-small side is the one
+    deliberate construction-time action). The left side here detonates
+    on ANY scan, so mere successful construction is the assertion."""
+    from pyspark.sql import functions as F
+    bomb = spark.range(1).select(
+        F.lit("a").alias("poly_id"),
+        F.expr("IF(id >= 0, raise_error('left side scanned eagerly'), "
+               "array(struct(0L AS lat_nano, 0L AS lon_nano)))")
+        .alias("ring"))
+    right = make_polygons(spark, [("z", sq(0, 0, 2 * B))])
+    polygon_intersects_join(bomb, right)  # must not raise
+
+
+def test_antimeridian_exact_touch(spark):
+    """Two polygons meeting the antimeridian EXACTLY at ±180° from
+    opposite sides (neither strictly crossing) share the meridian
+    segment on the sphere — OGC intersects. Code-review r5: the strict
+    split threshold left them in disjoint plane frames and the pair
+    was silently dropped."""
+    h = B // 4
+    west = make_polygons(  # max lon exactly +180e9
+        spark, [("w", sq(0, 180 * B - h, h))])
+    east = make_polygons(  # min lon exactly -180e9
+        spark, [("e", sq(0, -180 * B + h, h))])
+    out = polygon_intersects_join(west, east).collect()
+    assert [(r["left_id"], r["right_id"], r["relation"]) for r in out] \
+        == [("w", "e", "edges_cross")]
+    # and the symmetric orientation
+    out2 = polygon_intersects_join(east, west).collect()
+    assert [(r["left_id"], r["right_id"], r["relation"]) for r in out2] \
+        == [("e", "w", "edges_cross")]
+    # disjoint control: shrink away from the meridian by one nano
+    west2 = make_polygons(spark, [("w", sq(0, 180 * B - h - 1, h))])
+    assert polygon_intersects_join(west2, east).count() == 0
