@@ -105,13 +105,20 @@ def main():
     gz = int(args.zones ** 0.5 + 0.999999)
     bp, zp = WINDOW // gb, WINDOW // gz
     hb = max(bp // 5, 1)          # building half-side
-    # zone half-side ≈ 0.45·pitch, SNAPPED onto the building-center
-    # lattice (m·bp + bp/2) so zone boundaries pass exactly through a
-    # column of building centers — edges_cross rows are guaranteed by
-    # construction at every size (a free 0.45·zp can phase-align the
-    # inter-building gaps with the boundaries and yield 0 crossings, as
-    # the default 1M×2.5k shape did: band width 2·hb < lattice pitch bp)
-    hz = (int(zp * 0.45) // bp) * bp + bp // 2
+    # zone half-side ≈ 0.45·pitch, chosen so that zone (0,·)'s right
+    # boundary z0 + hz lands EXACTLY on the building-center lattice
+    # (m·bp + bp/2): those buildings touch the boundary (d == hz, in
+    # the closed 'intersects' band but outside the open 'within' band)
+    # so edges_cross rows exist by construction at every shape. The
+    # previous snap ((zp·0.45 // bp)·bp + bp/2) implicitly assumed
+    # zp ≡ 0 (mod bp) — true for the 1M×2.5k defaults only; any other
+    # shape phase-shifted the boundaries off the center lattice and
+    # could fail the exp_total > exp_within self-gate spuriously
+    # (code-review r5). Solving z0 + hz = m·bp + bp/2 for hz instead
+    # holds for arbitrary --buildings/--zones.
+    z0 = zp // 2
+    m = (int(zp * 0.45) + z0 - bp // 2) // bp
+    hz = m * bp + bp // 2 - z0
     assert hz > hb, "zones must out-size buildings for 'within' rows"
 
     spark = get_spark("polyjoin-bench", master=f"local[{args.cpus}]",
