@@ -141,20 +141,153 @@ _REL_NAMES = {1: "edges_cross", 2: "left_within_right",
 
 
 def _ring_side(polys: DataFrame, out_id: str, ring: str) -> DataFrame:
-    """(out_id, <ring>, <ring>_bb) — split copies kept as separate rows;
-    bbox computed once per copy, BEFORE the pair join. The fold is the
-    shared :func:`pip.ring_bounds_sql` (fields min/max lat/lon), whose
+    """(out_id, <ring>, <ring>_bb, <ring>_ck, <ring>_p0x, <ring>_p0y) —
+    split copies kept as separate rows; bbox computed once per copy,
+    BEFORE the pair join. The fold is the shared
+    :func:`pip.ring_bounds_sql` (fields min/max lat/lon), whose
     built-in gate raises loudly on NULL vertices executor-side — the
     unbounded left side gets the quarantine contract with no extra
-    driver-side scan (code-review r5)."""
+    driver-side scan (code-review r5). ``_ck`` is the ring-content key
+    (antimeridian copies of one poly_id must not pool in the banded
+    refine's parity aggregates); ``_p0*`` the first vertex, the
+    containment probe point. Unused columns prune away in the hof
+    path."""
     return polys.select(F.col("poly_id").alias(out_id),
                         F.col("ring").alias(ring),
                         F.expr(ring_bounds_sql("ring", "poly_id"))
-                        .alias(f"{ring}_bb"))
+                        .alias(f"{ring}_bb"),
+                        F.xxhash64("ring").alias(f"{ring}_ck"),
+                        F.expr("element_at(ring, 1).lon_nano")
+                        .alias(f"{ring}_p0x"),
+                        F.expr("element_at(ring, 1).lat_nano")
+                        .alias(f"{ring}_p0y"))
+
+
+def ray_cast_edge_sql(px: str, py: str, e: str) -> str:
+    """Does edge struct ``e`` (x1,y1,x2,y2) cross the horizontal ray
+    from point (px, py)? The per-edge body of ``pip._RAY_CAST`` —
+    identical half-open rule and exact DECIMAL(38,0) arithmetic — as a
+    flat boolean over scalar struct fields, so the crossing PARITY can
+    be a codegen'd row aggregate instead of an interpreted HOF fold."""
+    return (f"((({e}.y1 > {py}) != ({e}.y2 > {py})) AND ("
+            f"CASE WHEN {e}.y2 > {e}.y1 "
+            f"THEN (CAST({px} - {e}.x1 AS DECIMAL(38,0)) * "
+            f"CAST({e}.y2 - {e}.y1 AS DECIMAL(38,0))) < "
+            f"(CAST({e}.x2 - {e}.x1 AS DECIMAL(38,0)) * "
+            f"CAST({py} - {e}.y1 AS DECIMAL(38,0))) "
+            f"ELSE (CAST({px} - {e}.x1 AS DECIMAL(38,0)) * "
+            f"CAST({e}.y2 - {e}.y1 AS DECIMAL(38,0))) > "
+            f"(CAST({e}.x2 - {e}.x1 AS DECIMAL(38,0)) * "
+            f"CAST({py} - {e}.y1 AS DECIMAL(38,0))) END))")
+
+
+def _banded_refine(cand: DataFrame, lr: DataFrame, rr: DataFrame,
+                   res: int) -> DataFrame:
+    """(left_id, right_id, ord) — the fully codegen'd refine
+    (code-review r5): EDGES AS ROWS in a lat-band equi-join for
+    boundary contact, and ray-cast PARITY AS A ROW AGGREGATE for
+    containment. No higher-order lambda touches the DECIMAL math.
+
+    The hof form evaluates nested ``exists(l_edges, a ->
+    exists(r_edges, b -> …))`` INTERPRETED (outside whole-stage
+    codegen — the CLAUDE.md invariant) and quadratic per pair, plus an
+    interpreted O(|ring|) ray-cast fold per pair. Here:
+
+    - **combos** (``l_all``): candidate pairs join ring payloads once
+      per copy combination, bbox-filtered — same as the hof path.
+    - **cross leg**: left edges explode to rows, each replicated into
+      the lat bands it spans (band height = one grid-cell row at
+      ``res``); right edges band-explode on the broadcast-small side;
+      a broadcast equi-join on (right_id, r_ck, band) meets only edges
+      sharing a band and the exact segment predicate runs as flat
+      codegen'd SQL. Work per pair drops from |lE|·|rE| to
+      Σ_band |lE_b|·|rE_b| — near-linear for boundary-shaped rings.
+    - **containment legs**: an edge crosses the probe point's
+      horizontal ray only if it straddles the point's latitude, i.e.
+      only edges in the point's lat band can count. l0-in-r joins the
+      banded right edges at band == band(l0y) and aggregates
+      :func:`ray_cast_edge_sql` hits to a parity per copy combo;
+      r0-in-l needs NO join at all — the left edge-band rows already
+      carry r0, so a filter band == band(r0y) + the same aggregate
+      does it.
+
+    Every stage is map-side until the bare-id DISTINCT / parity
+    groupBys (which shuffle ids + one count only); ring payloads never
+    shuffle. The left ring table feeds two consumers (edge explode +
+    combo scalars), i.e. two pruned scans — the price of replacing the
+    quadratic interpreted refine with linear codegen'd legs."""
+    from ..functions.grid import NANO_360
+    n = 1 << res
+    band_nano = max(NANO_360 // 2 // n, 1)
+    shift = NANO_360 // 2  # lats land in [0, 180e9] before the DIV
+
+    def ebands(edge):
+        return (f"sequence((LEAST({edge}.y1, {edge}.y2) + {shift}) "
+                f"DIV {band_nano}, "
+                f"(GREATEST({edge}.y1, {edge}.y2) + {shift}) "
+                f"DIV {band_nano})")
+
+    def pband(py):
+        return F.expr(f"({py} + {shift}) DIV {band_nano}")
+
+    r_meta = rr.select("right_id",
+                       F.col("r_ring_ck").alias("r_ck"),
+                       F.col("r_ring_bb").alias("r_bb"),
+                       F.col("r_ring_p0x").alias("r0x"),
+                       F.col("r_ring_p0y").alias("r0y"))
+    r_e = (rr.select("right_id", F.col("r_ring_ck").alias("r_ck"),
+                     F.explode(F.expr(_EDGES.format(r="r_ring")))
+                     .alias("b"))
+           .select("right_id", "r_ck", "b",
+                   F.explode(F.expr(ebands("b"))).alias("band")))
+    l_all = (cand.join(lr, "left_id")
+             .join(F.broadcast(r_meta), "right_id")
+             .filter((F.col("l_ring_bb.max_lon") >= F.col("r_bb.min_lon"))
+                     & (F.col("l_ring_bb.min_lon") <= F.col("r_bb.max_lon"))
+                     & (F.col("l_ring_bb.max_lat") >= F.col("r_bb.min_lat"))
+                     & (F.col("l_ring_bb.min_lat")
+                        <= F.col("r_bb.max_lat"))))
+    combo_keys = ["left_id", "right_id", "l_ck", "r_ck"]
+    base = l_all.select(
+        "left_id", "right_id", F.col("l_ring_ck").alias("l_ck"), "r_ck",
+        F.col("l_ring_p0x").alias("l0x"), F.col("l_ring_p0y").alias("l0y"),
+        "r0x", "r0y")
+    l_e = (l_all.select(
+        "left_id", "right_id", F.col("l_ring_ck").alias("l_ck"), "r_ck",
+        "r0x", "r0y",
+        F.explode(F.expr(_EDGES.format(r="l_ring"))).alias("a"))
+        .select("left_id", "right_id", "l_ck", "r_ck", "r0x", "r0y", "a",
+                F.explode(F.expr(ebands("a"))).alias("band")))
+    # no .distinct()/assembly joins on any leg: every leg emits bare
+    # (id, id, ord) rows and the caller's single groupBy-min dedups
+    # multi-edge hits, copy combos, and leg overlap in one shuffle of
+    # ids (l0-inside beats r0-inside via min(2,3); mutual containment
+    # of simple rings without boundary contact is impossible, so the
+    # priority never misreports)
+    cross = (l_e.join(F.broadcast(r_e), ["right_id", "r_ck", "band"])
+             .filter(F.expr(segments_intersect_sql("a", "b")))
+             .select("left_id", "right_id", F.lit(1).alias("ord")))
+    in_l0 = (base
+             .withColumn("band", pband("l0y"))
+             .join(F.broadcast(r_e), ["right_id", "r_ck", "band"])
+             .filter(F.expr(ray_cast_edge_sql("l0x", "l0y", "b")))
+             .groupBy(*combo_keys)
+             .agg((F.count("*") % 2 == 1).alias("odd"))
+             .filter("odd")
+             .select("left_id", "right_id", F.lit(2).alias("ord")))
+    in_r0 = (l_e
+             .filter(F.col("band") == pband("r0y"))
+             .filter(F.expr(ray_cast_edge_sql("r0x", "r0y", "a")))
+             .groupBy(*combo_keys)
+             .agg((F.count("*") % 2 == 1).alias("odd"))
+             .filter("odd")
+             .select("left_id", "right_id", F.lit(3).alias("ord")))
+    return cross.unionByName(in_l0).unionByName(in_r0)
 
 
 def polygon_intersects_join(left: DataFrame, right: DataFrame, *,
-                            res: int = GRID_RES_COARSE) -> DataFrame:
+                            res: int = GRID_RES_COARSE,
+                            refine: str = "bands") -> DataFrame:
     """All (left_id, right_id, relation) pairs whose polygons intersect
     (share at least one point, boundary included — OGC `intersects`).
 
@@ -169,7 +302,16 @@ def polygon_intersects_join(left: DataFrame, right: DataFrame, *,
     Vertex-on-boundary and collinear-edge cases are exact (they land in
     ``edges_cross`` via the zero-orientation clauses of
     :func:`segments_intersect_sql`), so no half-open ambiguity ever
-    reaches the ray cast: it only decides strict inside/outside."""
+    reaches the ray cast: it only decides strict inside/outside.
+
+    ``refine``: ``"bands"`` (default) runs the whole refine codegen'd
+    and near-linear in edge count (:func:`_banded_refine`); ``"hof"``
+    keeps the original nested-``exists`` per-pair form, competitive
+    only when BOTH layers are tiny rings (≲ 10 edges — measured
+    crossover in BENCH_NEWOPS.md) and kept mostly as the A/B
+    reference."""
+    if refine not in ("bands", "hof"):
+        raise ValueError(f"refine must be 'bands' or 'hof', got {refine!r}")
     ls = split_antimeridian(left)
     rs = split_antimeridian(right)
     # left cover distributed (tight=False: the scanline path broadcasts
@@ -182,32 +324,40 @@ def polygon_intersects_join(left: DataFrame, right: DataFrame, *,
             .select("left_id", "right_id").distinct())
     lr = _ring_side(ls, "left_id", "l_ring")
     rr = _ring_side(rs, "right_id", "r_ring")
-    combos = (cand.join(lr, "left_id")
-              .join(F.broadcast(rr), "right_id")
-              .filter((F.col("l_ring_bb.max_lon") >= F.col("r_ring_bb.min_lon"))
-                      & (F.col("l_ring_bb.min_lon") <= F.col("r_ring_bb.max_lon"))
-                      & (F.col("l_ring_bb.max_lat") >= F.col("r_ring_bb.min_lat"))
-                      & (F.col("l_ring_bb.min_lat") <= F.col("r_ring_bb.max_lat")))
-              .withColumn("l_edges", F.expr(_EDGES.format(r="l_ring")))
-              .withColumn("r_edges", F.expr(_EDGES.format(r="r_ring"))))
-    cross_any = F.expr(
-        "exists(l_edges, a -> exists(r_edges, b -> "
-        + segments_intersect_sql("a", "b") + "))")
-    l0_in_r = point_in_ring_expr("element_at(l_ring, 1).lon_nano",
-                                 "element_at(l_ring, 1).lat_nano",
-                                 ring="r_ring")
-    r0_in_l = point_in_ring_expr("element_at(r_ring, 1).lon_nano",
-                                 "element_at(r_ring, 1).lat_nano",
-                                 ring="l_ring")
-    scored = (combos
-              .withColumn("ord", F.when(cross_any, F.lit(1))
-                          .when(l0_in_r, F.lit(2))
-                          .when(r0_in_l, F.lit(3)))
-              .filter(F.col("ord").isNotNull()))
+    if refine == "bands":
+        scored = _banded_refine(cand, lr, rr, res)
+    else:
+        combos = (cand.join(lr, "left_id")
+                  .join(F.broadcast(rr), "right_id")
+                  .filter((F.col("l_ring_bb.max_lon")
+                           >= F.col("r_ring_bb.min_lon"))
+                          & (F.col("l_ring_bb.min_lon")
+                             <= F.col("r_ring_bb.max_lon"))
+                          & (F.col("l_ring_bb.max_lat")
+                             >= F.col("r_ring_bb.min_lat"))
+                          & (F.col("l_ring_bb.min_lat")
+                             <= F.col("r_ring_bb.max_lat")))
+                  .withColumn("l_edges", F.expr(_EDGES.format(r="l_ring")))
+                  .withColumn("r_edges", F.expr(_EDGES.format(r="r_ring"))))
+        cross_any = F.expr(
+            "exists(l_edges, a -> exists(r_edges, b -> "
+            + segments_intersect_sql("a", "b") + "))")
+        l0_in_r = point_in_ring_expr("element_at(l_ring, 1).lon_nano",
+                                     "element_at(l_ring, 1).lat_nano",
+                                     ring="r_ring")
+        r0_in_l = point_in_ring_expr("element_at(r_ring, 1).lon_nano",
+                                     "element_at(r_ring, 1).lat_nano",
+                                     ring="l_ring")
+        scored = (combos
+                  .withColumn("ord", F.when(cross_any, F.lit(1))
+                              .when(l0_in_r, F.lit(2))
+                              .when(r0_in_l, F.lit(3)))
+                  .filter(F.col("ord").isNotNull())
+                  .select("left_id", "right_id", "ord"))
     rel = F.create_map(*[x for k, v in _REL_NAMES.items()
                          for x in (F.lit(k), F.lit(v))])
-    # multi-cell + antimeridian-copy hits collapse here; the shuffle
-    # carries only (id, id, ord)
+    # multi-cell + antimeridian-copy + leg hits collapse here; the
+    # shuffle carries only (id, id, ord)
     return (scored.groupBy("left_id", "right_id")
             .agg(F.min("ord").alias("ord"))
             .select("left_id", "right_id",

@@ -46,16 +46,44 @@ RING = ("array(struct({y0} AS lat_nano, {x0} AS lon_nano), "
         "struct({y0} AS lat_nano, {x0} AS lon_nano))")
 
 
+def _subdiv_ring(k: int) -> str:
+    """Square ring with each side subdivided into ``k`` COLLINEAR
+    segments (4k+1 vertices): geometrically identical to the plain
+    square — the analytic expectations stay exact — while the refine
+    sees realistic admin-polygon edge counts (code-review r5: the
+    bench only ever measured 4-edge zones, so the edge×edge refine
+    cost was never exercised at the sizes the operator claims)."""
+    # corners in walk order, then interpolate each side k ways
+    return (f"transform(sequence(0, {4 * k}), i -> struct("
+            # side index s in 0..3, step t in 0..k-1 (i = s*k + t)
+            f"CAST(element_at(array("
+            # s=0: y0 → y0 (bottom, x0→x1); s=1: right, y0→y1;
+            # s=2: top, x1→x0; s=3: left, y1→y0
+            f"{{y0}}, "
+            f"{{y0}} + ({{y1}} - {{y0}}) * ((i - {k}) / {k}), "
+            f"{{y1}}, "
+            f"{{y1}} - ({{y1}} - {{y0}}) * ((i - {3 * k}) / {k})), "
+            f"CAST(LEAST(i DIV {k}, 3) + 1 AS INT)) AS BIGINT) AS lat_nano, "
+            f"CAST(element_at(array("
+            f"{{x0}} + ({{x1}} - {{x0}}) * (i / {k}), "
+            f"{{x1}}, "
+            f"{{x1}} - ({{x1}} - {{x0}}) * ((i - {2 * k}) / {k}), "
+            f"{{x0}}), CAST(LEAST(i DIV {k}, 3) + 1 AS INT)) AS BIGINT) AS lon_nano))")
+
+
 def _squares(spark, n_side: int, pitch: int, half: int, prefix: str,
-             n_cap: int):
-    """n_side² axis-aligned squares, centers on a pitch grid."""
+             n_cap: int, verts: int = 5):
+    """n_side² axis-aligned squares, centers on a pitch grid; ``verts``
+    > 5 subdivides the sides collinearly (same geometry)."""
     df = (spark.range(min(n_side * n_side, n_cap)).select(
         F.concat(F.lit(prefix), F.col("id")).alias("poly_id"),
         ((F.col("id") % n_side) * pitch + pitch // 2).alias("cx"),
         ((F.col("id") / n_side).cast("long") * pitch + pitch // 2)
         .alias("cy")))
-    ring = RING.format(x0=f"cx - {half}L", x1=f"cx + {half}L",
-                       y0=f"cy - {half}L", y1=f"cy + {half}L")
+    k = max((verts - 1) // 4, 1)
+    tmpl = RING if k == 1 else _subdiv_ring(k)
+    ring = tmpl.format(x0=f"(cx - {half}L)", x1=f"(cx + {half}L)",
+                       y0=f"(cy - {half}L)", y1=f"(cy + {half}L)")
     return df.select("poly_id", F.expr(ring).alias("ring"))
 
 
@@ -96,7 +124,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--buildings", type=int, default=1_000_000)
     ap.add_argument("--zones", type=int, default=2_500)
+    ap.add_argument("--zone-verts", type=int, default=5,
+                    help="vertices per zone ring (collinear subdivision"
+                         " — same geometry, realistic edge counts)")
+    ap.add_argument("--building-verts", type=int, default=5)
     ap.add_argument("--res", type=int, default=12)
+    ap.add_argument("--refine", choices=["bands", "hof"], default="bands")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -123,18 +156,21 @@ def main():
 
     spark = get_spark("polyjoin-bench", master=f"local[{args.cpus}]",
                       shuffle_partitions=max(args.cpus, 32))
-    buildings = (_squares(spark, gb, bp, hb, "b", args.buildings)
+    buildings = (_squares(spark, gb, bp, hb, "b", args.buildings,
+                          verts=args.building_verts)
                  .repartition(max(args.cpus * 2, 32)).persist())
     n_b = buildings.count()
     # zones always fill their full gz×gz grid (the analytic count
     # assumes it); --zones is a target, the square below it is used
-    zones = _squares(spark, gz, zp, hz, "z", gz * gz).persist()
+    zones = _squares(spark, gz, zp, hz, "z", gz * gz,
+                     verts=args.zone_verts).persist()
     n_z = zones.count()
 
     exp_total, exp_within = expected_counts(gb, bp, hb, gz, zp, hz, n_b)
 
     t0 = time.time()
-    out = (polygon_intersects_join(buildings, zones, res=args.res)
+    out = (polygon_intersects_join(buildings, zones, res=args.res,
+                                   refine=args.refine)
            .groupBy("relation").count().collect())
     wall = time.time() - t0
     got = {r["relation"]: r["count"] for r in out}
@@ -148,6 +184,7 @@ def main():
           and exp_within > 0 and exp_total > exp_within)
     print(json.dumps({
         "buildings": n_b, "zones": n_z, "cpus": args.cpus,
+        "zone_verts": args.zone_verts, "refine": args.refine,
         "res": args.res, "wall_sec": round(wall, 2),
         "pairs": total, "pairs_per_sec": round(total / wall),
         "buildings_per_sec": round(n_b / wall),
