@@ -88,8 +88,9 @@ def _run(spark, left_rows, right_rows, **kw):
 
 # ---------------------------------------------------------------- tests
 
-def test_golden_relations(spark):
-    got = _run(spark, [
+@pytest.mark.parametrize("refine", ["bands", "hof"])
+def test_golden_relations(spark, refine):
+    got = _run(spark, refine=refine, left_rows=[
         ("overlap", sq(0, 0, B)),
         ("inside", sq(B // 5, B // 5, B // 10)),
         ("far", sq(50 * B, 50 * B, B)),
@@ -97,7 +98,7 @@ def test_golden_relations(spark):
         ("edge_share", sq(B // 5, 2 * B, int(0.9 * B))),  # collinear edge
         ("corner_touch", sq(2 * B, 2 * B, int(0.9 * B))),  # single vertex
         ("identical", sq(B // 5, B // 5, int(0.9 * B))),
-    ], [("R", sq(B // 5, B // 5, int(0.9 * B)))])
+    ], right_rows=[("R", sq(B // 5, B // 5, int(0.9 * B)))])
     # R: lat/lon in [-0.7, 1.1]°
     assert got == {
         ("overlap", "R"): "edges_cross",
@@ -120,7 +121,8 @@ def test_star_of_david_crosses_without_vertex_containment(spark):
     assert got == {("up", "down"): "edges_cross"}
 
 
-def test_property_matches_exact_oracle(spark):
+@pytest.mark.parametrize("refine", ["bands", "hof"])
+def test_property_matches_exact_oracle(spark, refine):
     rng = random.Random(42)
 
     def rand_poly(cx, cy, rad, k):
@@ -156,14 +158,14 @@ def test_property_matches_exact_oracle(spark):
             rel = _relation(_xy(lring), _xy(rring))
             if rel:
                 expected[(lid, rid)] = rel
-    got = _run(spark, lefts, rights)
+    got = _run(spark, lefts, rights, refine=refine)
     assert got == expected
     assert expected, "oracle produced no intersections — inputs too sparse"
     # and the transpose is consistent
     flip = {"left_within_right": "right_within_left",
             "right_within_left": "left_within_right",
             "edges_cross": "edges_cross"}
-    got_t = _run(spark, rights, lefts)
+    got_t = _run(spark, rights, lefts, refine=refine)
     assert got_t == {(b, a): flip[rel] for (a, b), rel in got.items()}
 
 
@@ -174,8 +176,9 @@ def test_antimeridian_frames(spark):
     assert max(lon for _, lon in a) > 180 * B
     b = ("B", sq(0, int(-179.3 * B), B // 10))
     c = ("C", sq(0, -175 * B, B // 10))
-    got = _run(spark, [b, c], [("A", a)])
-    assert got == {("B", "A"): "left_within_right"}
+    for refine in ("bands", "hof"):
+        got = _run(spark, [b, c], [("A", a)], refine=refine)
+        assert got == {("B", "A"): "left_within_right"}, refine
 
 
 def test_partitioning_independence(spark):

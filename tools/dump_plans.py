@@ -349,12 +349,16 @@ def main():
         make_polygons(spark, [("r0", _sq(0, 0, 3 * B9))]))
     pj.collect()
     sections.append((
-        "Polygon-polygon intersects join (cover candidates + exact refine)",
+        "Polygon-polygon intersects join (cover candidates + banded refine)",
         "both covers and the candidate cell join BROADCAST the small "
-        "zone side (two BroadcastHashJoins, no BNLJ/cartesian anywhere); "
-        "the left rings shuffle once on id to meet their candidates; "
-        "the edge-pair refine is a codegen'd JVM HOF over exact "
-        "DECIMAL(38,0) predicates; the final (left_id, right_id) "
+        "zone side (no BNLJ/cartesian anywhere); the left rings shuffle "
+        "once on id to meet their candidates; the refine is a UNION of "
+        "three fully codegen'd legs — edges exploded to lat-band rows "
+        "meeting in a BroadcastHashJoin on (right_id, ring_ck, band) "
+        "for the exact DECIMAL(38,0) segment predicate, plus two "
+        "ray-cast parity aggregates over the probe point's single band "
+        "(note every leg's `*(N)` whole-stage span: no interpreted HOF "
+        "touches the decimal math); the final (left_id, right_id) "
         "groupBy carries only bare ids + a 1-byte ord.",
         fmt_exec(pj, max_lines=44)))
 
