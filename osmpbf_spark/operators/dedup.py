@@ -94,29 +94,92 @@ def _shingle_hashes(docs: DataFrame, *, shingle_n: int, text_col: str,
         .withColumn("h", F.expr(poly_hash_sql("shingle"))))
 
 
+def _minhash_sig_batches(k: int, shingle_n: int):
+    """mapInArrow generator: (id, text) batches → (id, sigs) batches.
+
+    Bit-identical to the Catalyst rendering by construction — every
+    step replicates the dual-rendered SQL exactly in integer space:
+    tokens = split on ' ' dropping empties; shingles = the n-token
+    windows joined by ' ', per-document DISTINCT (a set — MIN is
+    order-independent); h = the poly-hash fold (acc·31 + codepoint)
+    mod P over code points (``split(s, '')`` in Spark iterates code
+    points incl. astral — verified against the SQL on an emoji/CJK
+    corpus); sig_j = MIN over shingles of (a_j·h + b_j) mod P with the
+    :func:`perm_sql` constants. All int64: values < P ≈ 2^30, products
+    < 2^60. Documents with no shingles emit no row (the explode_outer
+    + isNotNull semantics of the SQL path)."""
+    import numpy as np
+    import pyarrow as pa
+    a_c = np.array([((j + 1) * 104729 + 7) % P for j in range(k)],
+                   dtype=np.int64)
+    b_c = np.array([((j + 1) * 7919 + 3) % P for j in range(k)],
+                   dtype=np.int64)
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, doc_lens, all_sh = [], [], []
+            for i, txt in enumerate(texts):
+                if txt is None:
+                    continue
+                toks = [t for t in txt.split(" ") if t]
+                if len(toks) < shingle_n:
+                    continue
+                seen = {" ".join(toks[p:p + shingle_n])
+                        for p in range(len(toks) - shingle_n + 1)}
+                out_ids.append(ids[i])
+                doc_lens.append(len(seen))
+                all_sh.extend(seen)
+            if not out_ids:
+                continue
+            lens = np.fromiter((len(s) for s in all_sh), dtype=np.int64,
+                               count=len(all_sh))
+            codes = np.frombuffer("".join(all_sh).encode("utf-32-le"),
+                                  dtype="<u4").astype(np.int64)
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            h = np.zeros(len(lens), dtype=np.int64)
+            for step in range(int(lens.max()) if len(lens) else 0):
+                m = lens > step
+                h[m] = (h[m] * 31 + codes[offs[:-1][m] + step]) % P
+            starts = np.zeros(len(doc_lens), dtype=np.int64)
+            np.cumsum(np.asarray(doc_lens[:-1], dtype=np.int64),
+                      out=starts[1:])
+            sig_cols = [np.minimum.reduceat((a_c[j] * h + b_c[j]) % P,
+                                            starts)
+                        for j in range(k)]
+            sigs = np.stack(sig_cols, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=batch.column(0).type),
+                 pa.array(sigs.tolist(), type=pa.list_(pa.int64()))],
+                names=["_id", "sigs"])
+    return batches
+
+
 def minhash_doc_sigs(docs: DataFrame, *, k: int = 32, shingle_n: int = 3,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document signature ARRAY (doc_id, sigs), ordered by
     permutation index — identical values to collecting
-    :func:`minhash_signatures`, in ONE shuffle instead of three.
+    :func:`minhash_signatures`, with ZERO shuffles.
 
-    ``k`` is a static constant, so the permutation constants unroll
-    into k row-local codegen'd expressions over the exploded shingles
-    and a single ``groupBy(doc).agg(k × MIN)`` with map-side partial
-    aggregation finishes the job — no broadcast permutation join, no
-    (doc, j) intermediate shuffle, no collect_list shuffle (measured
-    ~1.6 s off minhash_lsh_pairs at sf0.1)."""
-    sh = _shingle_hashes(docs, shingle_n=shingle_n, text_col=text_col,
-                         id_col=id_col)
-    mins = []
-    for j in range(k):
-        a, b = perm_sql(str(j))
-        mins.append(F.min(F.expr(f"(({a}) * h + ({b})) % {P}"))
-                    .alias(f"s{j}"))
-    return (sh.groupBy(id_col).agg(*mins)
-            .select(F.col(id_col),
-                    F.array(*[f"s{j}" for j in range(k)]).alias("sigs")))
+    r6 (guide §4.2): text → sigs is computed entirely inside one
+    vectorized ``mapInArrow`` pass — a document's shingles never leave
+    the row, so the exploded doc×shingle table, the per-char
+    interpreted poly-hash fold (the measured 2.7 s hot spot of
+    minhash_lsh_pairs at sf0.1 — 260k shingles × ~40 interpreted
+    lambda steps each), and the groupBy(k × MIN) shuffle all
+    disappear. The numpy kernel replicates the dual-rendered SQL
+    arithmetic bit-for-bit (see :func:`_minhash_sig_batches`;
+    equivalence against the Catalyst :func:`minhash_signatures` path
+    is pinned in tests incl. unicode/astral corpora, and the DuckDB
+    oracle hash-checks the whole pipeline end-to-end)."""
+    id_type = dict(docs.dtypes)[id_col]
+    out = docs.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        _minhash_sig_batches(k, shingle_n),
+        f"_id {id_type}, sigs array<bigint>")
+    return out.withColumnRenamed("_id", id_col)
 
 
 def _bucket_cap(df: DataFrame, bucket_cols: list[str],
@@ -383,28 +446,27 @@ def simhash(docs: DataFrame, *, bits: int = 32, text_col: str = "text",
     """32-bit SimHash over whitespace tokens: bit b of the signature is
     the majority vote of bit b across token hashes. Returns
     (doc_id, simhash)."""
-    # explode+groupBy deliberately (same finding as MinHash: HOF lambdas
-    # evaluate interpreted and projection collapse re-inlines the token
-    # hashing per bit — measured slower than this codegen'd shape; the
-    # shuffle is docs×32 rows after map-side partial aggregation)
+    # ``bits`` is a static constant, so the per-bit votes unroll into
+    # ``bits`` codegen'd SUM aggregates over the exploded tokens and ONE
+    # groupBy(doc) with map-side partial aggregation finishes the job —
+    # no broadcast bit-range join, no docs×bits intermediate shuffle
+    # (r6, the same fusion that took minhash_doc_sigs to one shuffle;
+    # measured ~1.4× off simhash_signatures at sf0.1). Values are
+    # bit-identical: SUM((h DIV 2^b) % 2) per doc and the majority
+    # reconstruction commute with the old per-(doc, b) grouping.
     toks = (docs.select(
         F.col(id_col),
         F.explode(F.expr(tokens_sql(text_col))).alias("tok"))
         .withColumn("h", F.expr(poly_hash_sql("tok"))))
-    bit_range = F.broadcast(
-        docs.sparkSession.range(bits).select(F.col("id").alias("b")))
-    votes = (toks.join(bit_range)
-             .withColumn("bit", F.expr("(h DIV CAST(power(2, b) AS BIGINT))"
-                                       " % 2"))
-             .groupBy(id_col, "b")
-             .agg(F.sum("bit").alias("ones"), F.count("*").alias("n")))
-    return (votes
-            .withColumn("term",
-                        F.when(F.col("ones") * 2 > F.col("n"),
-                               F.expr("CAST(power(2, b) AS BIGINT)"))
-                        .otherwise(F.lit(0).cast("long")))
-            .groupBy(id_col)
-            .agg(F.sum("term").alias("simhash")))
+    votes = toks.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.expr(f"(h DIV {1 << b}) % 2")).alias(f"o{b}")
+          for b in range(bits)])
+    term = " + ".join(
+        f"IF(2 * o{b} > n, CAST({1 << b} AS BIGINT), 0L)"
+        for b in range(bits))
+    return votes.select(F.col(id_col),
+                        F.expr(f"({term})").alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,

@@ -83,7 +83,8 @@ def make_polygons(spark, rows) -> DataFrame:
 
 
 def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
-                  *, tight: bool | str = "auto") -> DataFrame:
+                  *, tight: bool | str = "auto",
+                  classify: bool = False) -> DataFrame:
     """(cell, poly_id) for every grid cell whose row intersects the
     polygon — a per-cell-row SCANLINE, not the full bbox: each bbox row
     keeps only the x-span of ring edges crossing that row's lat band
@@ -114,7 +115,27 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
     executor-side from the bbox fold's gate when the cover job runs
     (``ring_bounds_sql``) — no extra scan of the polygons side, which
     matters for the one caller that feeds an UNBOUNDED layer here
-    (``polyjoin``'s left side, always ``tight=False``)."""
+    (``polyjoin``'s left side, always ``tight=False``).
+
+    ``classify=True`` (r6, guide §1.2 "the distributed algorithm"):
+    returns (poly_id, _ck, cell, full) instead of (poly_id, cell) —
+    every bbox cell is classified as BOUNDARY (some ring edge may pass
+    through it; ``full=false``, must be refined), FULL (no edge touches
+    it and its center is inside; ``full=true``, every point in it is
+    inside — the per-point ray cast is skippable), or fully OUTSIDE
+    (no edge touches it, center outside — dropped from the cover, so
+    its points never even reach the refine). Classification reuses the
+    scanline's per-edge band spans with the same ±1-cell float-safety
+    pad, so a cell is only called uniform when it is ≥ 1 cell away
+    from every edge's padded span — exact by the same argument that
+    makes the tight cover lossless. The center test is the exact
+    integer ray cast, run once per uniform COVER cell (broadcast-small
+    side) instead of once per point. ``tight`` extent-tightening is
+    subsumed (uniform-outside cells are dropped entirely) and ignored.
+    ``_ck`` (the ring-content key) is kept so callers can join the
+    matching antimeridian ring copy without fanning out."""
+    if classify:
+        return _classified_cover(polygons, res)
     if tight == "auto":
         # one scalar probe over the broadcast-small polygon side serves
         # two jobs: the tight="auto" edge-count decision AND an eager
@@ -220,6 +241,125 @@ def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,
                     (F.lit(res).cast("long") * F.lit(RES_SHIFT)
                      + F.col("cx") * F.lit(Y_SHIFT)
                      + F.col("cy")).alias("cell")))
+
+
+def _classified_cover(polygons: DataFrame, res: int) -> DataFrame:
+    """Classified cover: (poly_id, _ck, cell, full) — see
+    :func:`polygon_cover` ``classify=True``. Boundary detection reuses
+    the scanline's per-edge lat-band lon spans (double interpolation
+    with the same ±1 nano and ±1 cell pads, so float error can only
+    WIDEN the boundary set); uniform cells run ONE exact integer ray
+    cast on their center, and keep (full) or drop (outside) the cell."""
+    from ..functions.grid import (
+        NANO_90,
+        NANO_180,
+        NANO_360,
+        RES_SHIFT,
+        Y_SHIFT,
+    )
+    n = 1 << res
+    polygons = polygons.withColumn("_ck", F.xxhash64("ring"))
+    bounds = polygons.select(
+        "poly_id", "_ck", "ring",
+        F.expr(ring_bounds_sql("ring", "poly_id")).alias("b"))
+    xy = bounds.select(
+        "poly_id", "_ck", "ring",
+        F.expr(grid_xy_sql("b.min_lat", "b.min_lon", res, "spark",
+                           wrap=False)[0]).alias("x0r"),
+        F.expr(grid_xy_sql("b.max_lat", "b.max_lon", res, "spark",
+                           wrap=False)[0]).alias("x1r"),
+        F.expr(grid_xy_sql("b.min_lat", "b.min_lon", res, "spark")[1])
+        .alias("y0"),
+        F.expr(grid_xy_sql("b.max_lat", "b.max_lon", res, "spark")[1])
+        .alias("y1"))
+    xy = (xy.filter((F.col("x1r") >= 0) & (F.col("x0r") <= n - 1))
+          .select("poly_id", "_ck", "ring",
+                  F.greatest(F.col("x0r"), F.lit(0)).alias("x0"),
+                  F.least(F.col("x1r"), F.lit(n - 1)).alias("x1"),
+                  "y0", "y1"))
+    # one row per (ring copy, cell row)
+    rows = xy.select("poly_id", "_ck", "ring", "x0", "x1",
+                     F.explode(F.expr("sequence(y0, y1)")).alias("cy"))
+    # Everything below is ROW-LOCAL on the (small by contract) polygons
+    # side — no join, no shuffle, same stage count as the bbox cover.
+    # Per-edge lat-band lon spans: same construction and pads as the
+    # tight scanline above, rendered as a nested HOF over the ring
+    # (edge counts here are polygon complexity, not data volume).
+    band_h = NANO_360 / 2 / n
+    blo = f"(cy * {band_h!r}D - {float(NANO_90)!r}D - 1.0D)"
+    bhi = f"((cy + 1) * {band_h!r}D - {float(NANO_90)!r}D + 1.0D)"
+
+    def lon_at(t):
+        return (f"(e.lo1 + (e.lo2 - e.lo1) * "
+                f"(GREATEST(LEAST({t}, e.hi), e.lo) - e.la1) / "
+                f"(e.la2 - e.la1))")
+    l0, l1 = lon_at(blo), lon_at(bhi)
+    lmn = (f"CASE WHEN e.la1 = e.la2 THEN LEAST(e.lo1, e.lo2) "
+           f"ELSE LEAST({l0}, {l1}) END")
+    lmx = (f"CASE WHEN e.la1 = e.la2 THEN GREATEST(e.lo1, e.lo2) "
+           f"ELSE GREATEST({l0}, {l1}) END")
+    xf = (f"CAST(floor(({{m}} + {NANO_180}D) * {n} "
+          f"/ {NANO_360}D) AS BIGINT)")
+    ed = ("zip_with(slice(ring, 1, size(ring) - 1), "
+          "slice(ring, 2, size(ring) - 1), (a, b) -> struct("
+          "CAST(LEAST(a.lat_nano, b.lat_nano) AS DOUBLE) AS lo, "
+          "CAST(GREATEST(a.lat_nano, b.lat_nano) AS DOUBLE) AS hi, "
+          "CAST(a.lat_nano AS DOUBLE) AS la1, "
+          "CAST(a.lon_nano AS DOUBLE) AS lo1, "
+          "CAST(b.lat_nano AS DOUBLE) AS la2, "
+          "CAST(b.lon_nano AS DOUBLE) AS lo2))")
+    # NULL span = edge misses the band, or its padded span falls outside
+    # the in-range x window of an antimeridian copy — dropped by the
+    # filter; the ROW survives, its cells classified by the center test
+    spans = (f"sort_array(filter(transform({ed}, e -> "
+             f"CASE WHEN e.lo <= {bhi} AND e.hi >= {blo} THEN struct("
+             f"GREATEST(x0, {xf.format(m=f'({lmn})')} - 1) AS bx0, "
+             f"LEAST(x1, {xf.format(m=f'({lmx})')} + 1) AS bx1) END), "
+             f"s -> s.bx1 >= s.bx0))")
+    # classification at INTERVAL granularity: merge the sorted spans
+    # (boundary intervals), complement them within [x0, x1] (uniform
+    # intervals), and ray cast ONE center per uniform interval — cells
+    # inside one interval share parity (no edge passes through any of
+    # them, and adjacent same-row cells connect without crossing an
+    # edge). Cost is O(rows × edges), independent of how many cells
+    # the intervals explode to.
+    merged = (f"aggregate({spans}, "
+              "CAST(array() AS ARRAY<STRUCT<lo:BIGINT,hi:BIGINT>>), "
+              "(acc, s) -> CASE WHEN size(acc) > 0 "
+              "AND s.bx0 <= element_at(acc, -1).hi + 1 "
+              "THEN concat(slice(acc, 1, size(acc) - 1), "
+              "array(struct(element_at(acc, -1).lo AS lo, "
+              "GREATEST(element_at(acc, -1).hi, s.bx1) AS hi))) "
+              "ELSE concat(acc, array(struct(s.bx0 AS lo, s.bx1 AS hi))) "
+              "END)")
+    gaps = ("filter(zip_with("
+            "concat(array(x0), transform(w.m, t -> t.hi + 1)), "
+            "concat(transform(w.m, t -> t.lo - 1), array(x1)), "
+            "(s, e) -> struct(s AS lo, e AS hi)), g -> g.hi >= g.lo)")
+    # exact integer cell-center coordinates (strictly inside the cell:
+    # the grid divisors never divide NANO_180/NANO_360 exactly, and the
+    # floor error < one cell)
+    clat = f"(((2 * cy + 1) * {NANO_180}) DIV {2 * n}) - {NANO_90}"
+    clon = f"(((2 * g.lo + 1) * {NANO_360}) DIV {2 * n}) - {NANO_180}"
+    in_gap = _RAY_CAST.format(px=clon, py=clat, ring="ring")
+    # w-wrapper = a let-binding: the merged-span array evaluates ONCE
+    # per row even though the interval builder references it four times
+    # (projection collapse would otherwise re-inline the whole span
+    # pipeline per reference — the known interpreted-HOF trap)
+    ivs = (f"element_at(transform(array(struct(({merged}) AS m)), w -> "
+           f"concat("
+           f"transform(w.m, s -> struct(s.lo AS lo, s.hi AS hi, "
+           f"false AS full)), "
+           f"transform(filter({gaps}, g -> {in_gap}), "
+           f"g -> struct(g.lo AS lo, g.hi AS hi, true AS full)))), 1)")
+    cell_id = (F.lit(res).cast("long") * F.lit(RES_SHIFT)
+               + F.col("cx") * F.lit(Y_SHIFT) + F.col("cy"))
+    return (rows
+            .select("poly_id", "_ck", "cy",
+                    F.explode(F.expr(ivs)).alias("iv"))
+            .select("poly_id", "_ck", "cy", F.col("iv.full").alias("full"),
+                    F.explode(F.expr("sequence(iv.lo, iv.hi)")).alias("cx"))
+            .select("poly_id", "_ck", cell_id.alias("cell"), "full"))
 
 
 def split_antimeridian(polygons: DataFrame) -> DataFrame:
@@ -348,7 +488,8 @@ def cover_for(polygons: DataFrame, res: int = GRID_RES_FINE, *,
     # probe action) must not serialize concurrent joins on distinct
     # polygon sets; a racing duplicate build is benign (both entries
     # land, unpersisted-until-hit, FIFO-evicted later)
-    cover = polygon_cover(split_antimeridian(polygons), res, tight=tight)
+    cover = polygon_cover(split_antimeridian(polygons), res, tight=tight,
+                          classify=True)
     with _COVER_CACHE_LOCK:
         _COVER_CACHE.append([polygons, res, tight, cover, False])
         while len(_COVER_CACHE) > _COVER_CACHE_MAX:
@@ -389,6 +530,19 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
         pts = salted_repartition(pts, cell_col, salt_n)
     cand = pts.join(F.broadcast(cover),
                     pts[cell_col] == cover["cell"]).drop(cover["cell"])
+    if "full" in cover.columns:
+        # classified cover (r6): candidates from FULL cells are inside by
+        # construction — the interpreted ray-cast fold runs only for
+        # boundary-cell candidates (OR short-circuits per row), and
+        # uniform-outside cells never entered the cover at all. The ring
+        # join carries _ck so each candidate meets only the antimeridian
+        # ring copy whose cover produced it (no fan-out).
+        polys = polys.withColumn("_ck", F.xxhash64("ring"))
+        withring = cand.join(F.broadcast(polys), ["poly_id", "_ck"])
+        return (withring
+                .filter(F.col("full")
+                        | point_in_ring_expr("lon_nano", "lat_nano"))
+                .drop("ring", "full", "_ck"))
     withring = cand.join(F.broadcast(polys), "poly_id")
     return (withring
             .filter(point_in_ring_expr("lon_nano", "lat_nano"))

@@ -168,6 +168,30 @@ def join_payloads(meta: DataFrame, media: DataFrame, *,
     return joined.select(*columns)
 
 
+def _spread_for_decode(joined: DataFrame, documents: DataFrame,
+                       media: DataFrame, *, broadcast_media: bool,
+                       media_join: str,
+                       decode_partitions: int | None) -> DataFrame:
+    """Apply the caller's ``decode_partitions`` spread — UNLESS the
+    join's streaming side already arrives in exactly that many (hash-
+    balanced) partitions, in which case the repartition would shuffle
+    every payload byte 1:1 for nothing (r6, guide §2.4 "remove shuffles
+    outright": the bench feeds ``cpus*2``-partition synth tables into a
+    ``decode_partitions=cpus*2`` decode — a pure pass-through Exchange
+    carrying the fat payload column). Only the broadcast join shapes
+    keep the streaming side's partitioning, so only they can skip."""
+    if not decode_partitions:
+        return joined
+    if media_join == "broadcast_meta" or broadcast_media:
+        base = documents if broadcast_media else media
+        try:
+            if base.rdd.getNumPartitions() == decode_partitions:
+                return joined
+        except Exception:
+            pass
+    return joined.repartition(decode_partitions, "blob_no")
+
+
 def _batch_decoder(decode_fn):
     """mapInArrow generator over (doc_id, blob_no, blob_type, payload)
     batches: skip empties, feed row tuples to ``decode_fn``, yield
@@ -211,8 +235,10 @@ def read_node_points(documents: DataFrame, media: DataFrame,
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
     joined = join_payloads(meta, media, broadcast_media=broadcast_media,
                            media_join=media_join)
-    if decode_partitions:
-        joined = joined.repartition(decode_partitions, "blob_no")
+    joined = _spread_for_decode(joined, documents, media,
+                                broadcast_media=broadcast_media,
+                                media_join=media_join,
+                                decode_partitions=decode_partitions)
 
     return joined.mapInArrow(_batch_decoder(decode_node_points_batch),
                              NODE_POINTS_DDL)
@@ -241,8 +267,10 @@ def read_elements_raw(documents: DataFrame, media: DataFrame,
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
     joined = join_payloads(meta, media, broadcast_media=broadcast_media,
                            media_join=media_join)
-    if decode_partitions:
-        joined = joined.repartition(decode_partitions, "blob_no")
+    joined = _spread_for_decode(joined, documents, media,
+                                broadcast_media=broadcast_media,
+                                media_join=media_join,
+                                decode_partitions=decode_partitions)
 
     return joined.mapInArrow(_batch_decoder(decode_raw_access_batch),
                              RAW_ACCESS_DDL)
@@ -358,8 +386,10 @@ def read_elements_quarantine(documents: DataFrame, media: DataFrame,
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
     joined = join_payloads(meta, media, broadcast_media=broadcast_media,
                            media_join=media_join)
-    if decode_partitions:
-        joined = joined.repartition(decode_partitions, "blob_no")
+    joined = _spread_for_decode(joined, documents, media,
+                                broadcast_media=broadcast_media,
+                                media_join=media_join,
+                                decode_partitions=decode_partitions)
 
     def bisect(rows):
         """yields (record_batch|None, [(doc_id, blob_no, err), ...])"""
@@ -432,12 +462,14 @@ def read_elements(documents: DataFrame, media: DataFrame,
     meta = blob_metadata(documents).filter(F.col("blob_type") == "OSMData")
     joined = join_payloads(meta, media, broadcast_media=broadcast_media,
                            media_join=media_join)
-    if decode_partitions:
-        # spread fat blob rows across workers when the blob count is small
-        # relative to the cluster (fixture/bench scale); at production
-        # scale (millions of blobs) AQE's size-based coalescing is right
-        # and this should stay None
-        joined = joined.repartition(decode_partitions, "blob_no")
+    # spread fat blob rows across workers when the blob count is small
+    # relative to the cluster (fixture/bench scale); at production
+    # scale (millions of blobs) AQE's size-based coalescing is right
+    # and decode_partitions should stay None
+    joined = _spread_for_decode(joined, documents, media,
+                                broadcast_media=broadcast_media,
+                                media_join=media_join,
+                                decode_partitions=decode_partitions)
     elements = joined.mapInArrow(_decode_batches, ELEMENTS_DDL)
     return with_coordinate_columns(elements)
 
