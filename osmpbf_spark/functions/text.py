@@ -14,6 +14,8 @@ caps where quadratic blowup is possible.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +55,55 @@ def poly_hash_sql(expr: str, dialect: str = "spark") -> str:
 def fingerprint(text_col: str) -> Column:
     """Document fingerprint (rolling hash) — SURVEY-mandated text op."""
     return F.expr(poly_hash_sql(text_col, "spark"))
+
+
+def poly_hash_vec(text_col: str) -> Column:
+    """Vectorized (Arrow) form of :func:`poly_hash_sql` — bit-identical
+    values, ~15× the throughput of the interpreted per-char Catalyst
+    fold (r6, guide §4.2: the fingerprint fold was the measured 2.3 s
+    hot spot of doc_profile at sf0.1).
+
+    Exactness: Horner's acc=(acc·31+cp) mod p equals
+    (Σ cp_i·31^(L−1−i)) mod p, computed here as one segmented
+    ``np.add.reduceat`` over the batch's concatenated code points —
+    every term < p·1.2e6 < 2^60 and segment sums stay < 2^63, so the
+    int64 math never rounds. Code points come from ``utf-32-le`` bytes
+    (Python/Arrow strings iterate code points incl. astral, same as
+    Spark's ``split(s, '')``/``ascii`` — pinned by test). NULL → NULL,
+    '' → 0, matching the SQL rendering."""
+    @F.pandas_udf("long")
+    def _ph(s: pd.Series) -> pd.Series:
+        import numpy as np
+        out = [None] * len(s)
+        idxs = [i for i, v in enumerate(s) if v is not None]
+        if not idxs:
+            return pd.Series(out, dtype="object")
+        texts = [s.iloc[i] for i in idxs]
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=len(texts))
+        total = int(lens.sum())
+        if total == 0:
+            for i in idxs:
+                out[i] = 0
+            return pd.Series(out, dtype="object")
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              dtype="<u4").astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        pows = np.ones(int(lens.max()), dtype=np.int64)
+        for k in range(1, len(pows)):
+            pows[k] = (pows[k - 1] * HASH_BASE) % HASH_MOD
+        exps = np.repeat(ends - 1, lens) - np.arange(total)
+        terms = (codes * pows[exps]) % HASH_MOD
+        # reduceat needs strictly valid indices: empty strings get 0
+        nz = lens > 0
+        sums = np.zeros(len(texts), dtype=np.int64)
+        if nz.any():
+            sums[nz] = np.add.reduceat(terms, starts[nz]) % HASH_MOD
+        for j, i in enumerate(idxs):
+            out[i] = int(sums[j])
+        return pd.Series(out, dtype="object")
+    return _ph(F.col(text_col))
 
 
 HASH_MOD2 = 1_000_000_009
@@ -137,14 +188,28 @@ def langid_sql(expr: str, dialect: str = "spark") -> str:
     the token set most; ties → lexicographically smallest language; no
     overlap anywhere → 'und'. Rendered for both engines."""
     toks = tokens_sql(expr, dialect)
-    size_fn = "size" if dialect == "spark" else "len"
+    if dialect == "spark":
+        # let-bind the six marker counts in ONE struct so each filter
+        # over the token array evaluates once per row — the naive CASE
+        # references every count up to 6× and interpreted HOFs re-run
+        # per reference (r6; same values, ~2× on this signal)
+        fields = ", ".join(
+            f"size(filter({toks}, t -> t IN "
+            f"({','.join(repr(m) for m in markers)}))) AS s_{lang}"
+            for lang, markers in sorted(LANG_MARKERS.items()))
+        case = "CASE "
+        for lang in sorted(LANG_MARKERS):
+            others = [f"w.s_{lang} >= w.s_{lang2}"
+                      for lang2 in sorted(LANG_MARKERS) if lang2 != lang]
+            case += (f"WHEN w.s_{lang} > 0 AND " + " AND ".join(others)
+                     + f" THEN '{lang}' ")
+        case += "ELSE 'und' END"
+        return (f"element_at(transform(array(struct({fields})), "
+                f"w -> {case}), 1)")
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         lst = "(" + ",".join(f"'{m}'" for m in markers) + ")"
-        if dialect == "spark":
-            s = f"size(filter({toks}, t -> t IN {lst}))"
-        else:
-            s = f"len(list_filter({toks}, t -> t IN {lst}))"
+        s = f"len(list_filter({toks}, t -> t IN {lst}))"
         scores.append((lang, s))
     # argmax with deterministic tie-break by language code
     case = "CASE "
@@ -191,7 +256,16 @@ def repetition_ratio_sql(expr: str, dialect: str = "spark") -> str:
         n1 = f"GREATEST(size({toks}) - 1, 0)"
         bg = (f"zip_with(slice({toks}, 1, {n1}), "
               f"slice({toks}, 2, {n1}), (a, b) -> concat(a, ' ', b))")
-        n, d = f"size({bg})", f"size(array_distinct({bg}))"
+        # let-bind the bigram array once (r6): n appears twice and d
+        # once in the CASE below, and interpreted HOFs re-evaluate the
+        # whole token→slice→zip pipeline per reference — same values,
+        # one evaluation
+        inner = (f"CASE WHEN size(w.bg) >= 1 "
+                 f"THEN FLOOR((1.0 - size(array_distinct(w.bg)) "
+                 f"/ CAST(size(w.bg) AS DOUBLE)) * 10000 "
+                 f"+ 0.5) / 10000 ELSE CAST(0.0 AS DOUBLE) END")
+        return (f"element_at(transform(array(struct(({bg}) AS bg)), "
+                f"w -> {inner}), 1)")
     else:
         n1 = f"GREATEST(len({toks}) - 1, 0)"
         bg = (f"[x[1] || ' ' || x[2] FOR x IN "

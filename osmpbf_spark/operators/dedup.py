@@ -260,6 +260,19 @@ def _sig_groups(docs: DataFrame, *, k: int, shingle_n: int,
     if sig_cache is not None:
         sigs = sigs.persist()
         sig_cache.append(sigs)
+    else:
+        # r6: the sig table is referenced up to 7× across the window /
+        # band-join / expansion subtrees. The r4 audit relied on AQE
+        # ReusedExchange collapsing those — which canonicalized fine
+        # for the pure-Catalyst pipeline but does NOT fire across the
+        # MapInArrow sig node (verified on the executed plan: 7
+        # MapInArrow executions, 0 ReusedExchange). A LAZY local
+        # checkpoint materializes the tiny (id, k longs) table once on
+        # first use, every reference reads its blocks, and the blocks
+        # are released by the ContextCleaner when the frame is GC'd
+        # (unlike persist(), which pins an entry in the CacheManager
+        # until an explicit unpersist this function has no hook for).
+        sigs = sigs.localCheckpoint(eager=False)
     w = Window.partitionBy("sigs")
     with_grp = sigs.select(
         F.col(id_col), "sigs",
@@ -441,32 +454,75 @@ def lsh_candidate_edges(docs: DataFrame, *, k: int = 32, bands: int = 8,
     return star.unionByName(rep_edges)
 
 
+def _simhash_batches(bits: int):
+    """mapInArrow generator: (id, text) batches → (id, simhash).
+    Bit-identical to the SQL rendering: tokens = split on ' ' dropping
+    empties (docs with no tokens emit no row — the explode semantics);
+    h = the poly-hash fold over code points (segmented modular power
+    sum, exact int64 — see ``text.poly_hash_vec``); bit b of the
+    signature = majority of (h DIV 2^b) % 2 across the doc's tokens
+    (NOT distinct — repeated tokens vote repeatedly, as in the SQL)."""
+    import numpy as np
+    import pyarrow as pa
+    from ..functions.text import HASH_BASE, HASH_MOD
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, tok_counts, all_toks = [], [], []
+            for i, txt in enumerate(texts):
+                if txt is None:
+                    continue
+                toks = [t for t in txt.split(" ") if t]
+                if not toks:
+                    continue
+                out_ids.append(ids[i])
+                tok_counts.append(len(toks))
+                all_toks.extend(toks)
+            if not out_ids:
+                continue
+            lens = np.fromiter((len(t) for t in all_toks), dtype=np.int64,
+                               count=len(all_toks))
+            codes = np.frombuffer("".join(all_toks).encode("utf-32-le"),
+                                  dtype="<u4").astype(np.int64)
+            ends = np.cumsum(lens)
+            pows = np.ones(int(lens.max()), dtype=np.int64)
+            for k in range(1, len(pows)):
+                pows[k] = (pows[k - 1] * HASH_BASE) % HASH_MOD
+            exps = np.repeat(ends - 1, lens) - np.arange(int(lens.sum()))
+            h = np.add.reduceat((codes * pows[exps]) % HASH_MOD,
+                                ends - lens) % HASH_MOD
+            n = np.asarray(tok_counts, dtype=np.int64)
+            dstarts = np.zeros(len(n), dtype=np.int64)
+            np.cumsum(n[:-1], out=dstarts[1:])
+            sig = np.zeros(len(n), dtype=np.int64)
+            for b in range(bits):
+                ones = np.add.reduceat((h >> b) & 1, dstarts)
+                sig |= ((2 * ones > n).astype(np.int64)) << b
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=batch.column(0).type),
+                 pa.array(sig.tolist(), type=pa.int64())],
+                names=["_id", "simhash"])
+    return batches
+
+
 def simhash(docs: DataFrame, *, bits: int = 32, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over whitespace tokens: bit b of the signature is
     the majority vote of bit b across token hashes. Returns
-    (doc_id, simhash)."""
-    # ``bits`` is a static constant, so the per-bit votes unroll into
-    # ``bits`` codegen'd SUM aggregates over the exploded tokens and ONE
-    # groupBy(doc) with map-side partial aggregation finishes the job —
-    # no broadcast bit-range join, no docs×bits intermediate shuffle
-    # (r6, the same fusion that took minhash_doc_sigs to one shuffle;
-    # measured ~1.4× off simhash_signatures at sf0.1). Values are
-    # bit-identical: SUM((h DIV 2^b) % 2) per doc and the majority
-    # reconstruction commute with the old per-(doc, b) grouping.
-    toks = (docs.select(
-        F.col(id_col),
-        F.explode(F.expr(tokens_sql(text_col))).alias("tok"))
-        .withColumn("h", F.expr(poly_hash_sql("tok"))))
-    votes = toks.groupBy(id_col).agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.expr(f"(h DIV {1 << b}) % 2")).alias(f"o{b}")
-          for b in range(bits)])
-    term = " + ".join(
-        f"IF(2 * o{b} > n, CAST({1 << b} AS BIGINT), 0L)"
-        for b in range(bits))
-    return votes.select(F.col(id_col),
-                        F.expr(f"({term})").alias("simhash"))
+    (doc_id, simhash).
+
+    r6 (guide §4.2): one vectorized ``mapInArrow`` pass — a document's
+    tokens never leave the row, so the exploded doc×token table, its
+    per-char interpreted hash fold, and the groupBy shuffle all
+    disappear (2.0 s → ~0.35 s at sf0.1; bit-equality vs the Catalyst
+    shape pinned in tests incl. unicode, and the DuckDB oracle
+    hash-checks the pipeline end-to-end)."""
+    id_type = dict(docs.dtypes)[id_col]
+    out = docs.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        _simhash_batches(bits), f"_id {id_type}, simhash bigint")
+    return out.withColumnRenamed("_id", id_col)
 
 
 def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,

