@@ -36,6 +36,10 @@ from ..functions.grid import GRID_RES_FINE, grid_xy_sql
 POLYGONS_DDL = ("poly_id string, "
                 "ring array<struct<lat_nano:bigint,lon_nano:bigint>>")
 
+# classified covers aggregate complete 2^4×2^4 full-cell blocks into one
+# parent supercell at res - _COARSE_STEP (see _classified_cover)
+_COARSE_STEP = 4
+
 
 def ring_bounds_sql(ring: str = "ring", id_col: str = "poly_id") -> str:
     """Sentinel-initialized min/max lat/lon fold over a ring column —
@@ -284,6 +288,7 @@ def _classified_cover(polygons: DataFrame, res: int) -> DataFrame:
         NANO_360,
         RES_SHIFT,
         Y_SHIFT,
+        cell_xy,
     )
     n = 1 << res
     polygons = polygons.withColumn("_ck", F.xxhash64("ring"))
@@ -382,12 +387,42 @@ def _classified_cover(polygons: DataFrame, res: int) -> DataFrame:
            f"g -> struct(g.lo AS lo, g.hi AS hi, true AS full)))), 1)")
     cell_id = (F.lit(res).cast("long") * F.lit(RES_SHIFT)
                + F.col("cx") * F.lit(Y_SHIFT) + F.col("cy"))
-    return (rows
+    fine = (rows
             .select("poly_id", "_ck", "cy",
                     F.explode(F.expr(ivs)).alias("iv"))
             .select("poly_id", "_ck", "cy", F.col("iv.full").alias("full"),
                     F.explode(F.expr("sequence(iv.lo, iv.hi)")).alias("cx"))
             .select("poly_id", "_ck", cell_id.alias("cell"), "full"))
+    if res < _COARSE_STEP:
+        return fine
+    # COARSEN the interior (r6, guide §2.3 "shuffle fewer bytes" applied
+    # to the broadcast): complete 2^4×2^4 blocks of FULL cells collapse
+    # into one parent supercell at res-4 — a planet-band cover shrinks
+    # ~50×, so the per-action BroadcastExchange build (measured ~1 s of
+    # the decode+PIP leg at a 1.4M-cell cover) almost vanishes.
+    # Mixed-res rows cannot collide: the res field is encoded in the
+    # cell id. ``pip_join`` probes points by BOTH their fine cell and
+    # its res-4 parent (see the `_osmpbf_coarse_res` marker).
+    cres = res - _COARSE_STEP
+    k = 1 << _COARSE_STEP
+    r0, x, y = cell_xy("cell")
+    parent = (F.lit(cres).cast("long") * F.lit(RES_SHIFT)
+              + (x / k).cast("long") * F.lit(Y_SHIFT)
+              + (y / k).cast("long"))
+    fullc = fine.filter("full").withColumn("pcell", parent)
+    counts = (fullc.groupBy("poly_id", "_ck", "pcell")
+              .agg(F.count("*").alias("_n")))
+    coarse = (counts.filter(F.col("_n") == k * k)
+              .select("poly_id", "_ck", F.col("pcell").alias("cell"),
+                      F.lit(True).alias("full")))
+    resid_full = (fullc.join(counts.filter(F.col("_n") == k * k)
+                             .select("poly_id", "_ck", "pcell"),
+                             ["poly_id", "_ck", "pcell"], "left_anti")
+                  .select("poly_id", "_ck", "cell", "full"))
+    out = (fine.filter(~F.col("full"))
+           .unionByName(resid_full).unionByName(coarse))
+    out._osmpbf_coarse_res = cres
+    return out
 
 
 def split_antimeridian(polygons: DataFrame) -> DataFrame:
@@ -556,8 +591,6 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
     if salt_n:
         from ..functions.grid import salted_repartition
         pts = salted_repartition(pts, cell_col, salt_n)
-    cand = pts.join(F.broadcast(cover),
-                    pts[cell_col] == cover["cell"]).drop(cover["cell"])
     if "full" in cover.columns:
         # classified cover (r6): candidates from FULL cells are inside by
         # construction — the interpreted ray-cast fold runs only for
@@ -565,12 +598,35 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
         # uniform-outside cells never entered the cover at all. The ring
         # join carries _ck so each candidate meets only the antimeridian
         # ring copy whose cover produced it (no fan-out).
+        cres = getattr(cover, "_osmpbf_coarse_res", None)
+        if cres is not None:
+            # coarsened cover: points probe BOTH their fine cell and
+            # its res-4 parent (the two row classes partition each
+            # polygon's interior, so every (point, polygon) pair
+            # matches exactly one cover row)
+            from ..functions.grid import RES_SHIFT, Y_SHIFT, cell_xy
+            k = 1 << _COARSE_STEP
+            _, x, y = cell_xy(cell_col)
+            parent = (F.lit(cres).cast("long") * F.lit(RES_SHIFT)
+                      + (x / k).cast("long") * F.lit(Y_SHIFT)
+                      + (y / k).cast("long"))
+            keyed = pts.withColumn(
+                "_jkey", F.explode(F.array(F.col(cell_col), parent)))
+            cand = (keyed.join(F.broadcast(cover),
+                               keyed["_jkey"] == cover["cell"])
+                    .drop("_jkey").drop(cover["cell"]))
+        else:
+            cand = (pts.join(F.broadcast(cover),
+                             pts[cell_col] == cover["cell"])
+                    .drop(cover["cell"]))
         polys = polys.withColumn("_ck", F.xxhash64("ring"))
         withring = cand.join(F.broadcast(polys), ["poly_id", "_ck"])
         return (withring
                 .filter(F.col("full")
                         | point_in_ring_expr("lon_nano", "lat_nano"))
                 .drop("ring", "full", "_ck"))
+    cand = pts.join(F.broadcast(cover),
+                    pts[cell_col] == cover["cell"]).drop(cover["cell"])
     withring = cand.join(F.broadcast(polys), "poly_id")
     return (withring
             .filter(point_in_ring_expr("lon_nano", "lat_nano"))

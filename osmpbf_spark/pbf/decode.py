@@ -38,8 +38,10 @@ from .wire import (
     decode_packed_sint64_delta,
     decode_packed_u64,
     decode_packed_u64_segments,
+    decode_packed_u64_spans,
     read_varint,
     scan_fields,
+    scan_messages_vec,
     segmented_cumsum,
     unzigzag,
     zigzag_decode,
@@ -700,35 +702,25 @@ def _parse_way_group(bufs, table, granularity, lat_offset, lon_offset,
     (src/elements.rs:326-423) as whole-group columnar ops."""
     n = len(bufs)
     c = _Chunk("way", n)
-    ids = np.zeros(n, dtype=np.int64)
-    keys_b = [_EMPTY] * n
-    vals_b = [_EMPTY] * n
-    refs_b = [_EMPTY] * n
-    lat_b = [_EMPTY] * n
-    lon_b = [_EMPTY] * n
-    info_b = [None] * n
-    for i, buf in enumerate(bufs):
-        for field_no, wt, value in scan_fields(buf):
-            if field_no == 1 and wt == WT_VARINT:
-                ids[i] = value if value < (1 << 63) else value - (1 << 64)
-            elif wt != WT_LEN:
-                continue
-            elif field_no == 2:
-                keys_b[i] = value
-            elif field_no == 3:
-                vals_b[i] = value
-            elif field_no == 4:
-                info_b[i] = value
-            elif field_no == 8:
-                refs_b[i] = value
-            elif field_no == 9:
-                lat_b[i] = value
-            elif field_no == 10:
-                lon_b[i] = value
-    c.ids = ids
+    # lockstep-vectorized field scan (r6): the per-message Python walk
+    # was the measured hot spot of the whole decode kernel (~7 yields +
+    # 2 scalar varints per Way) — scan_messages_vec advances every Way
+    # of the group through its fields in parallel, and the packed
+    # columns decode straight from (starts, lens) spans with no
+    # per-message bytes objects
+    big, mvals, spans = scan_messages_vec(
+        bufs, varint_fields=(1,), len_fields=(2, 3, 4, 8, 9, 10))
+    c.ids = mvals[1].astype(np.int64)
+    i_st, i_ln, i_pr = spans[4]
+    if i_pr.any():
+        info_b = [big[s:s + ln].tobytes() if p else None
+                  for s, ln, p in zip(i_st.tolist(), i_ln.tolist(),
+                                      i_pr.tolist())]
+    else:
+        info_b = [None] * n
 
-    kv, kl = decode_packed_u64_segments(keys_b)
-    vv, vl = decode_packed_u64_segments(vals_b)
+    kv, kl = decode_packed_u64_spans(big, *spans[2][:2])
+    vv, vl = decode_packed_u64_spans(big, *spans[3][:2])
     ksel, vsel, m = _seg_pair_select(kv.astype(np.int64), kl,
                                      vv.astype(np.int64), vl)
     tk = _table_take(table, ksel)
@@ -739,12 +731,12 @@ def _parse_way_group(bufs, table, granularity, lat_offset, lon_offset,
         c.tag_keys.append(tk)
         c.tag_vals.append(tv)
 
-    rv, rl = decode_packed_u64_segments(refs_b)
+    rv, rl = decode_packed_u64_spans(big, *spans[8][:2])
     c.refs_values = segmented_cumsum(unzigzag(rv), rl)
     c.refs_offsets = np.concatenate(([np.int64(0)], np.cumsum(rl)))
 
-    lav, lal = decode_packed_u64_segments(lat_b)
-    lov, lol = decode_packed_u64_segments(lon_b)
+    lav, lal = decode_packed_u64_spans(big, *spans[9][:2])
+    lov, lol = decode_packed_u64_spans(big, *spans[10][:2])
     # LocationsOnWays requires BOTH arrays (src/elements.rs:208-216)
     both = np.minimum(lal, lol)
     if lav.size and lov.size:
@@ -770,35 +762,20 @@ def _parse_relation_group(bufs, table, date_granularity) -> _Chunk:
     + role dictionary take, src/elements.rs:462-511, as columnar ops)."""
     n = len(bufs)
     c = _Chunk("relation", n)
-    ids = np.zeros(n, dtype=np.int64)
-    keys_b = [_EMPTY] * n
-    vals_b = [_EMPTY] * n
-    roles_b = [_EMPTY] * n
-    memids_b = [_EMPTY] * n
-    types_b = [_EMPTY] * n
-    info_b = [None] * n
-    for i, buf in enumerate(bufs):
-        for field_no, wt, value in scan_fields(buf):
-            if field_no == 1 and wt == WT_VARINT:
-                ids[i] = value if value < (1 << 63) else value - (1 << 64)
-            elif wt != WT_LEN:
-                continue
-            elif field_no == 2:
-                keys_b[i] = value
-            elif field_no == 3:
-                vals_b[i] = value
-            elif field_no == 4:
-                info_b[i] = value
-            elif field_no == 8:
-                roles_b[i] = value
-            elif field_no == 9:
-                memids_b[i] = value
-            elif field_no == 10:
-                types_b[i] = value
-    c.ids = ids
+    # lockstep-vectorized field scan — same rework as _parse_way_group
+    big, mvals, spans = scan_messages_vec(
+        bufs, varint_fields=(1,), len_fields=(2, 3, 4, 8, 9, 10))
+    c.ids = mvals[1].astype(np.int64)
+    i_st, i_ln, i_pr = spans[4]
+    if i_pr.any():
+        info_b = [big[s:s + ln].tobytes() if p else None
+                  for s, ln, p in zip(i_st.tolist(), i_ln.tolist(),
+                                      i_pr.tolist())]
+    else:
+        info_b = [None] * n
 
-    kv, kl = decode_packed_u64_segments(keys_b)
-    vv, vl = decode_packed_u64_segments(vals_b)
+    kv, kl = decode_packed_u64_spans(big, *spans[2][:2])
+    vv, vl = decode_packed_u64_spans(big, *spans[3][:2])
     ksel, vsel, m = _seg_pair_select(kv.astype(np.int64), kl,
                                      vv.astype(np.int64), vl)
     tk = _table_take(table, ksel)
@@ -809,9 +786,9 @@ def _parse_relation_group(bufs, table, date_granularity) -> _Chunk:
         c.tag_keys.append(tk)
         c.tag_vals.append(tv)
 
-    rv, rl = decode_packed_u64_segments(roles_b)
-    mv, ml = decode_packed_u64_segments(memids_b)
-    tv, tl = decode_packed_u64_segments(types_b)
+    rv, rl = decode_packed_u64_spans(big, *spans[8][:2])
+    mv, ml = decode_packed_u64_spans(big, *spans[9][:2])
+    tv, tl = decode_packed_u64_spans(big, *spans[10][:2])
     memids = segmented_cumsum(unzigzag(mv), ml)
     # 3-way zip truncate (min of lengths per relation)
     mm = np.minimum(np.minimum(rl, ml), tl)
