@@ -539,7 +539,11 @@ def simhash_pairs(docs: DataFrame, *, max_hamming: int = 3,
     :func:`bucket_overflow`). The default is looser than MinHash's
     because byte-banding is intentionally coarse (1024 possible
     buckets) — size it to executor memory at the target corpus."""
-    sh = simhash(docs, text_col=text_col, id_col=id_col)
+    # lazy checkpoint for the same reason as _sig_groups (r6): the band
+    # self-join references the signature subtree twice, and exchange
+    # reuse does not canonicalize across the MapInArrow node
+    sh = simhash(docs, text_col=text_col, id_col=id_col) \
+        .localCheckpoint(eager=False)
     bands = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[

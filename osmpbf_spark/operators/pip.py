@@ -415,10 +415,15 @@ def _classified_cover(polygons: DataFrame, res: int) -> DataFrame:
     coarse = (counts.filter(F.col("_n") == k * k)
               .select("poly_id", "_ck", F.col("pcell").alias("cell"),
                       F.lit(True).alias("full")))
-    resid_full = (fullc.join(counts.filter(F.col("_n") == k * k)
-                             .select("poly_id", "_ck", "pcell"),
-                             ["poly_id", "_ck", "pcell"], "left_anti")
-                  .select("poly_id", "_ck", "cell", "full"))
+    # the anti-join's right side is one row per COMPLETE parent block —
+    # cover-scale/256, broadcast-small by the same contract as the
+    # polygons side (and without the hint the unknown post-aggregation
+    # stats plan a SortMergeJoin, shuffling the cover build)
+    resid_full = (fullc.join(F.broadcast(
+        counts.filter(F.col("_n") == k * k)
+        .select("poly_id", "_ck", "pcell")),
+        ["poly_id", "_ck", "pcell"], "left_anti")
+        .select("poly_id", "_ck", "cell", "full"))
     out = (fine.filter(~F.col("full"))
            .unionByName(resid_full).unionByName(coarse))
     out._osmpbf_coarse_res = cres
