@@ -233,6 +233,14 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
             break
         remaining = _ckpt(remaining)
         disk *= 2
+        # tail-round collapse (r6, schedule only — the per-round guard
+        # keeps results exact at ANY disk sequence): when the open
+        # query set is tiny, one straggler round at a much larger disk
+        # is cheaper than 2-3 more doubling rounds of fixed job
+        # overhead; jump while the candidate-cell volume stays small
+        while (disk < max_disk
+               and remaining_n * (4 * disk + 1) ** 2 <= 500_000):
+            disk *= 2
     else:
         # brute-force backstop for the stragglers
         brute = (remaining.join(pts)
