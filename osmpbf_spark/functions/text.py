@@ -164,16 +164,22 @@ def quality_score_sql(expr: str, dialect: str = "spark") -> str:
     presence + alpha ratio, rounded to 4 decimals (cross-engine float
     safety). One arithmetic definition rendered to both engines."""
     toks = tokens_sql(expr, dialect)
-    if dialect == "spark":
-        nstop = (f"size(filter({toks}, t -> t IN "
-                 "('the','and','of','to','is','in','that','it')))")
-        ntok = f"size({toks})"
-    else:
-        nstop = (f"len(list_filter({toks}, t -> t IN "
-                 "('the','and','of','to','is','in','that','it')))")
-        ntok = f"len({toks})"
     alpha = (f"(length(regexp_replace({expr}, '[^a-zA-Z ]', '')) "
              f"/ CAST(length({expr}) + 1 AS DOUBLE))")
+    if dialect == "spark":
+        # let-bind the token array once (r6): the score references it
+        # three times and interpreted HOFs re-evaluate per reference
+        nstop = ("size(filter(w.t, t -> t IN "
+                 "('the','and','of','to','is','in','that','it')))")
+        ntok = "size(w.t)"
+        inner = (f"round(0.4 * LEAST({nstop} / (CAST({ntok} AS DOUBLE) "
+                 f"+ 1.0) * 8.0, 1.0) + 0.3 * {alpha} + 0.3 * "
+                 f"LEAST({ntok} / 100.0, 1.0), 4)")
+        return (f"element_at(transform(array(struct(({toks}) AS t)), "
+                f"w -> {inner}), 1)")
+    nstop = (f"len(list_filter({toks}, t -> t IN "
+             "('the','and','of','to','is','in','that','it')))")
+    ntok = f"len({toks})"
     return (f"round(0.4 * LEAST({nstop} / (CAST({ntok} AS DOUBLE) + 1.0) "
             f"* 8.0, 1.0) + 0.3 * {alpha} + 0.3 * "
             f"LEAST({ntok} / 100.0, 1.0), 4)")
@@ -189,12 +195,13 @@ def langid_sql(expr: str, dialect: str = "spark") -> str:
     overlap anywhere → 'und'. Rendered for both engines."""
     toks = tokens_sql(expr, dialect)
     if dialect == "spark":
-        # let-bind the six marker counts in ONE struct so each filter
-        # over the token array evaluates once per row — the naive CASE
-        # references every count up to 6× and interpreted HOFs re-run
-        # per reference (r6; same values, ~2× on this signal)
+        # two-level let-bind (r6): the token ARRAY evaluates once (the
+        # six marker filters would otherwise each re-split the text),
+        # and the six marker COUNTS evaluate once (the naive CASE
+        # references every count up to 6×) — interpreted HOFs re-run
+        # per reference; same values, ~2× on this signal
         fields = ", ".join(
-            f"size(filter({toks}, t -> t IN "
+            f"size(filter(w0.t, t -> t IN "
             f"({','.join(repr(m) for m in markers)}))) AS s_{lang}"
             for lang, markers in sorted(LANG_MARKERS.items()))
         case = "CASE "
@@ -204,8 +211,9 @@ def langid_sql(expr: str, dialect: str = "spark") -> str:
             case += (f"WHEN w.s_{lang} > 0 AND " + " AND ".join(others)
                      + f" THEN '{lang}' ")
         case += "ELSE 'und' END"
-        return (f"element_at(transform(array(struct({fields})), "
-                f"w -> {case}), 1)")
+        return (f"element_at(transform(array(struct(({toks}) AS t)), "
+                f"w0 -> element_at(transform(array(struct({fields})), "
+                f"w -> {case}), 1)), 1)")
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         lst = "(" + ",".join(f"'{m}'" for m in markers) + ")"
@@ -294,12 +302,17 @@ def mean_word_length_sql(expr: str, dialect: str = "spark") -> str:
     the other ratio columns."""
     toks = tokens_sql(expr, dialect)
     if dialect == "spark":
-        total = f"aggregate({toks}, 0L, (acc, t) -> acc + length(t))"
-        n = f"size({toks})"
-    else:
-        total = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-                 f"[length(t) FOR t IN {toks}]), (a, b) -> a + b)")
-        n = f"len({toks})"
+        # let-bind the token array once (r6): total + the two guard/
+        # denominator references would re-split the text per reference
+        inner = ("CASE WHEN size(w.t) >= 1 THEN FLOOR("
+                 "aggregate(w.t, 0L, (acc, t) -> acc + length(t)) "
+                 "/ CAST(size(w.t) AS DOUBLE) "
+                 "* 10000 + 0.5) / 10000 ELSE CAST(0.0 AS DOUBLE) END")
+        return (f"element_at(transform(array(struct(({toks}) AS t)), "
+                f"w -> {inner}), 1)")
+    total = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+             f"[length(t) FOR t IN {toks}]), (a, b) -> a + b)")
+    n = f"len({toks})"
     return (f"CASE WHEN {n} >= 1 THEN FLOOR({total} / CAST({n} AS DOUBLE) "
             f"* 10000 + 0.5) / 10000 ELSE CAST(0.0 AS DOUBLE) END")
 
