@@ -152,7 +152,19 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
     done_parts = []
     disk = start_disk
     while disk <= max_disk:
-        offs = F.broadcast(neighbor_offsets(spark, disk))
+        # x-pruned disk (r6, exact): cells are 2:1 — a lon cell is
+        # 2·cell_h wide — so a point in a cell at |dx| columns has
+        # |plon−qlon| > (|dx|−1)·2·cell_h, and the strict
+        # `dist2 < (disk·cell_h)²` guard already rejects everything at
+        # |dx| ≥ disk/2 + 1. Conversely the guard circle reaches at
+        # most ceil(disk/2) columns from the query's cell (radius
+        # disk·cell_h = disk/2 widths, plus the query's in-cell
+        # offset), so the searched region still contains it and the
+        # completeness guarantee is untouched. Dropping the dead
+        # columns cuts the candidate join fan-out ~40% at even disks.
+        mdx = (disk // 2) + (disk % 2)
+        offs = F.broadcast(neighbor_offsets(spark, disk)
+                           .filter(F.abs(F.col("dx")) <= mdx))
         # y offsets outside [0, n) are dropped (no tiles beyond the
         # poles); clamping instead would map several dy values to the
         # same cell and duplicate candidate rows, occupying multiple
