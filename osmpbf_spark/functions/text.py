@@ -106,6 +106,171 @@ def poly_hash_vec(text_col: str) -> Column:
     return _ph(F.col(text_col))
 
 
+def doc_signals_vec(text_col: str) -> Column:
+    """Vectorized (Arrow) form of the FULL doc_profile signal set — one
+    pandas_udf returning the 9 signal columns as a struct, bit-identical
+    to the dual-rendered SQL renderings below (each pinned by
+    tests/test_r06_optimizations.py against the Catalyst forms and by
+    the driver's doc_profile oracle hash).
+
+    Why (r6, guide §4.2): the seven token/line signals are interpreted
+    higher-order-function folds — measured ~45 µs/doc of interpreted
+    overhead (quality alone 0.23 s for 5,000 sf0.1 docs) — while the
+    text column ALREADY crosses the JVM→Python Arrow boundary once for
+    the fingerprint, so fusing every signal into that one crossing
+    removes the interpreted cost without adding transfer.
+
+    Exactness notes (each mirrors the SQL rendering's 3VL and float
+    semantics):
+
+    - tokens = Java/Python ``split(' ')`` with empties dropped — tokens
+      never contain a space, so distinct-bigram counting on (a, b)
+      tuples equals the SQL's distinct on ``concat(a, ' ', b)``.
+    - float formulas evaluate left-associatively in IEEE double exactly
+      as Catalyst's codegen does; quantization is the same
+      ``floor(x·10⁴ + 0.5)/10⁴``; ``round(q, 4)`` replicates Spark's
+      ``BigDecimal.valueOf(double)`` (shortest decimal repr) via
+      ``Decimal(repr(q))`` with HALF_UP.
+    - NULL text → (NULL, NULL, NULL, 'und', 0.0, 0.0, 0.0, 0.0, 0.0):
+      the fingerprint/n_tokens/quality renderings propagate NULL, the
+      langid CASE falls through its unknown WHENs to 'und', and the
+      ratio signals use the inverted `n >= 1` guard that maps NULL
+      to 0.0.
+    - ``ltrim``/``rtrim`` trim the space character only → ``strip(' ')``;
+      lines come from ``split(chr(10))`` with empties dropped;
+      ``right(s, k)`` for short s is s itself → Python ``s[-k:]``.
+    - symbol counts: ``replace``-based occurrence counts are
+      non-overlapping left-to-right in both engines → ``str.count``;
+      the '...' count rides an exact ``(3·c)/3`` double division.
+    - lengths count code points (Spark ``length``/UTF8String.numChars ==
+      Python ``len``, astral planes included)."""
+    _en = frozenset(LANG_MARKERS["en"])
+    _langs = sorted(LANG_MARKERS)
+    _marker_langs: dict[str, list[str]] = {}
+    for _lang in _langs:
+        for _w in LANG_MARKERS[_lang]:
+            _marker_langs.setdefault(_w, []).append(_lang)
+    # deleting the [a-zA-Z ] class and diffing lengths counts the kept
+    # chars of regexp_replace(text, '[^a-zA-Z ]', '') at C speed
+    _alpha_del = {ord(c): None for c in
+                  "abcdefghijklmnopqrstuvwxyz"
+                  "ABCDEFGHIJKLMNOPQRSTUVWXYZ "}
+
+    @F.pandas_udf("fingerprint long, n_tokens long, quality double, "
+                  "lang_guess string, rep_bigram double, "
+                  "mean_word_len double, symbol_ratio double, "
+                  "bullet_frac double, ellipsis_frac double")
+    def _sig(s: pd.Series) -> pd.DataFrame:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        n_rows = len(s)
+        fp = [None] * n_rows
+        ntok: list = [None] * n_rows
+        qual: list = [None] * n_rows
+        lang = ["und"] * n_rows
+        rep = [0.0] * n_rows
+        mwl = [0.0] * n_rows
+        sym = [0.0] * n_rows
+        bul = [0.0] * n_rows
+        ell = [0.0] * n_rows
+        q4 = Decimal("0.0001")
+        texts, idxs = [], []
+        for i, v in enumerate(s):
+            if v is None:
+                continue
+            texts.append(v)
+            idxs.append(i)
+            toks = [t for t in v.split(" ") if t]
+            nt = len(toks)
+            ntok[i] = nt
+            # quality: stopword band + alpha ratio + length band
+            nstop = 0
+            counts = dict.fromkeys(_langs, 0)
+            for t in toks:
+                if t in _en:
+                    nstop += 1
+                ls = _marker_langs.get(t)
+                if ls is not None:
+                    for lg in ls:
+                        counts[lg] += 1
+            kept = len(v) - len(v.translate(_alpha_del))
+            alpha = kept / float(len(v) + 1)
+            q = (0.4 * min(nstop / (nt + 1.0) * 8.0, 1.0)
+                 + 0.3 * alpha + 0.3 * min(nt / 100.0, 1.0))
+            qual[i] = float(Decimal(repr(q)).quantize(q4, ROUND_HALF_UP))
+            for lg in _langs:
+                c = counts[lg]
+                if c > 0 and all(c >= counts[o] for o in _langs
+                                 if o != lg):
+                    lang[i] = lg
+                    break
+            if nt >= 2:
+                nbg = nt - 1
+                d = len(set(zip(toks, toks[1:])))
+                rep[i] = math.floor((1.0 - d / float(nbg)) * 10000
+                                    + 0.5) / 10000
+            if nt >= 1:
+                total = 0
+                for t in toks:
+                    total += len(t)
+                mwl[i] = math.floor(total / float(nt) * 10000
+                                    + 0.5) / 10000
+                dots = (len(v) - len(v.replace("...", ""))) / 3
+                syms = v.count("#") + dots + v.count("…")
+                sym[i] = math.floor(syms / float(nt) * 10000
+                                    + 0.5) / 10000
+            lines = [ln for ln in v.split("\n") if ln]
+            nl = len(lines)
+            if nl >= 1:
+                hb = he = 0
+                for ln in lines:
+                    if ln.lstrip(" ")[:1] in ("-", "*", "•"):
+                        hb += 1
+                    r = ln.rstrip(" ")
+                    if r[-3:] == "..." or r[-1:] == "…":
+                        he += 1
+                bul[i] = math.floor(hb / float(nl) * 10000 + 0.5) / 10000
+                ell[i] = math.floor(he / float(nl) * 10000 + 0.5) / 10000
+        # fingerprint: the poly_hash_vec batch kernel, inlined so the
+        # code-point extraction is shared across the whole batch
+        if texts:
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=len(texts))
+            total = int(lens.sum())
+            if total == 0:
+                for i in idxs:
+                    fp[i] = 0
+            else:
+                codes = np.frombuffer(
+                    "".join(texts).encode("utf-32-le"),
+                    dtype="<u4").astype(np.int64)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                pows = np.ones(int(lens.max()), dtype=np.int64)
+                for k in range(1, len(pows)):
+                    pows[k] = (pows[k - 1] * HASH_BASE) % HASH_MOD
+                exps = np.repeat(ends - 1, lens) - np.arange(total)
+                terms = (codes * pows[exps]) % HASH_MOD
+                nz = lens > 0
+                sums = np.zeros(len(texts), dtype=np.int64)
+                if nz.any():
+                    sums[nz] = np.add.reduceat(terms,
+                                               starts[nz]) % HASH_MOD
+                for j, i in enumerate(idxs):
+                    fp[i] = int(sums[j])
+        return pd.DataFrame({
+            "fingerprint": pd.Series(fp, dtype="object"),
+            "n_tokens": pd.Series(ntok, dtype="object"),
+            "quality": pd.Series(qual, dtype="object"),
+            "lang_guess": lang, "rep_bigram": rep,
+            "mean_word_len": mwl, "symbol_ratio": sym,
+            "bullet_frac": bul, "ellipsis_frac": ell})
+    return _sig(F.col(text_col))
+
+
 HASH_MOD2 = 1_000_000_009
 HASH_BASE2 = 131
 

@@ -708,28 +708,18 @@ def q_doc_profile(spark, sf_dir):
     length, symbol-to-word ratio, bullet/ellipsis line fractions) in
     one narrow pass — all dual-rendered Catalyst built-ins; these are
     the columns ``jobs/curate_training_data_job.py`` gates on."""
-    from .functions.text import poly_hash_vec
+    from .functions.text import doc_signals_vec
+    # ONE vectorized Arrow pass for all 9 signals (r6 — bit-identical
+    # to the dual-rendered SQL forms by construction, equivalence- and
+    # oracle-hash-gated; the seven interpreted HOF signals were ~0.8 s
+    # of this query's ~1.1 s at sf0.1, and the text column already
+    # crossed the Python boundary once for the fingerprint)
     return (_load(spark, sf_dir, "documents")
-            .select("doc_id",
-                    # vectorized Arrow form of the SAME fold (r6 —
-                    # bit-identical by construction, oracle hash-gated;
-                    # the interpreted per-char fold was 2.3 s of this
-                    # query's 1.5-2.2 s at sf0.1)
-                    poly_hash_vec("text").alias("fingerprint"),
-                    F.expr(f"CAST(size({tokens_sql('text')}) AS BIGINT)")
-                    .alias("n_tokens"),
-                    F.expr(quality_score_sql("text")).alias("quality"),
-                    F.expr(langid_sql("text")).alias("lang_guess"),
-                    F.expr(repetition_ratio_sql("text"))
-                    .alias("rep_bigram"),
-                    F.expr(mean_word_length_sql("text"))
-                    .alias("mean_word_len"),
-                    F.expr(symbol_word_ratio_sql("text"))
-                    .alias("symbol_ratio"),
-                    F.expr(bullet_line_frac_sql("text"))
-                    .alias("bullet_frac"),
-                    F.expr(ellipsis_line_frac_sql("text"))
-                    .alias("ellipsis_frac")))
+            .select("doc_id", doc_signals_vec("text").alias("_sig"))
+            .select("doc_id", "_sig.fingerprint", "_sig.n_tokens",
+                    "_sig.quality", "_sig.lang_guess", "_sig.rep_bigram",
+                    "_sig.mean_word_len", "_sig.symbol_ratio",
+                    "_sig.bullet_frac", "_sig.ellipsis_frac"))
 
 
 _DECON_N = 8          # n-gram size (13 is the GPT-3 default; 8 keeps the

@@ -283,3 +283,60 @@ def test_decode_spread_skips_only_matching_partitioning(spark):
     spread = read_elements(docs, media, decode_partitions=4)
     assert spread.rdd.getNumPartitions() == 4
     assert spread.count() == n
+
+
+def test_doc_signals_vec_matches_sql_renderings(spark):
+    """The fused Arrow doc_profile kernel must reproduce every
+    dual-rendered SQL signal value-for-value — including NULL text
+    (NULL fingerprint/n_tokens/quality but 'und' lang and 0.0 ratios),
+    empty/whitespace docs, astral code points, exact dyadic
+    quantization ties, multi-language marker ties, and the
+    bullet/ellipsis line edges."""
+    from osmpbf_spark.functions.text import (
+        bullet_line_frac_sql,
+        doc_signals_vec,
+        ellipsis_line_frac_sql,
+        langid_sql,
+        mean_word_length_sql,
+        quality_score_sql,
+        repetition_ratio_sql,
+        symbol_word_ratio_sql,
+    )
+    texts = [
+        None, "", " ", "   ", "the", "the the the the",
+        "a b a b a b", "der die und le la et el que il",
+        "le la et les des est un une", "😀 🚀😀 the 😀",
+        "日本語 中文 한국어 the and of",
+        "- bullet\n* bullet2\n• b3\n normal",
+        "line...\nline…   \nline\n\n\n", "### ... …… #", "a" * 500,
+        " ".join(["tok"] * 200), "x\ny\nz", "\n\n\n", "...",
+        " ".join(f"w{i % 8}" for i in range(32)),     # 1/31 etc. ties
+        "the and of to is in that it", "Tab\tsep one\ttoken",
+        "trailing space ", " leading", "…", "#",
+        "mixed#sym ... tok …", "the ... the ... the",
+        " ".join(f"w{i % 16}" for i in range(128)),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    old = df.select(
+        "doc_id",
+        F.expr(poly_hash_sql("text")).alias("fingerprint"),
+        F.expr(f"CAST(size({tokens_sql('text')}) AS BIGINT)")
+        .alias("n_tokens"),
+        F.expr(quality_score_sql("text")).alias("quality"),
+        F.expr(langid_sql("text")).alias("lang_guess"),
+        F.expr(repetition_ratio_sql("text")).alias("rep_bigram"),
+        F.expr(mean_word_length_sql("text")).alias("mean_word_len"),
+        F.expr(symbol_word_ratio_sql("text")).alias("symbol_ratio"),
+        F.expr(bullet_line_frac_sql("text")).alias("bullet_frac"),
+        F.expr(ellipsis_line_frac_sql("text")).alias("ellipsis_frac"))
+    new = (df.select("doc_id", doc_signals_vec("text").alias("s"))
+           .select("doc_id", "s.fingerprint", "s.n_tokens", "s.quality",
+                   "s.lang_guess", "s.rep_bigram", "s.mean_word_len",
+                   "s.symbol_ratio", "s.bullet_frac", "s.ellipsis_frac"))
+    assert new.schema == old.schema
+    assert new.exceptAll(old).isEmpty()
+    assert old.exceptAll(new).isEmpty()
+    # the 9 field extractions must collapse to ONE Python evaluation
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
