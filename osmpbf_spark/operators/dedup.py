@@ -260,24 +260,28 @@ def _sig_groups(docs: DataFrame, *, k: int, shingle_n: int,
     if sig_cache is not None:
         sigs = sigs.persist()
         sig_cache.append(sigs)
-    else:
-        # r6: the sig table is referenced up to 7× across the window /
-        # band-join / expansion subtrees. The r4 audit relied on AQE
-        # ReusedExchange collapsing those — which canonicalized fine
-        # for the pure-Catalyst pipeline but does NOT fire across the
-        # MapInArrow sig node (verified on the executed plan: 7
-        # MapInArrow executions, 0 ReusedExchange). A LAZY local
-        # checkpoint materializes the tiny (id, k longs) table once on
-        # first use, every reference reads its blocks, and the blocks
-        # are released by the ContextCleaner when the frame is GC'd
-        # (unlike persist(), which pins an entry in the CacheManager
-        # until an explicit unpersist this function has no hook for).
-        sigs = sigs.localCheckpoint(eager=False)
     w = Window.partitionBy("sigs")
     with_grp = sigs.select(
         F.col(id_col), "sigs",
         F.min(id_col).over(w).alias("grp_id"),
         F.count("*").over(w).alias("grp_n"))
+    # r6: mem and reps are consumed up to 5× across the band-join /
+    # diagonal / expansion subtrees. The r4 audit relied on AQE
+    # ReusedExchange collapsing the twins — which held for the
+    # pure-Catalyst pipeline at small scale but does NOT fire across
+    # the MapInArrow sig node, and at bench scale AQE converts the
+    # band self-join to a broadcast join whose asymmetric sides never
+    # canonicalize equal (verified on the executed sf0.1 plan:
+    # 0 ReusedExchange, the grouping window executed 5×). A LAZY local
+    # checkpoint of the WINDOW OUTPUT (id, sigs, grp_id, grp_n — the
+    # same per-doc footprint as the sig table) materializes the whole
+    # signature→window pipeline once on first use; every reference
+    # reads its blocks regardless of AQE's join choice, and the blocks
+    # are released by the ContextCleaner when the frame is GC'd
+    # (unlike persist(), which pins a CacheManager entry with no
+    # unpersist hook here). The sig_cache path keeps its caller-managed
+    # persist for cross-ACTION reuse (store build/probe).
+    with_grp = with_grp.localCheckpoint(eager=False)
     mem = with_grp.select(id_col, "grp_id", "grp_n")
     reps = (with_grp.filter(F.col(id_col) == F.col("grp_id"))
             .select("grp_id", "sigs", "grp_n"))
