@@ -106,19 +106,30 @@ def cell_parent(cell: Column | str, parent_res: int) -> Column:
             + px * F.lit(Y_SHIFT) + py)
 
 
+def _offsets_df(spark, offs: list[tuple[int, int]]) -> DataFrame:
+    """(dx, dy) rows as a LocalRelation: routing the list through pandas +
+    Arrow plans a LocalTableScan, where a plain list-of-tuples plans a
+    Python-RDD scan (``applySchemaToPythonRDD``) that launches Python
+    workers and runs an extra job per action — measured ~0.5 s per
+    grid_knn round at the bench shape (r6)."""
+    import pandas as pd
+    pdf = pd.DataFrame(offs, columns=["dx", "dy"]).astype("int32")
+    return spark.createDataFrame(pdf, schema="dx int, dy int")
+
+
 def neighbor_offsets(spark, k: int) -> DataFrame:
     """All (dx, dy) with Chebyshev distance ≤ k — the grid analogue of H3
     ``grid_disk`` (ring expansion for kNN, EDBT-2012 pattern, PAPERS.md).
     Tiny driver-side relation intended for broadcast."""
     offs = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
-    return spark.createDataFrame(offs, "dx int, dy int")
+    return _offsets_df(spark, offs)
 
 
 def ring_offsets(spark, k: int) -> DataFrame:
     """Only the ring at exactly Chebyshev distance k (grid_ring)."""
     offs = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)
             if max(abs(dx), abs(dy)) == k]
-    return spark.createDataFrame(offs, "dx int, dy int")
+    return _offsets_df(spark, offs)
 
 
 def with_grid_cells(elements: DataFrame, *, res: int = GRID_RES_FINE,

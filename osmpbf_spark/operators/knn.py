@@ -434,6 +434,21 @@ def _dec_dist2_arrays(a: str, b: str):
         f"(acc, t) -> CAST(acc + t AS DECIMAL(28,18)))")
 
 
+def _centroid_df(spark, cents: list[list[float]]) -> DataFrame:
+    """(cid, cvec) as a LocalTableScan via pyarrow — the list-of-tuples
+    form plans a Python-RDD scan whose Python job re-runs on every
+    action referencing the broadcast centroid table (one per Lloyd
+    iteration, plus every serving-side probe). Schema identical to the
+    former ``"cid int, cvec array<double>"``."""
+    import pyarrow as pa
+    tbl = pa.table({
+        "cid": pa.array(range(len(cents)), pa.int32()),
+        "cvec": pa.array([[float(x) for x in c] for c in cents],
+                         pa.list_(pa.float64())),
+    })
+    return spark.createDataFrame(tbl)
+
+
 def train_centroids(vectors: DataFrame, k: int, *, iters: int = 4,
                     vec_col: str = "embedding", id_col: str = "vec_id"
                     ) -> DataFrame:
@@ -488,8 +503,7 @@ def train_centroids(vectors: DataFrame, k: int, *, iters: int = 4,
         if len(dims) != 1:
             raise ValueError(f"ragged embedding dims {sorted(dims)}")
         for _ in range(iters):
-            cdf = F.broadcast(spark.createDataFrame(
-                list(enumerate(cents)), "cid int, cvec array<double>"))
+            cdf = F.broadcast(_centroid_df(spark, cents))
             # argmin via lexicographic struct MIN (same result as the
             # former row_number over orderBy(d2, cid) — cid is unique
             # so ties never reach v), partial-combined map-side: the
@@ -515,8 +529,7 @@ def train_centroids(vectors: DataFrame, k: int, *, iters: int = 4,
                      for i in range(k)]
     finally:
         v.unpersist()
-    return spark.createDataFrame(list(enumerate(cents)),
-                                 "cid int, cvec array<double>")
+    return _centroid_df(spark, cents)
 
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, nprobe: int = 1, *,

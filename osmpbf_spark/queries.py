@@ -462,9 +462,15 @@ def q_knn_events(spark, sf_dir):
         _events_xy(spark, sf_dir).select(
             F.col("event_id").alias("id"), "lat_nano", "lon_nano"),
         res=res)
+    import pandas as pd
+    qpdf = pd.DataFrame(_KNN_QUERIES,
+                        columns=["query_id", "lat_nano", "lon_nano"]
+                        ).astype("int64")
     qdf = with_grid_cells(
-        spark.createDataFrame(_KNN_QUERIES,
-                              "query_id long, lat_nano long, lon_nano long"),
+        # pandas → Arrow → LocalTableScan: the list-of-tuples form plans
+        # a Python-RDD scan re-run on every grid_knn round/action (r6)
+        spark.createDataFrame(
+            qpdf, schema="query_id long, lat_nano long, lon_nano long"),
         res=res)
     out = grid_knn(pts, qdf, 5, res=res)
     return out.select("query_id", F.col("id").alias("event_id"),
@@ -672,8 +678,11 @@ def q_s2_golden(spark, sf_dir):
     additionally pinned to the published bit-layout constants in
     tests/test_s2.py."""
     from .functions.s2 import with_s2_cells
-    df = spark.createDataFrame(_S2_GOLDEN_PTS,
-                               "pid long, lat double, lon double")
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame(_S2_GOLDEN_PTS, columns=["pid", "lat", "lon"])
+        .astype({"pid": "int64", "lat": "float64", "lon": "float64"}),
+        schema="pid long, lat double, lon double")
     return (with_s2_cells(df, level=12)
             .select("pid", "s2_cell"))
 
