@@ -43,7 +43,8 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
              res: int = GRID_RES_FINE, cell_col: str = "cell",
              id_col: str = "id", query_id_col: str = "query_id",
              max_disk: int = 64, start_disk: int | str = "auto",
-             broadcast_candidates: bool = True) -> DataFrame:
+             broadcast_candidates: bool = True,
+             _rev_min_rows: int = 500_000) -> DataFrame:
     """k nearest ``points`` for each query point.
 
     ``points``: (id, lat_nano, lon_nano, cell); ``queries``:
@@ -163,23 +164,9 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # completeness guarantee is untouched. Dropping the dead
         # columns cuts the candidate join fan-out ~40% at even disks.
         mdx = (disk // 2) + (disk % 2)
+        n_offs = (2 * mdx + 1) * (2 * disk + 1)
         offs = F.broadcast(neighbor_offsets(spark, disk)
                            .filter(F.abs(F.col("dx")) <= mdx))
-        # y offsets outside [0, n) are dropped (no tiles beyond the
-        # poles); clamping instead would map several dy values to the
-        # same cell and duplicate candidate rows, occupying multiple
-        # top-k ranks with one point. x wraps (antimeridian).
-        # NOTE: _x/_y deliberately NOT selected — they'd ride the big
-        # query×offsets shuffle for nothing (remaining keeps them for the
-        # next round's recompute)
-        cand_cells = (remaining.join(offs)
-                      .filter((F.col("_y") + F.col("dy") >= 0)
-                              & (F.col("_y") + F.col("dy") <= n - 1))
-                      .select(query_id_col, "lat_nano", "lon_nano",
-                              (F.lit(res).cast("long") * F.lit(RES_SHIFT)
-                               + F.pmod(F.col("_x") + F.col("dx"), F.lit(n))
-                               * F.lit(Y_SHIFT)
-                               + (F.col("_y") + F.col("dy"))).alias("jcell")))
         # with a small query set (the common case) broadcast queries ×
         # offsets so the (big) point side never shuffles; for a kNN JOIN
         # with a large query side (EDBT-2012 regime) pass
@@ -196,10 +183,65 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # 100k-query × 25-offset round sat just above the old 2M cut)
         small_round = (remaining_n is not None
                        and remaining_n * area <= 4_000_000)
-        if not (broadcast_candidates or small_round):
-            _pin_pts()
-        left = (F.broadcast(cand_cells)
-                if broadcast_candidates or small_round else cand_cells)
+        # reversed probe (r6): when the OPEN QUERY SET × offsets is large,
+        # the single-threaded driver build of the cand_cells broadcast
+        # dominates the round — so broadcast the queries keyed by their
+        # OWN cell (n_offs× smaller build) and explode the POINT side by
+        # the offsets instead (probe fan-out is map-side codegen across
+        # all cores, pruned by the guard before the window's partial
+        # top-k; nothing extra shuffles). Pair-set identity relies on the
+        # offset set being symmetric under negation — the full Chebyshev
+        # square and the |dx| ≤ mdx x-pruning both are. The n_offs cap
+        # bounds the point-side fan-out (straggler rounds at big disks
+        # keep the cand_cells shape); the 4M-row cap is the same
+        # broadcast-memory class as small_round. Measured at the bench
+        # shape: round-1 1.82 → 1.22 s median (identical checksums).
+        rev_round = (remaining_n is not None
+                     and remaining_n * n_offs >= _rev_min_rows
+                     and remaining_n <= 4_000_000
+                     and n_offs <= 35)
+        if rev_round:
+            from ..functions.grid import cell_xy
+            qk = remaining.select(
+                query_id_col, "lat_nano", "lon_nano",
+                (F.lit(res).cast("long") * F.lit(RES_SHIFT)
+                 + F.col("_x") * F.lit(Y_SHIFT)
+                 + F.col("_y")).alias("qcell"))
+            _, px, py = cell_xy("p_cell")
+            pe = (pts.withColumn("_px", px).withColumn("_py", py)
+                  .join(offs)
+                  .filter((F.col("_py") + F.col("dy") >= 0)
+                          & (F.col("_py") + F.col("dy") <= n - 1))
+                  .select(id_col, "p_lat", "p_lon",
+                          (F.lit(res).cast("long") * F.lit(RES_SHIFT)
+                           + F.pmod(F.col("_px") + F.col("dx"), F.lit(n))
+                           * F.lit(Y_SHIFT)
+                           + (F.col("_py") + F.col("dy"))).alias("pcell2")))
+            joined = pe.join(F.broadcast(qk), pe["pcell2"] == qk["qcell"])
+        else:
+            # y offsets outside [0, n) are dropped (no tiles beyond the
+            # poles); clamping instead would map several dy values to the
+            # same cell and duplicate candidate rows, occupying multiple
+            # top-k ranks with one point. x wraps (antimeridian).
+            # NOTE: _x/_y deliberately NOT selected — they'd ride the big
+            # query×offsets shuffle for nothing (remaining keeps them for
+            # the next round's recompute)
+            cand_cells = (remaining.join(offs)
+                          .filter((F.col("_y") + F.col("dy") >= 0)
+                                  & (F.col("_y") + F.col("dy") <= n - 1))
+                          .select(query_id_col, "lat_nano", "lon_nano",
+                                  (F.lit(res).cast("long")
+                                   * F.lit(RES_SHIFT)
+                                   + F.pmod(F.col("_x") + F.col("dx"),
+                                            F.lit(n))
+                                   * F.lit(Y_SHIFT)
+                                   + (F.col("_y")
+                                      + F.col("dy"))).alias("jcell")))
+            if not (broadcast_candidates or small_round):
+                _pin_pts()
+            left = (F.broadcast(cand_cells)
+                    if broadcast_candidates or small_round else cand_cells)
+            joined = left.join(pts, cand_cells["jcell"] == pts["p_cell"])
         # guard pre-filter BEFORE the window: a candidate at dist ≥
         # disk*cell_h can never be in a PASSING query's top-k (the pass
         # condition is dk < guard), and failing queries retry at the next
@@ -219,8 +261,7 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # per-round remaining checkpoint cost two extra jobs per round).
         guard = F.lit(float(disk * cell_h)) ** 2
         w_cnt = Window.partitionBy(query_id_col)
-        flagged = _ckpt(left
-                        .join(pts, cand_cells["jcell"] == pts["p_cell"])
+        flagged = _ckpt(joined
                         .withColumn("dist2", dist2)
                         .filter(F.col("dist2") < guard)
                         .withColumn("rn", F.row_number().over(win))

@@ -268,6 +268,38 @@ def test_grid_knn_auto_start_disk_matches_explicit(spark):
     assert outs[0].exceptAll(outs[1]).isEmpty()
 
 
+def test_grid_knn_reversed_probe_matches_cand_cells(spark):
+    """The reversed probe shape (broadcast queries keyed by their own
+    cell; points explode by the offsets) is a JOIN SHAPE, never a
+    result: forcing it on and off must return identical rows, including
+    duplicate-coordinate ties and near-cell-boundary points."""
+    from osmpbf_spark.operators.knn import grid_knn
+    res = 12
+    pts = spark.range(0, 40_000).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % (2 * B) + 44 * B).alias("lat_nano"),
+        ((F.col("id") * 2246822519) % (2 * B) + 7 * B).alias("lon_nano"))
+    # duplicate coordinates: ids 40000.. replay the first 200 points
+    dup = spark.range(0, 200).select(
+        (F.col("id") + 40_000).alias("id"),
+        ((F.col("id") * 2654435761) % (2 * B) + 44 * B).alias("lat_nano"),
+        ((F.col("id") * 2246822519) % (2 * B) + 7 * B).alias("lon_nano"))
+    pts = with_grid_cells(pts.unionByName(dup), res=res)
+    qdf = with_grid_cells(
+        spark.range(0, 500).select(
+            (F.col("id") + 1_000_000).alias("query_id"),
+            ((F.col("id") * 40503) % (2 * B) + 44 * B).alias("lat_nano"),
+            ((F.col("id") * 69069) % (2 * B) + 7 * B).alias("lon_nano")),
+        res=res)
+    rev = grid_knn(pts, qdf, 3, res=res, broadcast_candidates=False,
+                   _rev_min_rows=1)          # force reversed every round
+    old = grid_knn(pts, qdf, 3, res=res, broadcast_candidates=False,
+                   _rev_min_rows=1 << 60)    # never reversed
+    assert rev.count() == old.count() == 1500
+    assert rev.exceptAll(old).isEmpty()
+    assert old.exceptAll(rev).isEmpty()
+
+
 def test_decode_spread_skips_only_matching_partitioning(spark):
     """decode_partitions must still consolidate/spread when the source
     partitioning differs, and skip the payload shuffle when it already
