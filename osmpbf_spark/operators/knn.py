@@ -131,24 +131,29 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # round. Callers can still pass an explicit int.
         if broadcast_candidates:
             start_disk = 1
-        else:
-            import math
-            row = pts.agg(
-                F.count("*").alias("n"),
-                F.approx_count_distinct("p_cell").alias("c")).first()
-            lam = (row["n"] / max(row["c"], 1)) if row["n"] else 0.0
-            start_disk = 1 if lam <= 0 else max(
-                1, min(8, max_disk,
-                       math.ceil(math.sqrt(4.0 * k / (math.pi * lam)))))
-            _log(f"auto start_disk={start_disk} (λ={lam:.2f})")
     remaining = q
     remaining_n = None                 # unknown until first checkpoint
     if not broadcast_candidates:
         # one cheap narrow count of the query side so the FIRST round
         # can already flip to the broadcast shape when it is small
         # enough (join strategy never changes the result — ranking is
-        # deterministic on (dist2, id))
-        remaining_n = remaining.count()
+        # deterministic on (dist2, id)); when the λ probe also runs,
+        # the two aggregates ride ONE action (crossJoin of 1-row aggs —
+        # independent subtrees, one job instead of two, r6)
+        q_cnt = remaining.agg(F.count("*").alias("qn"))
+        if start_disk == "auto":
+            import math
+            row = (pts.agg(F.count("*").alias("n"),
+                           F.approx_count_distinct("p_cell").alias("c"))
+                   .crossJoin(q_cnt)).first()
+            lam = (row["n"] / max(row["c"], 1)) if row["n"] else 0.0
+            start_disk = 1 if lam <= 0 else max(
+                1, min(8, max_disk,
+                       math.ceil(math.sqrt(4.0 * k / (math.pi * lam)))))
+            _log(f"auto start_disk={start_disk} (λ={lam:.2f})")
+        else:
+            row = q_cnt.first()
+        remaining_n = row["qn"]
         _log(f"query side: {remaining_n} queries")
     done_parts = []
     disk = start_disk
@@ -276,9 +281,14 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # remaining chains one cheap anti-join per round onto the
         # MATERIALIZED round output; it is re-checkpointed only when a
         # next round actually happens (the common small-disk case ends
-        # after one round — no checkpoint job for it at all)
+        # after one round — no checkpoint job for it at all). The
+        # rn = 1 filter is exact dedup for free: a passing query has
+        # n_found == k kept rows (rn ≤ k caps the count), so exactly
+        # one rn = 1 row — the anti-join's broadcast build shrinks k×
+        # without a distinct/shuffle (r6)
         remaining = remaining.join(
-            flagged.filter(F.col("n_found") >= k).select(query_id_col),
+            flagged.filter((F.col("n_found") >= k) & (F.col("rn") == 1))
+            .select(query_id_col),
             query_id_col, "left_anti")
         remaining_n = remaining.count()
         _log(f"disk={disk}: remaining={remaining_n}")
