@@ -86,16 +86,23 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
 
     spark = points.sparkSession
 
-    def _ckpt(df):
-        """Eager per-round materialization. localCheckpoint stores blocks
-        in executor storage ONLY — losing an executor after the source
+    def _ckpt(df, *, eager=True):
+        """Per-round materialization. localCheckpoint stores blocks in
+        executor storage ONLY — losing an executor after the source
         lineage is truncated fails the job. On a real cluster set
         sparkContext.setCheckpointDir(...) and rounds persist reliably
-        (HDFS/object store) instead; local mode keeps the cheap path."""
+        (HDFS/object store) instead; local mode keeps the cheap path.
+
+        ``eager=False`` (local path only) defers materialization to the
+        FIRST action over the frame — the round loop's remaining-count
+        job then materializes the blocks as a side effect, one job per
+        round instead of two (r6). A reliable ``checkpoint()`` re-runs
+        the lineage after the triggering job, so the cluster path stays
+        eager either way."""
         if spark.sparkContext.getCheckpointDir() is not None:
             df = df.checkpoint(eager=True)
         else:
-            df = df.localCheckpoint(eager=True)
+            df = df.localCheckpoint(eager=eager)
         return df
 
     pts_pinned = False
@@ -266,6 +273,14 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         # per-round remaining checkpoint cost two extra jobs per round).
         guard = F.lit(float(disk * cell_h)) ** 2
         w_cnt = Window.partitionBy(query_id_col)
+        # eager=False when this round's open-query count is known: the
+        # n_passed aggregate below then materializes the blocks inside
+        # its own (normal) job — one job per round instead of two. The
+        # count stays a PLAIN aggregate, never a join: executing the
+        # un-materialized round inside a BroadcastExchange build thread
+        # would race spark.sql.broadcastTimeout at scale (guide §7.4 —
+        # compute the build side first), so the anti-join below only
+        # ever reads materialized blocks.
         flagged = _ckpt(joined
                         .withColumn("dist2", dist2)
                         .filter(F.col("dist2") < guard)
@@ -273,27 +288,39 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                         .filter(F.col("rn") <= k)
                         .withColumn("n_found", F.count("*").over(w_cnt))
                         .select(query_id_col, F.col(id_col), "dist2",
-                                "rn", "n_found"))
-        _log(f"disk={disk}: round checkpointed")
+                                "rn", "n_found"),
+                        eager=remaining_n is None)
+        _log(f"disk={disk}: round checkpoint declared")
         done_parts.append(flagged.filter(F.col("n_found") >= k)
                           .select(query_id_col, F.col(id_col), "dist2",
                                   "rn"))
-        # remaining chains one cheap anti-join per round onto the
-        # MATERIALIZED round output; it is re-checkpointed only when a
-        # next round actually happens (the common small-disk case ends
-        # after one round — no checkpoint job for it at all). The
-        # rn = 1 filter is exact dedup for free: a passing query has
-        # n_found == k kept rows (rn ≤ k caps the count), so exactly
-        # one rn = 1 row — the anti-join's broadcast build shrinks k×
-        # without a distinct/shuffle (r6)
-        remaining = remaining.join(
-            flagged.filter((F.col("n_found") >= k) & (F.col("rn") == 1))
-            .select(query_id_col),
-            query_id_col, "left_anti")
-        remaining_n = remaining.count()
+        # a passing query has n_found == k kept rows (rn ≤ k caps the
+        # count), so its rn = 1 row is a unique marker — counting those
+        # equals counting passed queries, and the anti-join build below
+        # shrinks k× for free (no distinct/shuffle, r6)
+        passed = flagged.filter((F.col("n_found") >= k)
+                                & (F.col("rn") == 1))
+        if remaining_n is not None:
+            # open-set size entering the round is known → one aggregate
+            # job; every passed query was open (candidates derive from
+            # `remaining`), so the subtraction is exact
+            remaining_n = remaining_n - passed.count()
+        else:
+            # broadcast regime, first round: total query count unknown —
+            # the anti-join count (over the eagerly materialized blocks)
+            # establishes it
+            remaining_n = remaining.join(
+                passed.select(query_id_col),
+                query_id_col, "left_anti").count()
         _log(f"disk={disk}: remaining={remaining_n}")
         if remaining_n == 0:
             break
+        # the open set for the next round: one cheap anti-join onto the
+        # materialized round output, checkpointed (eagerly — the next
+        # round may broadcast a frame derived from it) only when a next
+        # round actually happens
+        remaining = remaining.join(passed.select(query_id_col),
+                                   query_id_col, "left_anti")
         remaining = _ckpt(remaining)
         disk *= 2
         # tail-round collapse (r6, schedule only — the per-round guard
