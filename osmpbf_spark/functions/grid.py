@@ -107,14 +107,11 @@ def cell_parent(cell: Column | str, parent_res: int) -> Column:
 
 
 def _offsets_df(spark, offs: list[tuple[int, int]]) -> DataFrame:
-    """(dx, dy) rows as a LocalRelation: routing the list through pandas +
-    Arrow plans a LocalTableScan, where a plain list-of-tuples plans a
-    Python-RDD scan (``applySchemaToPythonRDD``) that launches Python
-    workers and runs an extra job per action — measured ~0.5 s per
-    grid_knn round at the bench shape (r6)."""
-    import pandas as pd
-    pdf = pd.DataFrame(offs, columns=["dx", "dy"]).astype("int32")
-    return spark.createDataFrame(pdf, schema="dx int, dy int")
+    """(dx, dy) rows as a LocalRelation (see
+    :func:`osmpbf_spark.session.local_relation` for why — a list-backed
+    relation re-runs a Python job per referencing action)."""
+    from ..session import local_relation
+    return local_relation(spark, offs, "dx int, dy int")
 
 
 def neighbor_offsets(spark, k: int) -> DataFrame:

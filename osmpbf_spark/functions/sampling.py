@@ -105,8 +105,9 @@ def mix_corpus(docs: DataFrame, category_col: str, token_col: str,
             "shortfall": int(max(0, wanted - a)),
         }
     spark = docs.sparkSession
-    rates = F.broadcast(spark.createDataFrame(
-        [(cat, report[cat]["rate"]) for cat in fracs],
+    from ..session import local_relation
+    rates = F.broadcast(local_relation(
+        spark, [(cat, report[cat]["rate"]) for cat in fracs],
         f"{category_col} string, _mix_rate double"))
     sampled = (docs.join(rates, category_col)
                .transform(lambda d: weighted_sample(

@@ -513,18 +513,14 @@ def _dec_dist2_arrays(a: str, b: str):
 
 
 def _centroid_df(spark, cents: list[list[float]]) -> DataFrame:
-    """(cid, cvec) as a LocalTableScan via pyarrow — the list-of-tuples
-    form plans a Python-RDD scan whose Python job re-runs on every
-    action referencing the broadcast centroid table (one per Lloyd
-    iteration, plus every serving-side probe). Schema identical to the
-    former ``"cid int, cvec array<double>"``."""
-    import pyarrow as pa
-    tbl = pa.table({
-        "cid": pa.array(range(len(cents)), pa.int32()),
-        "cvec": pa.array([[float(x) for x in c] for c in cents],
-                         pa.list_(pa.float64())),
-    })
-    return spark.createDataFrame(tbl)
+    """(cid, cvec) as a LocalTableScan — the list-of-tuples form plans a
+    Python-RDD scan whose Python job re-runs on every action referencing
+    the broadcast centroid table (one per Lloyd iteration, plus every
+    serving-side probe). See :func:`osmpbf_spark.session.local_relation`."""
+    from ..session import local_relation
+    return local_relation(
+        spark, [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cvec array<double>")
 
 
 def train_centroids(vectors: DataFrame, k: int, *, iters: int = 4,

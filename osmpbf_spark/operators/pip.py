@@ -106,21 +106,13 @@ def make_polygons(spark, rows) -> DataFrame:
             raise ValueError(f"ring of {poly_id} is not closed")
         data.append((poly_id, [{"lat_nano": a, "lon_nano": b}
                                for a, b in ring]))
-    # route through pyarrow so the plan is a LocalTableScan: a plain
-    # list-of-tuples createDataFrame plans a Python-RDD scan that spins
-    # Python workers and an extra job on EVERY action referencing the
-    # ring table (pip_join broadcasts it per action) — schema and values
-    # are identical (pinned by test)
-    import pyarrow as pa
-    struct_t = pa.struct([pa.field("lat_nano", pa.int64()),
-                          pa.field("lon_nano", pa.int64())])
-    tbl = pa.table({
-        "poly_id": pa.array([p for p, _ in data], pa.string()),
-        "ring": pa.array([r for _, r in data], pa.list_(struct_t)),
-    })
-    df = spark.createDataFrame(tbl)
-    from pyspark.sql.types import StructType
-    assert df.schema == StructType.fromDDL(POLYGONS_DDL), df.schema
+    # LocalTableScan, not a Python-RDD scan: a list-backed relation
+    # re-runs a Python job on EVERY action referencing the ring table
+    # (pip_join broadcasts it per action) — measured 1.38 → 1.15 s on
+    # the full decode+PIP leg (r6); schema/values identical (asserted
+    # in local_relation, pinned by test)
+    from ..session import local_relation
+    df = local_relation(spark, data, POLYGONS_DDL)
     with _POLY_CACHE_LOCK:
         _POLY_CACHE.append((spark, key, df))
         while len(_POLY_CACHE) > _POLY_CACHE_MAX:

@@ -462,15 +462,12 @@ def q_knn_events(spark, sf_dir):
         _events_xy(spark, sf_dir).select(
             F.col("event_id").alias("id"), "lat_nano", "lon_nano"),
         res=res)
-    import pandas as pd
-    qpdf = pd.DataFrame(_KNN_QUERIES,
-                        columns=["query_id", "lat_nano", "lon_nano"]
-                        ).astype("int64")
+    from .session import local_relation
     qdf = with_grid_cells(
-        # pandas → Arrow → LocalTableScan: the list-of-tuples form plans
-        # a Python-RDD scan re-run on every grid_knn round/action (r6)
-        spark.createDataFrame(
-            qpdf, schema="query_id long, lat_nano long, lon_nano long"),
+        # LocalTableScan: the list-of-tuples form plans a Python-RDD
+        # scan re-run on every grid_knn round/action (r6)
+        local_relation(spark, _KNN_QUERIES,
+                       "query_id long, lat_nano long, lon_nano long"),
         res=res)
     out = grid_knn(pts, qdf, 5, res=res)
     return out.select("query_id", F.col("id").alias("event_id"),
@@ -678,11 +675,9 @@ def q_s2_golden(spark, sf_dir):
     additionally pinned to the published bit-layout constants in
     tests/test_s2.py."""
     from .functions.s2 import with_s2_cells
-    import pandas as pd
-    df = spark.createDataFrame(
-        pd.DataFrame(_S2_GOLDEN_PTS, columns=["pid", "lat", "lon"])
-        .astype({"pid": "int64", "lat": "float64", "lon": "float64"}),
-        schema="pid long, lat double, lon double")
+    from .session import local_relation
+    df = local_relation(spark, _S2_GOLDEN_PTS,
+                        "pid long, lat double, lon double")
     return (with_s2_cells(df, level=12)
             .select("pid", "s2_cell"))
 
@@ -1158,8 +1153,9 @@ def q_multimodal_golden(spark, sf_dir):
     blob vs constant expected values (dimensions/sample-rate/duration
     verified by construction of the payloads)."""
     from .operators.multimodal import extract_media_metadata
-    media = spark.createDataFrame(
-        [(r, bytearray(p)) for r, p in _multimodal_payloads()],
+    from .session import local_relation
+    media = local_relation(
+        spark, [(r, bytes(p)) for r, p in _multimodal_payloads()],
         "media_ref string, payload binary")
     return extract_media_metadata(media)
 
@@ -1214,8 +1210,9 @@ def q_media_features_golden(spark, sf_dir):
     (CORRECTNESS_r03 `unhashable type: 'list'`), so the quantized
     vector is posexploded into one row per dimension."""
     from .operators.multimodal import extract_media_features
-    media = spark.createDataFrame(
-        [(r, bytearray(p)) for r, p in _multimodal_payloads()],
+    from .session import local_relation
+    media = local_relation(
+        spark, [(r, bytes(p)) for r, p in _multimodal_payloads()],
         "media_ref string, payload binary")
     feats = (extract_media_features(media, dim=8)
              .select("media_ref",

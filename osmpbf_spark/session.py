@@ -54,6 +54,33 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     setattr(ctx, marker, True)
 
 
+def local_relation(spark: SparkSession, rows, ddl: str):
+    """SMALL bounded driver-side rows + DDL schema → a DataFrame planned
+    as a ``LocalTableScan``.
+
+    ``createDataFrame(list_of_tuples)`` plans a Python-RDD scan
+    (``applySchemaToPythonRDD``) that launches Python workers and runs
+    an extra Spark job on EVERY action referencing the relation —
+    measured ~0.5 s per grid_knn round at the bench shape (r6). Routing
+    the same rows through pyarrow with the exact Arrow types derived
+    from the DDL yields a LocalRelation instead; None → NULL and the
+    resulting schema is asserted identical to the DDL. Only use for
+    bounded metadata-sized relations (offsets, centroids, chunk ranges,
+    mix rates): a LocalRelation embeds its rows in the plan."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructType
+    schema = StructType.fromDDL(ddl)
+    rows = list(rows)
+    cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+    tbl = pa.table({
+        f.name: pa.array(list(c), type=to_arrow_type(f.dataType))
+        for f, c in zip(schema.fields, cols)})
+    df = spark.createDataFrame(tbl)
+    assert df.schema == schema, (df.schema, schema)
+    return df
+
+
 def get_spark(app_name: str = "osmpbf_spark", *, master: str | None = None,
               shuffle_partitions: int | None = None,
               extra_conf: dict | None = None) -> SparkSession:

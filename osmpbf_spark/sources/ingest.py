@@ -73,7 +73,8 @@ def _scan_frames_df(spark: SparkSession, path: str, size: int,
     """Distributed header scan → raw (unvalidated) frame DataFrame."""
     ranges = [(s, min(s + chunk_bytes, size))
               for s in range(0, size, chunk_bytes)]
-    rdf = spark.createDataFrame(ranges, "start long, end long") \
+    from ..session import local_relation
+    rdf = local_relation(spark, ranges, "start long, end long") \
         .repartition(len(ranges))
 
     def scan(batches):
@@ -147,8 +148,10 @@ def pbf_frame_index_df(spark: SparkSession, path: str, *,
         for b in sorted(pre):
             prefix[b] = run
             run = max(run, pre[b])
-        pf = spark.createDataFrame(
-            [(b, p) for b, p in prefix.items()], "bucket long, pmax long")
+        from ..session import local_relation
+        pf = local_relation(
+            spark, [(b, p) for b, p in prefix.items()],
+            "bucket long, pmax long")
         w_prior = (Window.partitionBy("bucket").orderBy("offset")
                    .rowsBetween(Window.unboundedPreceding, -1))
         clean = (sdf.join(F.broadcast(pf), "bucket")
@@ -188,8 +191,10 @@ def pbf_frame_index_df(spark: SparkSession, path: str, *,
         if pos != size:
             raise ValueError(
                 f"trailing {size - pos} bytes after last frame")
-        bdf = spark.createDataFrame(
-            [(b, v) for b, v in base.items()], "bucket long, base long")
+        from ..session import local_relation
+        bdf = local_relation(
+            spark, [(b, v) for b, v in base.items()],
+            "bucket long, base long")
         out = (clean.join(F.broadcast(bdf), "bucket")
                .withColumn("blob_no", F.col("base")
                            + F.row_number().over(w_b) - 1)

@@ -208,7 +208,8 @@ def compact_ivf_store(spark: SparkSession, path: str, *,
     nf = [(int(c), max(1, math.ceil(n / rows_per_file)))
           for c, n in counts.items()]
     n_out = sum(f for _, f in nf)
-    nf_df = spark.createDataFrame(nf, "cid int, _nf int")
+    from ..session import local_relation
+    nf_df = local_relation(spark, nf, "cid int, _nf int")
     salted = (store.join(F.broadcast(nf_df), "cid")
               .withColumn("_f", F.pmod(F.xxhash64(id_col), F.col("_nf"))))
     tmp = path.rstrip("/") + ".compact.tmp"
