@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import local_relation
 
 NANO_180 = 180_000_000_000
 NANO_90 = 90_000_000_000
@@ -110,7 +111,6 @@ def _offsets_df(spark, offs: list[tuple[int, int]]) -> DataFrame:
     """(dx, dy) rows as a LocalRelation (see
     :func:`osmpbf_spark.session.local_relation` for why — a list-backed
     relation re-runs a Python job per referencing action)."""
-    from ..session import local_relation
     return local_relation(spark, offs, "dx int, dy int")
 
 

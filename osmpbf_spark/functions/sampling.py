@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..session import local_relation
 
 
 def hash_sample(df: DataFrame, key_col: str, m: int, *,
@@ -105,7 +106,6 @@ def mix_corpus(docs: DataFrame, category_col: str, token_col: str,
             "shortfall": int(max(0, wanted - a)),
         }
     spark = docs.sparkSession
-    from ..session import local_relation
     rates = F.broadcast(local_relation(
         spark, [(cat, report[cat]["rate"]) for cat in fracs],
         f"{category_col} string, _mix_rate double"))

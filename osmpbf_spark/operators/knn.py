@@ -31,6 +31,7 @@ from ..functions.grid import (
     Y_SHIFT,
     neighbor_offsets,
 )
+from ..session import local_relation
 
 
 def _with_xy(df: DataFrame, cell_col: str) -> DataFrame:
@@ -52,7 +53,10 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
 
     Returns (query_id, id, dist2, rn) with rn = 1..k per query, ordered by
     squared planar nanodegree distance (double; ties broken by id — the
-    output row set is deterministic).
+    output row set is deterministic). ``query_id`` values must be UNIQUE:
+    duplicate ids have always merged their candidates into one ranked
+    window (one top-k for the pair), and since r6 the round loop also
+    counts open queries arithmetically per distinct passing id.
 
     Driver loop doubles the Chebyshev disk radius; a query finishes when it
     has ≥ k candidates whose k-th distance is guaranteed correct: the
@@ -106,6 +110,7 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         return df
 
     pts_pinned = False
+    _pts_persisted = []     # every persisted point frame, for cleanup
 
     def _pin_pts():
         # kNN-JOIN regime, shuffle rounds only: the point side
@@ -120,8 +125,21 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
         if not pts_pinned:
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
             pts = pts.repartition(n_shuffle, "p_cell").persist()
+            _pts_persisted.append(pts)
             _log("pts repartition declared")
             pts_pinned = True
+
+    def _cache_pts():
+        # reversed rounds with a big open set (the cases where the
+        # shuffle shape would have pinned): persist WITHOUT the
+        # repartition — the rev probe never shuffles the point side,
+        # but multi-round stragglers must not re-run an expensive
+        # un-cached point lineage once per round (r6 review)
+        nonlocal pts
+        if not _pts_persisted:
+            pts = pts.persist()
+            _pts_persisted.append(pts)
+            _log("pts cache declared")
     if start_disk == "auto":
         # r6: pick the first disk so the EXPECTED in-guard candidate
         # count already covers k (with 2× safety) instead of always
@@ -214,6 +232,8 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                      and n_offs <= 35)
         if rev_round:
             from ..functions.grid import cell_xy
+            if not (broadcast_candidates or small_round):
+                _cache_pts()
             qk = remaining.select(
                 query_id_col, "lat_nano", "lon_nano",
                 (F.lit(res).cast("long") * F.lit(RES_SHIFT)
@@ -338,17 +358,18 @@ def grid_knn(points: DataFrame, queries: DataFrame, k: int, *,
                  .withColumn("rn", F.row_number().over(win))
                  .filter(F.col("rn") <= k)
                  .select(query_id_col, F.col(id_col), "dist2", "rn"))
-        if pts_pinned:
+        if _pts_persisted:
             brute = _ckpt(brute)
         done_parts.append(brute)
 
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
-    if pts_pinned:
-        # safe: every round output (incl. the brute backstop) was eagerly
-        # checkpointed above, so nothing recomputes through pts
-        pts.unpersist()
+    # safe: every round output (incl. the brute backstop) was
+    # materialized above (eagerly, or by its round's count job), so
+    # nothing recomputes through the released point frames
+    for f in _pts_persisted:
+        f.unpersist()
     return out
 
 
@@ -517,7 +538,6 @@ def _centroid_df(spark, cents: list[list[float]]) -> DataFrame:
     Python-RDD scan whose Python job re-runs on every action referencing
     the broadcast centroid table (one per Lloyd iteration, plus every
     serving-side probe). See :func:`osmpbf_spark.session.local_relation`."""
-    from ..session import local_relation
     return local_relation(
         spark, [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cid int, cvec array<double>")

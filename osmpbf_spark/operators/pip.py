@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.grid import GRID_RES_FINE, grid_xy_sql
+from ..session import local_relation
 
 POLYGONS_DDL = ("poly_id string, "
                 "ring array<struct<lat_nano:bigint,lon_nano:bigint>>")
@@ -111,7 +112,6 @@ def make_polygons(spark, rows) -> DataFrame:
     # (pip_join broadcasts it per action) — measured 1.38 → 1.15 s on
     # the full decode+PIP leg (r6); schema/values identical (asserted
     # in local_relation, pinned by test)
-    from ..session import local_relation
     df = local_relation(spark, data, POLYGONS_DDL)
     with _POLY_CACHE_LOCK:
         _POLY_CACHE.append((spark, key, df))

@@ -35,6 +35,7 @@ from .operators.dedup import exact_dups, minhash_lsh_pairs, simhash
 from .operators.knn import cosine_topk, grid_knn
 from .operators.parity import count_by_type, tag_eq, ways_and_deps
 from .operators.pip import make_polygons, pip_join
+from .session import local_relation
 from .sources.documents import (
     fileblocks_to_rows,
     make_documents,
@@ -462,7 +463,6 @@ def q_knn_events(spark, sf_dir):
         _events_xy(spark, sf_dir).select(
             F.col("event_id").alias("id"), "lat_nano", "lon_nano"),
         res=res)
-    from .session import local_relation
     qdf = with_grid_cells(
         # LocalTableScan: the list-of-tuples form plans a Python-RDD
         # scan re-run on every grid_knn round/action (r6)
@@ -675,7 +675,6 @@ def q_s2_golden(spark, sf_dir):
     additionally pinned to the published bit-layout constants in
     tests/test_s2.py."""
     from .functions.s2 import with_s2_cells
-    from .session import local_relation
     df = local_relation(spark, _S2_GOLDEN_PTS,
                         "pid long, lat double, lon double")
     return (with_s2_cells(df, level=12)
@@ -1153,7 +1152,6 @@ def q_multimodal_golden(spark, sf_dir):
     blob vs constant expected values (dimensions/sample-rate/duration
     verified by construction of the payloads)."""
     from .operators.multimodal import extract_media_metadata
-    from .session import local_relation
     media = local_relation(
         spark, [(r, bytes(p)) for r, p in _multimodal_payloads()],
         "media_ref string, payload binary")
@@ -1210,7 +1208,6 @@ def q_media_features_golden(spark, sf_dir):
     (CORRECTNESS_r03 `unhashable type: 'list'`), so the quantized
     vector is posexploded into one row per dimension."""
     from .operators.multimodal import extract_media_features
-    from .session import local_relation
     media = local_relation(
         spark, [(r, bytes(p)) for r, p in _multimodal_payloads()],
         "media_ref string, payload binary")

@@ -72,7 +72,15 @@ def local_relation(spark: SparkSession, rows, ddl: str):
     from pyspark.sql.types import StructType
     schema = StructType.fromDDL(ddl)
     rows = list(rows)
-    cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+    # strict: ragged rows raise here, and a row wider/narrower than the
+    # DDL raises below — createDataFrame(list, ddl) raised on both, and
+    # silent truncation would be data loss (r6 review)
+    cols = list(zip(*rows, strict=True)) if rows else \
+        [[] for _ in schema.fields]
+    if rows and len(cols) != len(schema.fields):
+        raise ValueError(
+            f"rows have {len(cols)} fields, DDL has "
+            f"{len(schema.fields)}: {ddl!r}")
     tbl = pa.table({
         f.name: pa.array(list(c), type=to_arrow_type(f.dataType))
         for f, c in zip(schema.fields, cols)})

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..pbf.decode import scan_chunk_frames
 from .documents import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+from ..session import local_relation
 
 DEFAULT_CHUNK_BYTES = 64 * 1024 * 1024
 
@@ -73,7 +74,6 @@ def _scan_frames_df(spark: SparkSession, path: str, size: int,
     """Distributed header scan → raw (unvalidated) frame DataFrame."""
     ranges = [(s, min(s + chunk_bytes, size))
               for s in range(0, size, chunk_bytes)]
-    from ..session import local_relation
     rdf = local_relation(spark, ranges, "start long, end long") \
         .repartition(len(ranges))
 
@@ -148,7 +148,6 @@ def pbf_frame_index_df(spark: SparkSession, path: str, *,
         for b in sorted(pre):
             prefix[b] = run
             run = max(run, pre[b])
-        from ..session import local_relation
         pf = local_relation(
             spark, [(b, p) for b, p in prefix.items()],
             "bucket long, pmax long")
@@ -191,7 +190,6 @@ def pbf_frame_index_df(spark: SparkSession, path: str, *,
         if pos != size:
             raise ValueError(
                 f"trailing {size - pos} bytes after last frame")
-        from ..session import local_relation
         bdf = local_relation(
             spark, [(b, v) for b, v in base.items()],
             "bucket long, base long")

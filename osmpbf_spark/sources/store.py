@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import local_relation
 
 
 def write_elements(elements: DataFrame, path: str, *,
@@ -208,7 +209,6 @@ def compact_ivf_store(spark: SparkSession, path: str, *,
     nf = [(int(c), max(1, math.ceil(n / rows_per_file)))
           for c, n in counts.items()]
     n_out = sum(f for _, f in nf)
-    from ..session import local_relation
     nf_df = local_relation(spark, nf, "cid int, _nf int")
     salted = (store.join(F.broadcast(nf_df), "cid")
               .withColumn("_f", F.pmod(F.xxhash64(id_col), F.col("_nf"))))

@@ -300,6 +300,24 @@ def test_grid_knn_reversed_probe_matches_cand_cells(spark):
     assert old.exceptAll(rev).isEmpty()
 
 
+def test_local_relation_validates_row_width(spark):
+    """local_relation must plan a LocalRelation with the exact DDL
+    schema, keep NULLs, and raise loudly on ragged or mis-width rows
+    (createDataFrame raised there too — silent truncation would be
+    data loss)."""
+    from osmpbf_spark.session import local_relation
+    df = local_relation(spark, [(1, None), (None, 2.5)],
+                        "a long, b double")
+    assert [tuple(r) for r in df.orderBy("a").collect()] == \
+        [(None, 2.5), (1, None)]
+    assert "LocalTableScan" in \
+        df._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError):
+        local_relation(spark, [(1, 2, 3)], "a int, b int")
+    with pytest.raises(ValueError):
+        local_relation(spark, [(1, 2), (3,)], "a int, b int")
+
+
 def test_decode_spread_skips_only_matching_partitioning(spark):
     """decode_partitions must still consolidate/spread when the source
     partitioning differs, and skip the payload shuffle when it already
